@@ -1,0 +1,469 @@
+"""``UGrid`` — the unstructured grid as a JAX pytree of device arrays.
+
+TPU-native re-design of ``iu_grid_t`` (m_interp_unstructured.f90:24-59):
+the same SoA schema, but 0-based, batch-first ``(n_cells, npc, 3)``
+layouts, plus two TPU-specific precomputed tables:
+
+* ``face_offsets[c,k] = dot(face_point[c,k], normal[c,k])`` so the
+  inside-test becomes one matmul against the query positions;
+* a uniform-grid cold-start seed table replacing the kd-tree (L0).
+
+Variable *names* are static pytree metadata (hashable tuples), so a grid
+traces cleanly through ``jit``; data arrays are leaves.  Functional
+registry updates (``add_point_data`` etc.) return a new grid.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import geometry
+from ..utils.config import DEFAULT_CONFIG, IUConfig
+
+UNDEFINED_NAME = "UNDEFINED_NAME"
+
+
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=[
+        "points",
+        "cells",
+        "neighbors",
+        "cell_points",
+        "face_normals",
+        "face_offsets",
+        "cell_volume",
+        "point_is_at_boundary",
+        "point_data",
+        "cell_data",
+        "icell_data",
+        "rmin",
+        "rmax",
+        "bin_table",
+        "bin_rmin",
+        "bin_inv_h",
+    ],
+    meta_fields=[
+        "cell_type",
+        "bin_shape",
+        "point_data_names",
+        "cell_data_names",
+        "icell_data_names",
+        "locate_mode",
+        "config",
+    ],
+)
+@dataclasses.dataclass(frozen=True)
+class UGrid:
+    """Unstructured grid state (schema parity: iu_grid_t, SURVEY.md §2.1)."""
+
+    # --- geometry (leaves) -------------------------------------------------
+    points: Any  # (n_points, 3) vertex coordinates (always 3D)
+    cells: Any  # (n_cells, npc) int32 connectivity, 0-based
+    neighbors: Any  # (n_cells, nf) int32, cell across face k, -1 = boundary
+    cell_points: Any  # (n_cells, npc, 3) gathered vertex coords
+    face_normals: Any  # (n_cells, nf, 3) outward unit face normals
+    face_offsets: Any  # (n_cells, nf) dot(face point, face normal)
+    cell_volume: Any  # (n_cells,) area (2D) / signed volume (3D)
+    point_is_at_boundary: Any  # (n_points,) bool
+    point_data: Any  # (n_points, >= n_point_data)
+    cell_data: Any  # (n_cells, >= n_cell_data)
+    icell_data: Any  # (n_cells, >= n_icell_data) int32
+    rmin: Any  # (3,) bounding box min
+    rmax: Any  # (3,) bounding box max
+    # --- cold-start seed table (leaves) -------------------------------------
+    bin_table: Any  # (prod(bin_shape),) int32 seed cell per bin
+    bin_rmin: Any  # (3,)
+    bin_inv_h: Any  # (3,) inverse bin size (0 in unused dims)
+    # --- static metadata -----------------------------------------------------
+    cell_type: str = "triangle"
+    bin_shape: tuple = (1, 1, 1)
+    point_data_names: tuple = ()
+    cell_data_names: tuple = ()
+    icell_data_names: tuple = ()
+    locate_mode: str = "bruteforce"  # "bruteforce" | "walk"
+    config: IUConfig = DEFAULT_CONFIG
+
+    # --- derived sizes -------------------------------------------------------
+    @property
+    def n_cells(self) -> int:
+        return self.cells.shape[0]
+
+    @property
+    def n_points(self) -> int:
+        return self.points.shape[0]
+
+    @property
+    def n_points_per_cell(self) -> int:
+        return self.cells.shape[1]
+
+    @property
+    def n_faces_per_cell(self) -> int:
+        # == n_points_per_cell for tri/quad/tet (:865)
+        return self.cells.shape[1]
+
+    @property
+    def ndim(self) -> int:
+        return geometry.NDIM_OF_CELL_TYPE[self.cell_type]
+
+    @property
+    def n_point_data(self) -> int:
+        return len(self.point_data_names)
+
+    @property
+    def n_cell_data(self) -> int:
+        return len(self.cell_data_names)
+
+    @property
+    def n_icell_data(self) -> int:
+        return len(self.icell_data_names)
+
+    @property
+    def dtype(self):
+        return self.points.dtype
+
+    def cell_centers(self):
+        """Cell centroid = mean of vertices (iu_get_cell_center, :264-269)."""
+        return jnp.mean(self.cell_points, axis=1)
+
+
+# ---------------------------------------------------------------------------
+# Construction
+# ---------------------------------------------------------------------------
+
+
+def build_grid(
+    points: np.ndarray,
+    cells: np.ndarray,
+    neighbors: np.ndarray,
+    cell_type: str,
+    point_data: dict | None = None,
+    cell_data: dict | None = None,
+    icell_data: dict | None = None,
+    coord_scale_factor: float | None = None,
+    dtype=None,
+    config: IUConfig = DEFAULT_CONFIG,
+    locate_mode: str = "auto",
+) -> UGrid:
+    """Build a device-resident grid from host arrays.
+
+    Preprocessing (cell point gather, outward unit normals, volumes,
+    boundary flags, bbox, seed table) runs on the host in float64 — the
+    batch equivalent of iu_read_grid's preprocessing chain (:916-925) —
+    then everything moves to device in ``dtype``.
+
+    Args:
+      points: (n_points, >=2) coordinates; padded to 3D.
+      cells: (n_cells, npc) 0-based connectivity.
+      neighbors: (n_cells, nf) 0-based adjacency, negative = boundary.
+      cell_type: "triangle" | "quad" | "tetra".
+      point_data/cell_data/icell_data: name -> 1D array registries.
+      coord_scale_factor: optional scaling of coordinates (:858-860).
+      dtype: device float dtype; defaults to float64 when jax x64 is
+        enabled, else float32.
+      locate_mode: "auto" picks matmul brute force for small meshes and
+        bin-seed + walk for large ones.
+    """
+    if cell_type not in geometry.CELL_TYPES:
+        raise ValueError(f"Unsupported cell type {cell_type!r}")
+
+    points = np.asarray(points, dtype=np.float64)
+    if points.ndim != 2:
+        raise ValueError("points must be 2D")
+    if points.shape[1] < 3:
+        points = np.pad(points, ((0, 0), (0, 3 - points.shape[1])))
+    if coord_scale_factor is not None:
+        points = points * coord_scale_factor
+
+    cells = np.asarray(cells, dtype=np.int32)
+    neighbors = np.asarray(neighbors, dtype=np.int32)
+    npc_expected = geometry.N_POINTS_PER_CELL[cell_type]
+    if cells.shape[1] != npc_expected:
+        raise ValueError(
+            f"{cell_type} cells need {npc_expected} vertices, "
+            f"got {cells.shape[1]}"
+        )
+    if neighbors.shape != cells.shape:
+        raise ValueError("neighbors must have the same shape as cells")
+
+    n_points = len(points)
+    n_cells = len(cells)
+
+    cell_points = geometry.gather_cell_points(points, cells)
+    normals, at_boundary = geometry.face_normals_and_boundary(
+        cell_points, cells, neighbors, cell_type, n_points
+    )
+    face_offsets = np.einsum("cki,cki->ck", cell_points, normals)
+    volume = geometry.cell_volumes(cell_points, cell_type)
+    rmin = points.min(axis=0)
+    rmax = points.max(axis=0)
+
+    ndim = geometry.NDIM_OF_CELL_TYPE[cell_type]
+    bin_table, bin_shape, bin_rmin, bin_inv_h = geometry.build_bin_seed_table(
+        cell_points.mean(axis=1),
+        rmin,
+        rmax,
+        ndim,
+        bins_per_cell=config.bins_per_cell,
+        max_bins=config.max_bins,
+    )
+
+    if dtype is None:
+        dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    dtype = jnp.dtype(dtype)
+
+    if locate_mode == "auto":
+        locate_mode = (
+            "bruteforce" if n_cells <= config.bruteforce_max_cells else "walk"
+        )
+    if locate_mode not in ("bruteforce", "walk"):
+        raise ValueError(f"Unknown locate_mode {locate_mode!r}")
+
+    def stack_registry(reg, n_rows, target_dtype):
+        reg = reg or {}
+        names = tuple(reg.keys())
+        if names:
+            cols = [np.asarray(reg[k]).reshape(n_rows) for k in names]
+            data = np.stack(cols, axis=1)
+        else:
+            data = np.zeros((n_rows, 0))
+        return names, jnp.asarray(data, dtype=target_dtype)
+
+    pd_names, pd = stack_registry(point_data, n_points, dtype)
+    cd_names, cd = stack_registry(cell_data, n_cells, dtype)
+    icd_names, icd = stack_registry(icell_data, n_cells, jnp.int32)
+
+    return UGrid(
+        points=jnp.asarray(points, dtype=dtype),
+        cells=jnp.asarray(cells),
+        neighbors=jnp.asarray(neighbors),
+        cell_points=jnp.asarray(cell_points, dtype=dtype),
+        face_normals=jnp.asarray(normals, dtype=dtype),
+        face_offsets=jnp.asarray(face_offsets, dtype=dtype),
+        cell_volume=jnp.asarray(volume, dtype=dtype),
+        point_is_at_boundary=jnp.asarray(at_boundary),
+        point_data=pd,
+        cell_data=cd,
+        icell_data=icd,
+        rmin=jnp.asarray(rmin, dtype=dtype),
+        rmax=jnp.asarray(rmax, dtype=dtype),
+        bin_table=jnp.asarray(bin_table),
+        bin_rmin=jnp.asarray(bin_rmin, dtype=dtype),
+        bin_inv_h=jnp.asarray(bin_inv_h, dtype=dtype),
+        cell_type=cell_type,
+        bin_shape=bin_shape,
+        point_data_names=pd_names,
+        cell_data_names=cd_names,
+        icell_data_names=icd_names,
+        locate_mode=locate_mode,
+        config=config,
+    )
+
+
+def read_grid(
+    filename,
+    coord_scale_factor: float | None = None,
+    dtype=None,
+    config: IUConfig = DEFAULT_CONFIG,
+    locate_mode: str = "auto",
+) -> UGrid:
+    """Load a grid from a mesh file (converted+cached to .binda) or a
+    .binda container directly — parity with iu_read_grid (:820-927), but
+    in-process instead of shelling out to a converter subprocess."""
+    import os
+
+    from ..io.binda import read_binda
+    from ..io.convert import convert_to_binda
+
+    filename = os.fspath(filename)
+    if not filename.endswith(".binda"):
+        filename = convert_to_binda(filename)
+
+    bf = read_binda(filename)
+
+    ix = bf.index("cells")
+    if ix < 0:
+        raise ValueError("cells not found in binda file")
+    cells = bf.read_int32(ix)
+    cell_type = bf.entries[ix].metadata
+    if cell_type not in geometry.CELL_TYPES:
+        raise ValueError(f"Cell type {cell_type!r} not supported")
+
+    ix = bf.index("points")
+    if ix < 0:
+        raise ValueError("points not found in binda file")
+    points = bf.read_float64(ix)
+
+    ix = bf.index("cell_neighbors")
+    if ix < 0:
+        raise ValueError("cell_neighbors not found in binda file")
+    neighbors = bf.read_int32(ix)
+
+    point_data, cell_data, icell_data = {}, {}, {}
+    for i, e in enumerate(bf.entries):
+        if e.name == "point_data":
+            point_data[e.metadata] = bf.read_float64(i)
+        elif e.name == "cell_data":
+            cell_data[e.metadata] = bf.read_float64(i)
+        elif e.name == "icell_data":
+            icell_data[e.metadata] = bf.read_int32(i)
+
+    return build_grid(
+        points,
+        cells,
+        neighbors,
+        cell_type,
+        point_data=point_data,
+        cell_data=cell_data,
+        icell_data=icell_data,
+        coord_scale_factor=coord_scale_factor,
+        dtype=dtype,
+        config=config,
+        locate_mode=locate_mode,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Data registry (functional; parity with :105-247)
+# ---------------------------------------------------------------------------
+
+
+def get_point_data_index(grid: UGrid, name: str) -> int:
+    """Index of a point-data variable, -1 if absent (:106-116)."""
+    try:
+        return grid.point_data_names.index(name)
+    except ValueError:
+        return -1
+
+
+def get_cell_data_index(grid: UGrid, name: str) -> int:
+    try:
+        return grid.cell_data_names.index(name)
+    except ValueError:
+        return -1
+
+
+def get_icell_data_index(grid: UGrid, name: str) -> int:
+    try:
+        return grid.icell_data_names.index(name)
+    except ValueError:
+        return -1
+
+
+def _reserve(data, n_extra):
+    pad = jnp.zeros((data.shape[0], n_extra), dtype=data.dtype)
+    return jnp.concatenate([data, pad], axis=1)
+
+
+def reserve_point_data_storage(grid: UGrid, n: int) -> UGrid:
+    """Grow point-data storage by n zero-initialized columns (:204-221).
+
+    Reserved columns don't change ``n_point_data``; a later ``add`` fills
+    them without reallocating (and so without changing traced shapes).
+    """
+    return dataclasses.replace(grid, point_data=_reserve(grid.point_data, n))
+
+
+def reserve_cell_data_storage(grid: UGrid, n: int) -> UGrid:
+    return dataclasses.replace(grid, cell_data=_reserve(grid.cell_data, n))
+
+
+def reserve_icell_data_storage(grid: UGrid, n: int) -> UGrid:
+    return dataclasses.replace(grid, icell_data=_reserve(grid.icell_data, n))
+
+
+def _add_column(data, names, name, values, n_rows):
+    """Fill the first reserved column, or grow by one.
+
+    Note: each family checks its *own* capacity — the reference reuses the
+    point-data count in all three adders (capacity bug, :124/:139; see
+    SURVEY.md §2.2 'known bug — don't replicate').
+    """
+    i_var = len(names)
+    if values is None:
+        col = jnp.zeros((n_rows,), dtype=data.dtype)
+    else:
+        col = jnp.asarray(values, dtype=data.dtype).reshape(n_rows)
+    if data.shape[1] > i_var:  # reserved capacity available
+        data = data.at[:, i_var].set(col)
+    else:
+        data = jnp.concatenate([data, col[:, None]], axis=1)
+    return data, names + (name,), i_var
+
+
+def add_point_data(grid: UGrid, name: str, values=None):
+    """Append a named point-data variable (iu_add_point_data, :149-161).
+
+    Returns ``(new_grid, i_var)``.  ``values`` defaults to zeros.
+    """
+    data, names, i_var = _add_column(
+        grid.point_data, grid.point_data_names, name, values, grid.n_points
+    )
+    return (
+        dataclasses.replace(grid, point_data=data, point_data_names=names),
+        i_var,
+    )
+
+
+def add_cell_data(grid: UGrid, name: str, values=None):
+    data, names, i_var = _add_column(
+        grid.cell_data, grid.cell_data_names, name, values, grid.n_cells
+    )
+    return (
+        dataclasses.replace(grid, cell_data=data, cell_data_names=names),
+        i_var,
+    )
+
+
+def add_icell_data(grid: UGrid, name: str, values=None):
+    data, names, i_var = _add_column(
+        grid.icell_data, grid.icell_data_names, name, values, grid.n_cells
+    )
+    return (
+        dataclasses.replace(grid, icell_data=data, icell_data_names=names),
+        i_var,
+    )
+
+
+def set_point_data(grid: UGrid, i_var: int, values) -> UGrid:
+    """Overwrite one point-data column (test_tetra.f90:37-40 pattern)."""
+    values = jnp.asarray(values, dtype=grid.point_data.dtype)
+    return dataclasses.replace(
+        grid, point_data=grid.point_data.at[:, i_var].set(values)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Export
+# ---------------------------------------------------------------------------
+
+
+def write_vtk(grid: UGrid, filename) -> None:
+    """Write the grid and all live data arrays to a .vtu file — parity
+    with iu_write_vtk (:929-985)."""
+    from ..io.vtk import write_vtu
+
+    write_vtu(
+        filename,
+        np.asarray(grid.points, dtype=np.float64),
+        np.asarray(grid.cells),
+        grid.cell_type,
+        point_data={
+            name: np.asarray(grid.point_data[:, i], dtype=np.float64)
+            for i, name in enumerate(grid.point_data_names)
+        },
+        cell_data={
+            name: np.asarray(grid.cell_data[:, i], dtype=np.float64)
+            for i, name in enumerate(grid.cell_data_names)
+        },
+        icell_data={
+            name: np.asarray(grid.icell_data[:, i])
+            for i, name in enumerate(grid.icell_data_names)
+        },
+    )

@@ -1,0 +1,220 @@
+"""Batched interpolation kernels and the public query API.
+
+Vectorizations of the reference L4 kernels
+(m_interp_unstructured.f90:436-662): barycentric triangle, scalar-triple
+tetrahedron, and inverse-bilinear quad weights, fused with a
+multi-variable gather/contraction ``einsum('bk,bkv->bv')``.
+
+Weight formulas match the reference bit-for-bit in exact arithmetic:
+* triangle (:529-551): opposite-sub-triangle areas over the precomputed
+  cell area (unsigned — valid for points inside the cell only).
+* tetra (:553-586): signed scalar triple products over 6*volume.
+* quad (:588-641): Reed Beta inverse bilinear — quadratic in mu with the
+  (-B - sqrt(disc)) / 2A root, linear fallback for |A| < 1e-20, lambda
+  from the largest-|denominator| component, then tensor-product blend.
+
+The reference's silent-miss semantics (output untouched when no cell is
+found, :492) become explicit: every query returns a ``found`` mask, and
+values default to the provided fill (or NaN) where not found.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from . import locate
+
+
+def _cross(a, b):
+    """Explicit 3D cross product on the last axis.
+
+    Component-wise like the reference's cross_product (:644-651);
+    avoids jnp.cross's generic path and its extra rounding.
+    """
+    ax, ay, az = a[..., 0], a[..., 1], a[..., 2]
+    bx, by, bz = b[..., 0], b[..., 1], b[..., 2]
+    return jnp.stack(
+        [ay * bz - az * by, az * bx - ax * bz, ax * by - ay * bx], axis=-1
+    )
+
+
+def _norm(a):
+    """Plain sqrt(a.a): one rounding per element, like Fortran norm2.
+
+    jnp.linalg.norm's overflow-safe rescaling costs ~4 ulp — enough to
+    break the 1e-14 linear-exactness oracle (SURVEY.md §4).  Geometry
+    values here are O(domain size), so the naive form is safe.
+    """
+    return jnp.sqrt(jnp.sum(a * a, axis=-1))
+
+
+def triangle_weights(cell_points, area, r):
+    """(B,3,3) vertices, (B,) area, (B,3) query -> (B,3) weights."""
+    p = cell_points
+    a0 = 0.5 * _norm(_cross(r - p[:, 1], r - p[:, 2]))
+    a1 = 0.5 * _norm(_cross(r - p[:, 2], r - p[:, 0]))
+    a2 = 0.5 * _norm(_cross(r - p[:, 0], r - p[:, 1]))
+    return jnp.stack([a0, a1, a2], axis=1) / area[:, None]
+
+
+def tetra_weights(cell_points, volume, r):
+    """(B,4,3) vertices, (B,) signed volume, (B,3) query -> (B,4) weights."""
+    p = cell_points
+    v1r = r - p[:, 0]
+    v2r = r - p[:, 1]
+    v12 = p[:, 1] - p[:, 0]
+    v13 = p[:, 2] - p[:, 0]
+    v14 = p[:, 3] - p[:, 0]
+    v23 = p[:, 2] - p[:, 1]
+    v24 = p[:, 3] - p[:, 1]
+
+    def triple(a, b, c):
+        return jnp.einsum("bi,bi->b", a, _cross(b, c))
+
+    w = jnp.stack(
+        [
+            triple(v2r, v24, v23),
+            triple(v1r, v13, v14),
+            triple(v1r, v14, v12),
+            triple(v1r, v12, v13),
+        ],
+        axis=1,
+    )
+    return w / (6.0 * volume)[:, None]
+
+
+def quad_weights(cell_points, r):
+    """(B,4,3) vertices, (B,3) query -> (B,4) inverse-bilinear weights.
+
+    Branch-free replication of interpolate_quad (:588-641); the quad is
+    assumed planar with its plane parallel to z (cross_product_z, :653).
+    """
+    p = cell_points
+    q = r - p[:, 0]
+    b1 = p[:, 1] - p[:, 0]
+    b2 = p[:, 3] - p[:, 0]
+    b3 = p[:, 0] - p[:, 1] - p[:, 3] + p[:, 2]
+
+    def cpz(a, b):
+        return a[:, 0] * b[:, 1] - a[:, 1] * b[:, 0]
+
+    qa = cpz(b2, b3)
+    qb = cpz(b3, q) - cpz(b1, b2)
+    qc = cpz(b1, q)
+    disc = qb * qb - 4.0 * qa * qc
+
+    tiny = jnp.asarray(1e-20, dtype=r.dtype)
+    linear = jnp.abs(qa) < tiny
+    qa_safe = jnp.where(linear, 1.0, qa)
+    qb_safe = jnp.where(jnp.abs(qb) > 0, qb, 1.0)
+    mu = jnp.where(
+        linear,
+        -qc / qb_safe,
+        0.5 * (-qb - jnp.sqrt(disc)) / qa_safe,
+    )
+
+    denom = b1 + mu[:, None] * b3  # (B, 3)
+    dim = jnp.argmax(jnp.abs(denom), axis=1)
+    denom_d = jnp.take_along_axis(denom, dim[:, None], axis=1)[:, 0]
+    q_d = jnp.take_along_axis(q, dim[:, None], axis=1)[:, 0]
+    b2_d = jnp.take_along_axis(b2, dim[:, None], axis=1)[:, 0]
+    lam = (q_d - b2_d * mu) / denom_d
+
+    # Vertex order (1,2)-(4,3): tmp1 = p1 (1-lam) + p2 lam,
+    # tmp2 = p4 (1-lam) + p3 lam, res = tmp1 (1-mu) + tmp2 mu (:634-639)
+    return jnp.stack(
+        [
+            (1 - lam) * (1 - mu),
+            lam * (1 - mu),
+            lam * mu,
+            (1 - lam) * mu,
+        ],
+        axis=1,
+    )
+
+
+def cell_weights(grid, r, i_cell):
+    """Interpolation weights of each query in its (assumed) cell.
+
+    Returns (B, npc) weights; dispatch on the grid's static cell type
+    (iu_interpolate_at_icell, :497-527).
+    """
+    ic = jnp.maximum(i_cell, 0)
+    cp = grid.cell_points[ic]
+    if grid.cell_type == "triangle":
+        return triangle_weights(cp, grid.cell_volume[ic], r)
+    if grid.cell_type == "quad":
+        return quad_weights(cp, r)
+    if grid.cell_type == "tetra":
+        return tetra_weights(cp, grid.cell_volume[ic], r)
+    raise ValueError(f"Unsupported cell type {grid.cell_type!r}")
+
+
+def interpolate_at_icell(grid, r, i_vars, i_cell):
+    """Interpolate point-data variables inside known cells (:497-527).
+
+    Args:
+      r: (B, 3) positions.
+      i_vars: (V,) int array / sequence of point-data variable indices.
+      i_cell: (B,) containing cell per position (not validated).
+    Returns:
+      (B, V) interpolated values.
+    """
+    i_vars = jnp.asarray(i_vars)
+    ic = jnp.maximum(i_cell, 0)
+    w = cell_weights(grid, r, ic)  # (B, npc)
+    vertex_vals = grid.point_data[:, i_vars][grid.cells[ic]]  # (B, npc, V)
+    return jnp.einsum("bk,bkv->bv", w, vertex_vals)
+
+
+def interpolate_at(grid, r, i_vars, guess=None, fill_value=jnp.nan):
+    """Locate + interpolate (iu_interpolate_at, :480-495), batched.
+
+    Args:
+      r: (B, 3) positions.
+      i_vars: (V,) point-data variable indices.
+      guess: optional (B,) warm-start cells (negative = cold).
+      fill_value: value for queries outside the mesh (the reference
+        leaves the output untouched, :492 — pass the previous values
+        here to reproduce that).
+    Returns:
+      values: (B, V)
+      i_cell: (B,) containing cell, negative if not found
+      found: (B,) bool
+    """
+    i_cell, found = locate.get_cell(grid, r, guess)
+    values = interpolate_at_icell(grid, r, i_vars, i_cell)
+    if isinstance(fill_value, (int, float)):
+        fill = jnp.full_like(values, fill_value)
+    else:
+        fill = jnp.broadcast_to(jnp.asarray(fill_value, values.dtype), values.shape)
+    values = jnp.where(found[:, None], values, fill)
+    return values, i_cell, found
+
+
+def interpolate_scalar_at(grid, r, i_var, guess=None, fill_value=jnp.nan):
+    """Single-variable wrapper (iu_interpolate_scalar_at, :464-477)."""
+    fv = fill_value
+    if not isinstance(fv, (int, float)):
+        fv = jnp.asarray(fv)[:, None]
+    values, i_cell, found = interpolate_at(
+        grid, r, jnp.asarray([i_var]), guess, fill_value=fv
+    )
+    return values[:, 0], i_cell, found
+
+
+def get_cell_scalar_at(grid, r, i_var, guess=None, fill_value=jnp.nan):
+    """Piecewise-constant cell-data lookup (iu_get_cell_scalar_at,
+    :436-448): locate, then read cell_data directly — no interpolation."""
+    i_cell, found = locate.get_cell(grid, r, guess)
+    vals = grid.cell_data[jnp.maximum(i_cell, 0), i_var]
+    vals = jnp.where(found, vals, fill_value)
+    return vals, i_cell, found
+
+
+def get_icell_scalar_at(grid, r, i_var, guess=None, fill_value=-1):
+    """Integer cell-data lookup (iu_get_icell_scalar_at, :450-462)."""
+    i_cell, found = locate.get_cell(grid, r, guess)
+    vals = grid.icell_data[jnp.maximum(i_cell, 0), i_var]
+    vals = jnp.where(found, vals, fill_value)
+    return vals, i_cell, found

@@ -1,0 +1,232 @@
+"""Batched point location: which cell contains each query point?
+
+TPU-native replacement for the reference's L3 engine
+(m_interp_unstructured.f90:272-288, :412-434, :664-786).  The serial
+one-query-at-a-time design is inverted into fixed-shape batch ops:
+
+* ``bin_seed``       — O(1) gather from a uniform-grid seed table,
+                       replacing the kd-tree cold start (:272-288).
+* ``locate_bruteforce`` — exact containment via one (B,3) x (3, C*nf)
+                       matmul + min/argmax reduction; used for meshes
+                       small enough that all face planes fit comfortably
+                       (this is also what the 8-cell benchmark mesh hits).
+* ``walk``           — the face-to-face neighbor walk (:664-764) as a
+                       ``lax.while_loop`` over the whole batch with an
+                       active mask; each step is a handful of gathers and
+                       dot products.
+* ``get_cell``       — warm-start/cold-start dispatch (:412-434).
+
+All functions are jit-friendly pure functions over (grid, (B,3) queries).
+Cells are 0-based; "no cell" is encoded as a negative index. Status codes
+follow the reference: 0 = arrived, -1 = left the domain, 1 = icell-mask
+value changed (:664-667).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..utils.config import huge_distance, tiny_distance
+
+# Walk status codes (parity with :664-667)
+STATUS_ARRIVED = 0
+STATUS_MASK_CHANGED = 1
+STATUS_BOUNDARY = -1
+STATUS_STEP_CAP = 2  # bounded-loop extension: cap hit before arrival
+
+
+def bin_seed(grid, r):
+    """Cold-start seed cell for each query: one gather from the
+    per-bin nearest-cell table built at load time.
+
+    Args:
+      r: (B, 3) query positions.
+    Returns:
+      (B,) int32 seed cell indices (always valid cells).
+    """
+    nbx, nby, nbz = grid.bin_shape
+    rel = (r - grid.bin_rmin) * grid.bin_inv_h
+    ij = jnp.floor(rel).astype(jnp.int32)
+    ij = jnp.clip(ij, 0, jnp.array([nbx - 1, nby - 1, nbz - 1]))
+    flat = (ij[:, 0] * nby + ij[:, 1]) * nbz + ij[:, 2]
+    return grid.bin_table[flat]
+
+
+def _containment_margins(grid, r):
+    """margins[b, c] = min over faces k of (d[c,k] - r_b . n[c,k]).
+
+    A point is inside cell c iff margins[b, c] >= -eps (inside test of
+    :766-786, all faces at once).  The inner product rides the MXU:
+    (B, 3) x (3, C*nf).
+    """
+    n_cells, nf = grid.face_offsets.shape
+    normals = grid.face_normals.reshape(n_cells * nf, 3)
+    scores = jnp.dot(
+        r, normals.T, preferred_element_type=r.dtype
+    )  # (B, C*nf)
+    margins = grid.face_offsets.reshape(-1)[None, :] - scores
+    return margins.reshape(r.shape[0], n_cells, nf).min(axis=-1)
+
+
+def locate_bruteforce(grid, r, chunk_size: int = 1024):
+    """Exact containment over all cells (small meshes).
+
+    Returns (i_cell, found): the most-interior containing cell per query,
+    -1 where no cell contains the point.
+    """
+    eps = grid.config.eps_inside
+    b = r.shape[0]
+    n_work = grid.face_offsets.size  # C * nf
+
+    def tile(rt):
+        margins = _containment_margins(grid, rt)  # (bt, C)
+        best = jnp.argmax(margins, axis=1).astype(jnp.int32)
+        found = jnp.take_along_axis(margins, best[:, None], axis=1)[:, 0] >= -eps
+        return jnp.where(found, best, -1), found
+
+    # Keep the materialized (tile, C) margin buffer bounded.
+    if b * n_work <= (1 << 26) or b <= chunk_size:
+        return tile(r)
+
+    pad = (-b) % chunk_size
+    rp = jnp.pad(r, ((0, pad), (0, 0)))
+    rt = rp.reshape(-1, chunk_size, 3)
+    i_cell, found = lax.map(tile, rt)
+    return i_cell.reshape(-1)[:b], found.reshape(-1)[:b]
+
+
+def point_is_inside_cell(grid, r, i_cell):
+    """Batched inside test (iu_point_is_inside_cell, :766-786)."""
+    ic = jnp.maximum(i_cell, 0)
+    normals = grid.face_normals[ic]  # (B, nf, 3)
+    offs = grid.face_offsets[ic]  # (B, nf)
+    margin = (offs - jnp.einsum("bki,bi->bk", normals, r)).min(axis=-1)
+    return (margin >= -grid.config.eps_inside) & (i_cell >= 0)
+
+
+def walk(grid, r0, r1, ic0, max_steps=None, i_icell_mask=None):
+    """Batched neighbor walk from r0 (inside cell ic0) towards r1.
+
+    Vectorization of iu_get_cell_through_neighbors +
+    get_cell_intersection (:664-764): per step, compute the exit face as
+    the min positive ray-plane distance over faces whose outward normal
+    has positive dot with the direction, hop across it, stop per-query on
+    arrival / domain boundary / mask change.
+
+    Args:
+      r0, r1: (B, 3) start/end positions.
+      ic0: (B,) int32 start cells (must contain r0 for exact parity).
+      max_steps: static int step cap (reference walks unbounded, :431).
+      i_icell_mask: optional static int; stop when
+        icell_data[:, mask] changes vs the start cell (:712-719).
+
+    Returns:
+      ic1: (B,) final cell (negative if walked out of the domain)
+      r_p: (B, 3) final position — last face-intersection point when the
+        walk stopped early (used by the tracer's boundary shrink, :1084)
+      n_steps: (B,) int32 steps taken
+      status: (B,) int32 status code
+    """
+    if max_steps is None:
+        max_steps = grid.config.max_walk_steps
+    dtype = r0.dtype
+    tiny = tiny_distance(dtype)
+    big = huge_distance(dtype)
+
+    delta = r1 - r0
+    total = jnp.linalg.norm(delta, axis=-1)
+    degenerate = total < tiny
+    u = delta / jnp.where(degenerate, 1.0, total)[:, None]
+
+    if i_icell_mask is not None:
+        mask0 = grid.icell_data[jnp.maximum(ic0, 0), i_icell_mask]
+    else:
+        mask0 = None
+
+    def cond(state):
+        _, _, _, _, active, n = state
+        return jnp.any(active) & (n < max_steps)
+
+    def body(state):
+        r_p, ic, dist_left, status, active, n = state
+        ics = jnp.maximum(ic, 0)
+
+        normals = grid.face_normals[ics]  # (B, nf, 3)
+        offs = grid.face_offsets[ics]  # (B, nf)
+        pdn = jnp.einsum("bki,bi->bk", normals, u)  # path . n per face
+        rpn = jnp.einsum("bki,bi->bk", normals, r_p)
+        # Distance along u to each face plane; only faces with pdn > 0
+        dist_k = jnp.where(pdn > 0, (offs - rpn) / pdn, big)
+        i_face = jnp.argmin(dist_k, axis=1)
+        face_dist = jnp.take_along_axis(dist_k, i_face[:, None], axis=1)[:, 0]
+        hit = face_dist < 0.5 * big  # some face had pdn > 0
+
+        new_dist_left = dist_left - face_dist
+        crossing = hit & (new_dist_left > 0)
+
+        ic_next = grid.neighbors[ics, i_face]
+        out_of_domain = ic_next < 0
+        if mask0 is not None:
+            mask_next = grid.icell_data[jnp.maximum(ic_next, 0), i_icell_mask]
+            mask_changed = crossing & ~out_of_domain & (mask_next != mask0)
+        else:
+            mask_changed = jnp.zeros_like(crossing)
+
+        # Advance position to the face intersection (skip if no face hit —
+        # the reference would add 1e100 here, :762; we stay put instead)
+        r_p = jnp.where(
+            (active & hit)[:, None], r_p + face_dist[:, None] * u, r_p
+        )
+        dist_left = jnp.where(active & hit, new_dist_left, dist_left)
+
+        new_status = jnp.where(
+            crossing & out_of_domain,
+            STATUS_BOUNDARY,
+            jnp.where(mask_changed, STATUS_MASK_CHANGED, STATUS_ARRIVED),
+        )
+        status = jnp.where(active, new_status, status)
+        ic = jnp.where(active & crossing, ic_next, ic)
+        n_active = active & crossing & ~out_of_domain & ~mask_changed
+        return r_p, ic, dist_left, status, n_active, n + 1
+
+    b = r0.shape[0]
+    init = (
+        r0,
+        ic0,
+        total,
+        jnp.zeros(b, dtype=jnp.int32),
+        ~degenerate,
+        jnp.array(0, dtype=jnp.int32),
+    )
+    r_p, ic, _, status, still_active, n = lax.while_loop(cond, body, init)
+    status = jnp.where(still_active, STATUS_STEP_CAP, status)
+    n_steps = jnp.broadcast_to(n, status.shape)
+    return ic, r_p, n_steps, status
+
+
+def get_cell(grid, r, guess=None, max_steps=None):
+    """Find the cell containing each query point (iu_get_cell, :412-434).
+
+    Warm start: where ``guess >= 0`` the walk starts from the guess cell's
+    center; otherwise from the cold-start seed.  In ``bruteforce`` mode
+    the guess is irrelevant — containment is computed exactly in one shot.
+
+    Returns (i_cell, found): i_cell is -1 (or the off-domain neighbor
+    code) where the point is in no cell.
+    """
+    if grid.locate_mode == "bruteforce":
+        return locate_bruteforce(grid, r)
+
+    if guess is None:
+        start = bin_seed(grid, r)
+    else:
+        start = jnp.where(guess >= 0, guess, bin_seed(grid, r))
+    # Start from the center of the start cell (:429)
+    r0 = grid.cell_points[jnp.maximum(start, 0)].mean(axis=1)
+    ic, _, _, status = walk(grid, r0, r, start, max_steps=max_steps)
+    found = (status == STATUS_ARRIVED) & (ic >= 0)
+    return jnp.where(found, ic, jnp.minimum(ic, -1)), found

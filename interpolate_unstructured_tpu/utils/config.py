@@ -1,0 +1,57 @@
+"""Framework configuration and numeric constants.
+
+The reference configures behavior via per-call arguments and compile-time
+flags (SURVEY.md §5.6); here the knobs live in one dataclass that can be
+passed to ``read_grid``/``build_grid``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class IUConfig:
+    """Tunables for grid construction and point location."""
+
+    # Inside-test tolerance: point is inside a cell iff
+    # (r_face - r) . n >= -eps_inside for all faces
+    # (m_interp_unstructured.f90:773, small_number = 1e-10)
+    eps_inside: float = 1e-10
+
+    # Meshes up to this many cells use the matmul brute-force locate
+    # (exact containment over all cells on the MXU); larger meshes use
+    # bin-seeded neighbor walks.
+    bruteforce_max_cells: int = 4096
+
+    # Default step cap for the batched neighbor walk. The reference walks
+    # unbounded (huge(1), :431); a bounded lax.while_loop needs a finite
+    # cap — generously above any realistic walk length.
+    max_walk_steps: int = 16384
+
+    # Bin-seed table sizing: bins ~= bins_per_cell * n_cells
+    bins_per_cell: float = 2.0
+    max_bins: int = 1 << 22
+
+
+DEFAULT_CONFIG = IUConfig()
+
+
+def tiny_distance(dtype) -> float:
+    """Degenerate-walk short-circuit threshold (reference: 1e-100, :20).
+
+    Scaled to the compute dtype: 1e-100 underflows float32, so use a value
+    safely below any meaningful float32 distance instead.
+    """
+    if np.dtype(dtype) == np.float32:
+        return 1e-30
+    return 1e-100
+
+
+def huge_distance(dtype) -> float:
+    """Sentinel 'no face hit' distance (reference: 1e100, :738)."""
+    if np.dtype(dtype) == np.float32:
+        return 1e30
+    return 1e100

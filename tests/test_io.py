@@ -1,0 +1,171 @@
+"""IO layer tests: binda round-trip, VTU parsing, converter parity."""
+
+import numpy as np
+import pytest
+
+from interpolate_unstructured_tpu.io.binda import BindaWriter, read_binda
+from interpolate_unstructured_tpu.io.convert import (
+    convert_to_binda,
+    get_cell_neighbors,
+)
+from interpolate_unstructured_tpu.io.vtu import read_vtu
+
+
+def test_binda_roundtrip(tmp_path):
+    w = BindaWriter()
+    pts = np.arange(12, dtype=np.float64).reshape(4, 3)
+    cells = np.array([[0, 1, 2], [1, 3, 2]], dtype=np.int64)
+    w.add_entry("points", pts)
+    w.add_entry("cells", cells, "triangle")
+    w.add_entry("point_data", np.linspace(0, 1, 4, dtype=np.float32), "Temp")
+    fn = tmp_path / "t.binda"
+    w.write_to_file(fn)
+
+    bf = read_binda(fn)
+    assert bf.names == ["points", "cells", "point_data"]
+    ix = bf.index("cells")
+    assert bf.entries[ix].metadata == "triangle"
+    # int64 input narrowed to int32 at write time (convert_to_binary.py:48)
+    assert bf.entries[ix].dtype == "int32"
+    np.testing.assert_array_equal(bf.read_int32(ix), cells)
+    np.testing.assert_array_equal(bf.read_float64(bf.index("points")), pts)
+    # float32 widened on read (m_binda.f90:127-130)
+    pd = bf.read_float64(bf.index("point_data"))
+    assert pd.dtype == np.float64
+    np.testing.assert_allclose(pd, np.linspace(0, 1, 4, dtype=np.float32))
+    assert bf.index("missing") == -1
+
+
+def test_binda_header_layout(tmp_path):
+    """Byte-level layout must match the Fortran reader's expectations."""
+    w = BindaWriter()
+    w.add_entry("xyz", np.zeros((2, 5)))
+    fn = tmp_path / "h.binda"
+    w.write_to_file(fn)
+    raw = fn.read_bytes()
+    assert raw[:5] == b"BINDA"
+    n_entries = int.from_bytes(raw[8:16], "little")
+    header_size = int.from_bytes(raw[16:24], "little")
+    assert n_entries == 1
+    entry_size = 128 * 3 + 8 + 8 * 8 + 8
+    assert header_size == 24 + entry_size
+    assert raw[24:27] == b"xyz"
+    # offset field is absolute (m_binda.f90 reads at pos=offset+1)
+    offset = int.from_bytes(raw[24 + entry_size - 8 : 24 + entry_size], "little")
+    assert offset == header_size
+    assert len(raw) == header_size + 2 * 5 * 8
+
+
+def test_read_vtu_appended_raw():
+    m = read_vtu("/root/reference/test_data/triangle.vtu")
+    assert m.points.shape == (9, 3)
+    assert len(m.cells) == 1
+    assert m.cells[0].type == "triangle"
+    assert m.cells[0].data.shape == (8, 3)
+    assert set(m.point_data) == {"DistanceToCenter", "Polynomial"}
+    # Known fixture content: Polynomial = x + y + z + 1 at the vertices
+    np.testing.assert_allclose(
+        m.point_data["Polynomial"], m.points.sum(axis=1) + 1, atol=1e-6
+    )
+
+
+def test_read_vtu_ascii():
+    m = read_vtu("/root/reference/test_data/quad.vtu")
+    assert m.cells[0].type == "quad"
+    assert m.cells[0].data.shape == (4, 4)
+    assert m.points.shape == (9, 3)
+    np.testing.assert_allclose(
+        m.point_data["Polynomial"], m.points.sum(axis=1) + 1, atol=1e-12
+    )
+
+    m = read_vtu("/root/reference/test_data/tetra.vtu")
+    assert m.cells[0].type == "tetra"
+    assert m.cells[0].data.shape == (96, 4)
+    assert m.points.shape == (35, 3)
+
+
+def test_neighbors_two_triangles():
+    # Two triangles sharing edge (1,2): faces of cell 0 are (0,1),(1,2),(2,0)
+    points = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0], [1, 1, 0]], float)
+    cells = np.array([[0, 1, 2], [1, 3, 2]])
+    nb = get_cell_neighbors(cells, points, 2)
+    np.testing.assert_array_equal(nb[0], [-1, 1, -1])
+    # cell 1 = [1,3,2]: shared face (2,1) is face k=2
+    np.testing.assert_array_equal(nb[1], [-1, -1, 0])
+
+
+def test_neighbors_duplicate_points_merged():
+    # Same two triangles but cell 1 references duplicated copies of the
+    # shared points — duplicates must be merged (convert_to_binary.py:130)
+    points = np.array(
+        [[0, 0, 0], [1, 0, 0], [0, 1, 0], [1, 1, 0], [1, 0, 0], [0, 1, 0]],
+        float,
+    )
+    cells = np.array([[0, 1, 2], [4, 3, 5]])
+    nb = get_cell_neighbors(cells, points, 2)
+    assert nb[0, 1] == 1
+    assert nb[1, 2] == 0
+
+
+def test_neighbors_tetra_face_convention():
+    # Two tets sharing face {1,2,3}: for cell 0 that's face k=1 (1,2,3)
+    points = np.array(
+        [[0, 0, 0], [1, 0, 0], [0, 1, 0], [0, 0, 1], [1, 1, 1]], float
+    )
+    cells = np.array([[0, 1, 2, 3], [1, 2, 3, 4]])
+    nb = get_cell_neighbors(cells, points, 3)
+    assert nb[0, 1] == 1  # face (1,2,3) of cell 0
+    assert nb[1, 0] == 0  # face (1,2,3) of cell 1
+    assert (nb == -1).sum() == 6
+
+
+def test_neighbors_match_reference_on_fixture():
+    m = read_vtu("/root/reference/test_data/tetra.vtu")
+    nb = get_cell_neighbors(m.cells[0].data, m.points, 3)
+    # Every internal face is shared by exactly 2 cells; adjacency must be
+    # symmetric: if nb[c,k] == d then some face of d points back at c.
+    n_cells = len(nb)
+    for c in range(n_cells):
+        for k in range(4):
+            d = nb[c, k]
+            if d >= 0:
+                assert c in nb[d], (c, k, d)
+
+
+def test_convert_to_binda_caching(tmp_path):
+    import shutil
+
+    src = tmp_path / "triangle.vtu"
+    shutil.copy("/root/reference/test_data/triangle.vtu", src)
+    out = convert_to_binda(src)
+    assert out.endswith(".binda")
+    mtime1 = __import__("os").path.getmtime(out)
+    out2 = convert_to_binda(src)  # cached: not rewritten
+    assert __import__("os").path.getmtime(out2) == mtime1
+    convert_to_binda(src, force=True)
+
+    bf = read_binda(out)
+    assert bf.index("points") >= 0
+    assert bf.index("cells") >= 0
+    assert bf.index("cell_neighbors") >= 0
+    assert bf.entries[bf.index("cells")].metadata == "triangle"
+    nb = bf.read_int32(bf.index("cell_neighbors"))
+    assert nb.shape == (8, 3)
+    # 8-triangle square mesh: 8 interior faces (4 diagonals shared x2)
+    assert (nb >= 0).sum() == 16
+
+
+def test_convert_rejects_mixed_blocks(tmp_path):
+    from interpolate_unstructured_tpu.io.vtu import CellBlock, Mesh
+    from interpolate_unstructured_tpu.io.convert import mesh_to_binda_writer
+
+    pts = np.zeros((5, 3))
+    mesh = Mesh(
+        points=pts,
+        cells=[
+            CellBlock("triangle", np.array([[0, 1, 2]])),
+            CellBlock("quad", np.array([[0, 1, 2, 3]])),
+        ],
+    )
+    with pytest.raises(ValueError, match="Mixed cell types"):
+        mesh_to_binda_writer(mesh)
