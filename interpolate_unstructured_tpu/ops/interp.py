@@ -21,8 +21,12 @@ values default to the provided fill (or NaN) where not found.
 from __future__ import annotations
 
 import jax.numpy as jnp
+from jax import lax
 
 from . import locate
+
+# Full input-precision contractions (TPU matmul defaults to bfloat16)
+_PRECISION = lax.Precision.HIGHEST
 
 
 def _cross(a, b):
@@ -69,7 +73,7 @@ def tetra_weights(cell_points, volume, r):
     v24 = p[:, 3] - p[:, 1]
 
     def triple(a, b, c):
-        return jnp.einsum("bi,bi->b", a, _cross(b, c))
+        return jnp.einsum("bi,bi->b", a, _cross(b, c), precision=_PRECISION)
 
     w = jnp.stack(
         [
@@ -164,7 +168,7 @@ def interpolate_at_icell(grid, r, i_vars, i_cell):
     ic = jnp.maximum(i_cell, 0)
     w = cell_weights(grid, r, ic)  # (B, npc)
     vertex_vals = grid.point_data[:, i_vars][grid.cells[ic]]  # (B, npc, V)
-    return jnp.einsum("bk,bkv->bv", w, vertex_vals)
+    return jnp.einsum("bk,bkv->bv", w, vertex_vals, precision=_PRECISION)
 
 
 def interpolate_at(grid, r, i_vars, guess=None, fill_value=jnp.nan):

@@ -32,6 +32,10 @@ from jax import lax
 
 from ..utils.config import huge_distance, tiny_distance
 
+# TPU matmuls default to bfloat16 passes; point location needs full
+# input-precision dot products or cells are misassigned near faces.
+_PRECISION = lax.Precision.HIGHEST
+
 # Walk status codes (parity with :664-667)
 STATUS_ARRIVED = 0
 STATUS_MASK_CHANGED = 1
@@ -66,7 +70,7 @@ def _containment_margins(grid, r):
     n_cells, nf = grid.face_offsets.shape
     normals = grid.face_normals.reshape(n_cells * nf, 3)
     scores = jnp.dot(
-        r, normals.T, preferred_element_type=r.dtype
+        r, normals.T, precision=_PRECISION, preferred_element_type=r.dtype
     )  # (B, C*nf)
     margins = grid.face_offsets.reshape(-1)[None, :] - scores
     return margins.reshape(r.shape[0], n_cells, nf).min(axis=-1)
@@ -104,7 +108,7 @@ def point_is_inside_cell(grid, r, i_cell):
     ic = jnp.maximum(i_cell, 0)
     normals = grid.face_normals[ic]  # (B, nf, 3)
     offs = grid.face_offsets[ic]  # (B, nf)
-    margin = (offs - jnp.einsum("bki,bi->bk", normals, r)).min(axis=-1)
+    margin = (offs - jnp.einsum("bki,bi->bk", normals, r, precision=_PRECISION)).min(axis=-1)
     return (margin >= -grid.config.eps_inside) & (i_cell >= 0)
 
 
@@ -157,8 +161,8 @@ def walk(grid, r0, r1, ic0, max_steps=None, i_icell_mask=None):
 
         normals = grid.face_normals[ics]  # (B, nf, 3)
         offs = grid.face_offsets[ics]  # (B, nf)
-        pdn = jnp.einsum("bki,bi->bk", normals, u)  # path . n per face
-        rpn = jnp.einsum("bki,bi->bk", normals, r_p)
+        pdn = jnp.einsum("bki,bi->bk", normals, u, precision=_PRECISION)  # path . n per face
+        rpn = jnp.einsum("bki,bi->bk", normals, r_p, precision=_PRECISION)
         # Distance along u to each face plane; only faces with pdn > 0
         dist_k = jnp.where(pdn > 0, (offs - rpn) / pdn, big)
         i_face = jnp.argmin(dist_k, axis=1)

@@ -1,0 +1,82 @@
+"""Multi-chip sharding tests on the virtual 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import interpolate_unstructured_tpu as iu
+from interpolate_unstructured_tpu.parallel import sharding
+from tests.conftest import sample_points
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) == 8, "conftest must provide 8 CPU devices"
+    return sharding.make_mesh()
+
+
+def test_sharded_interpolate_matches_local(triangle_grid, mesh):
+    grid = sharding.replicate_grid(triangle_grid, mesh)
+    ivar = iu.get_point_data_index(grid, "Polynomial")
+    rng = np.random.default_rng(10)
+    r = jnp.asarray(sample_points(rng, grid.rmin, grid.rmax, 256))
+    r_sh, b = sharding.shard_batch(r, mesh)
+    guess = jnp.full(r_sh.shape[0], -1, dtype=jnp.int32)
+
+    f = sharding.sharded_interpolate_at(mesh)
+    vals, ic, found = f(grid, r_sh, jnp.asarray([ivar]), guess)
+    vals_local, ic_local, found_local = iu.interpolate_at(
+        triangle_grid, r, jnp.asarray([ivar])
+    )
+    np.testing.assert_allclose(
+        np.asarray(vals)[:b], np.asarray(vals_local), atol=1e-14
+    )
+    np.testing.assert_array_equal(np.asarray(found)[:b], np.asarray(found_local))
+
+
+def test_sharded_interpolate_walk_mode(test_data_dir, mesh):
+    grid = iu.read_grid(test_data_dir / "tetra.vtu", locate_mode="walk")
+    ivar = iu.get_point_data_index(grid, "Polynomial")
+    grid = iu.set_point_data(
+        grid, ivar, np.asarray(grid.points).sum(axis=1) + 1
+    )
+    grid_r = sharding.replicate_grid(grid, mesh)
+    rng = np.random.default_rng(11)
+    r = jnp.asarray(sample_points(rng, grid.rmin, grid.rmax, 128))
+    r_sh, b = sharding.shard_batch(r, mesh)
+    guess = jnp.full(r_sh.shape[0], -1, dtype=jnp.int32)
+    f = sharding.sharded_interpolate_at(mesh)
+    vals, ic, found = f(grid_r, r_sh, jnp.asarray([ivar]), guess)
+    assert bool(np.asarray(found)[:b].all())
+    exact = np.asarray(r).sum(axis=1) + 1
+    np.testing.assert_allclose(np.asarray(vals)[:b, 0], exact, atol=1e-13)
+
+
+def test_sharded_trace(triangle_grid, mesh):
+    pts = np.asarray(triangle_grid.points)
+    grid, i_vx = iu.add_point_data(triangle_grid, "vx", -pts[:, 1])
+    grid, i_vy = iu.add_point_data(grid, "vy", pts[:, 0])
+    grid = sharding.replicate_grid(grid, mesh)
+
+    y0 = jnp.asarray(
+        np.stack(
+            [np.full(8, 1.5), np.linspace(0.05, 0.4, 8)], axis=1
+        )
+    )
+    y0_sh, b = sharding.shard_batch(y0, mesh)
+    f = sharding.sharded_trace(
+        mesh, nvar=0, min_dx=1e-5, max_dx=0.1, max_steps=64,
+        rtol=1e-3, atol=1e-3,
+    )
+    res = f(grid, y0_sh, jnp.asarray([i_vx, i_vy]))
+    assert res.y.shape == (8, 64, 2)
+    n = np.asarray(res.n_steps)
+    assert (n >= 1).all()
+    # Circular traces preserve radius
+    for i in range(b):
+        m = min(int(n[i]), 64)
+        r = np.linalg.norm(np.asarray(res.y[i, :m, :2]), axis=1)
+        np.testing.assert_allclose(
+            r, np.linalg.norm(np.asarray(y0[i])), atol=6e-3
+        )

@@ -1,0 +1,153 @@
+"""Field-line tracer tests (test_trace_field.f90 scenario + extensions).
+
+Circular field (vx, vy) = (-y, x) on the triangle fixture: a trace from
+(1.5, 0) follows the radius-1.5 circle counterclockwise and exits the
+[0,2]^2 domain at (0, 1.5) after a quarter turn; with the extra ODE
+dl/ds = 1 started at -0.75*pi, the accumulated arc length lands near 0
+(test_trace_field.f90:41-44).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import interpolate_unstructured_tpu as iu
+from interpolate_unstructured_tpu.trace import (
+    BM_NOT_REACHED,
+    integrate_along_field,
+)
+
+
+@pytest.fixture(scope="module")
+def circular_grid(test_data_dir):
+    grid = iu.read_grid(test_data_dir / "triangle.vtu")
+    pts = np.asarray(grid.points)
+    grid, i_vx = iu.add_point_data(grid, "vx", -pts[:, 1])
+    grid, i_vy = iu.add_point_data(grid, "vy", pts[:, 0])
+    return grid, (i_vx, i_vy)
+
+
+TRACE_KW = dict(
+    min_dx=1e-5, max_dx=0.1, max_steps=100, rtol=1e-3, atol=1e-3
+)
+
+
+def test_trace_circular_field(circular_grid):
+    grid, i_field = circular_grid
+
+    def sub_int(field, y):
+        return jnp.ones(1, dtype=y.dtype)  # dl/ds = 1 (arc length)
+
+    y0 = jnp.asarray([[1.5, 0.0, -0.75 * np.pi]])
+    res = integrate_along_field(
+        grid, y0, i_field, nvar=1, sub_int=sub_int, **TRACE_KW
+    )
+    n = int(res.n_steps[0])
+    assert n <= TRACE_KW["max_steps"], "Boundary not reached"
+    assert n > 3
+    final = np.asarray(res.y[0, n - 1])
+    # Quarter circle: exits at (0, 1.5) with total arc length 0.75*pi
+    assert abs(final[2]) < 2e-2, f"arc length residual {final[2]}"
+    np.testing.assert_allclose(final[:2], [0.0, 1.5], atol=2e-2)
+    assert int(res.boundary_material[0]) == -1  # physical boundary
+
+    # Curve points stay on the circle of radius 1.5 (RK23 at tol 1e-3)
+    r = np.linalg.norm(np.asarray(res.y[0, :n, :2]), axis=1)
+    np.testing.assert_allclose(r, 1.5, atol=5e-3)
+
+    # Field samples along the curve match the exact field
+    yf = np.asarray(res.y_field[0, :n])
+    ypos = np.asarray(res.y[0, :n, :2])
+    np.testing.assert_allclose(yf[:, 0], -ypos[:, 1], atol=1e-12)
+    np.testing.assert_allclose(yf[:, 1], ypos[:, 0], atol=1e-12)
+
+
+def test_trace_reverse_exits_immediately(circular_grid):
+    grid, i_field = circular_grid
+    # Reversed (clockwise) from (1.5, 0.1): leaves through y=0 quickly
+    y0 = jnp.asarray([[1.5, 0.1]])
+    res = integrate_along_field(
+        grid, y0, i_field, nvar=0, reverse=True, **TRACE_KW
+    )
+    n = int(res.n_steps[0])
+    assert n <= TRACE_KW["max_steps"]
+    final = np.asarray(res.y[0, n - 1])
+    assert final[1] < 0.12  # moved down toward the boundary
+    assert int(res.boundary_material[0]) == -1
+
+
+def test_trace_batch(circular_grid):
+    grid, i_field = circular_grid
+    starts = np.array(
+        [[1.5, 0.0], [0.5, 0.5], [1.0, 0.25], [1.9, 1.9]], dtype=float
+    )
+    res = integrate_along_field(
+        grid, jnp.asarray(starts), i_field, nvar=0, **TRACE_KW
+    )
+    assert res.y.shape == (4, 100, 2)
+    assert res.y_field.shape == (4, 100, 2)
+    # All traces either hit the boundary or fill the buffer
+    for b in range(4):
+        n = int(res.n_steps[b])
+        if n <= TRACE_KW["max_steps"]:
+            assert int(res.boundary_material[b]) == -1
+        else:
+            assert int(res.boundary_material[b]) == BM_NOT_REACHED
+        # Trajectory preserves its circle radius while inside
+        m = min(n, TRACE_KW["max_steps"])
+        r = np.linalg.norm(np.asarray(res.y[b, :m, :2]), axis=1)
+        np.testing.assert_allclose(
+            r, np.linalg.norm(starts[b]), atol=6e-3
+        )
+
+
+def test_trace_invalid_start(circular_grid):
+    grid, i_field = circular_grid
+    y0 = jnp.asarray([[-5.0, -5.0]])  # outside the domain
+    res = integrate_along_field(grid, y0, i_field, nvar=0, **TRACE_KW)
+    assert int(res.n_steps[0]) == 1
+    assert int(res.boundary_material[0]) == -1
+
+
+def test_trace_mask_region(test_data_dir):
+    """Integration restricted to a mask region stops at the material
+    change and reports the entered cell's mask value."""
+    grid = iu.read_grid(test_data_dir / "triangle.vtu")
+    pts = np.asarray(grid.points)
+    grid, i_vx = iu.add_point_data(grid, "vx", np.ones(grid.n_points))
+    grid, i_vy = iu.add_point_data(grid, "vy", np.zeros(grid.n_points))
+    # Material 0 for cells with center x < 1, else 7
+    centers = np.asarray(grid.cell_centers())
+    mat = np.where(centers[:, 0] < 1.0, 0, 7).astype(np.int32)
+    grid, i_mat = iu.add_icell_data(grid, "material", mat)
+
+    y0 = jnp.asarray([[0.25, 0.5]])  # inside material 0, field +x
+    res = integrate_along_field(
+        grid,
+        y0,
+        (i_vx, i_vy),
+        nvar=0,
+        i_icell_mask=i_mat,
+        mask_value=0,
+        **TRACE_KW,
+    )
+    n = int(res.n_steps[0])
+    assert n <= TRACE_KW["max_steps"]
+    final = np.asarray(res.y[0, n - 1])
+    # Stops at the x=1 material interface, not the x=2 domain boundary
+    assert final[0] < 1.0 + 1e-6
+    assert int(res.boundary_material[0]) == 7  # material entered
+
+    # Starting inside the wrong material exits immediately
+    y0b = jnp.asarray([[1.5, 0.5]])
+    resb = integrate_along_field(
+        grid,
+        y0b,
+        (i_vx, i_vy),
+        nvar=0,
+        i_icell_mask=i_mat,
+        mask_value=0,
+        **TRACE_KW,
+    )
+    assert int(resb.n_steps[0]) == 1
+    assert int(resb.boundary_material[0]) == 7
