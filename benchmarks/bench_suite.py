@@ -1,0 +1,245 @@
+"""Full benchmark suite — the five configs of BASELINE.md.
+
+1. triangle.vtu     — 2D scalar interpolation at scattered points
+2. quad.vtu         — bilinear quad interpolation + cell-data lookup
+3. tetra.vtu        — 3D tet barycentric multi-variable interpolation
+4. synthetic ~1M-cell tet mesh, 10M random cold queries (bin-seeded walk)
+5. field-line tracing on a tet mesh (warm-start coherent walks)
+
+Run:  python benchmarks/bench_suite.py [--small]
+Emits one JSON line per config on stdout.
+
+Timing notes: the axon tunnel's ``block_until_ready`` is unreliable, so
+every measurement chains ``n`` dependent iterations inside one jitted
+``fori_loop`` and fetches a dependent scalar — (t[n1] - t[n0])/(n1-n0)
+is honest device time.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REFERENCE_DATA = "/root/reference/test_data"
+
+
+def chain_timer(step, args_init, n0=1, n1=6):
+    """Time one iteration of ``state -> state`` with a dependent fetch."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    @jax.jit
+    def chain(state, n):
+        return lax.fori_loop(0, n, lambda i, s: step(s), state)
+
+    def fetch(state):
+        leaf = jax.tree.leaves(state)[0]
+        return float(jnp.sum(leaf.ravel()[:1]))
+
+    fetch(chain(args_init, n0))  # compile + warm
+    t0 = time.perf_counter()
+    fetch(chain(args_init, n0))
+    ta = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    fetch(chain(args_init, n1))
+    tb = time.perf_counter() - t0
+    return max((tb - ta) / (n1 - n0), 1e-12)
+
+
+def emit(name, value, unit, **extra):
+    print(json.dumps({"config": name, "value": value, "unit": unit, **extra}))
+
+
+def load_fixture_grid(name, tmpdir, **kw):
+    import shutil
+
+    from interpolate_unstructured_tpu import read_grid
+
+    src = os.path.join(REFERENCE_DATA, name)
+    dst = os.path.join(tmpdir, name)
+    shutil.copy(src, dst)
+    return read_grid(dst, **kw)
+
+
+def bench_fixture_interpolation(name, n_queries, tmpdir, multi=False):
+    import jax.numpy as jnp
+
+    from interpolate_unstructured_tpu import (
+        add_point_data,
+        get_point_data_index,
+        interpolate_at,
+    )
+
+    grid = load_fixture_grid(name, tmpdir)
+    ivar = get_point_data_index(grid, "Polynomial")
+    i_vars = [ivar]
+    if multi:
+        pts = np.asarray(grid.points)
+        grid, i2 = add_point_data(grid, "vx", pts[:, 0])
+        grid, i3 = add_point_data(grid, "vy", pts[:, 1])
+        i_vars = [ivar, i2, i3]
+    rng = np.random.default_rng(0)
+    rmin, rmax = np.asarray(grid.rmin), np.asarray(grid.rmax)
+    r = jnp.asarray(
+        rmin + rng.random((n_queries, 3)) * (rmax - rmin), grid.dtype
+    )
+    iv = jnp.asarray(i_vars)
+
+    def step(state):
+        r, acc = state
+        vals, ic, found = interpolate_at(grid, r, iv)
+        vals = jnp.nan_to_num(vals)
+        return (r + 1e-12 * vals[:, :1], acc + vals[0, 0])
+
+    dt = chain_timer(step, (r, jnp.zeros((), grid.dtype)))
+    emit(
+        f"{name} interpolate x{len(i_vars)}",
+        n_queries / dt,
+        "queries/s",
+        seconds=dt,
+    )
+
+
+def bench_quad_cell_data(n_queries, tmpdir):
+    import jax.numpy as jnp
+
+    from interpolate_unstructured_tpu import add_cell_data, get_cell_scalar_at
+
+    grid = load_fixture_grid("quad.vtu", tmpdir)
+    grid, icd = add_cell_data(
+        grid, "rho", np.arange(grid.n_cells, dtype=float)
+    )
+    rng = np.random.default_rng(1)
+    rmin, rmax = np.asarray(grid.rmin), np.asarray(grid.rmax)
+    r = jnp.asarray(
+        rmin + rng.random((n_queries, 3)) * (rmax - rmin), grid.dtype
+    )
+
+    def step(state):
+        r, acc = state
+        vals, ic, found = get_cell_scalar_at(grid, r, icd, fill_value=0.0)
+        return (r + 1e-12 * vals[:, None], acc + vals[0])
+
+    dt = chain_timer(step, (r, jnp.zeros((), grid.dtype)))
+    emit("quad.vtu cell-data lookup", n_queries / dt, "queries/s", seconds=dt)
+
+
+def make_tet_grid(n_side):
+    from interpolate_unstructured_tpu import build_grid
+    from interpolate_unstructured_tpu.utils import meshgen
+
+    points, cells, neighbors = meshgen.tet_box_mesh(n_side, n_side, n_side)
+    return build_grid(
+        points,
+        cells,
+        neighbors,
+        "tetra",
+        point_data={"Polynomial": points.sum(axis=1) + 1.0},
+        locate_mode="walk",
+    )
+
+
+def bench_large_tet(n_side, n_queries):
+    import jax.numpy as jnp
+
+    from interpolate_unstructured_tpu import interpolate_scalar_at
+
+    t0 = time.perf_counter()
+    grid = make_tet_grid(n_side)
+    build_s = time.perf_counter() - t0
+    rng = np.random.default_rng(2)
+    r = jnp.asarray(rng.random((n_queries, 3)), grid.dtype)
+
+    def step(state):
+        r, acc = state
+        vals, ic, found = interpolate_scalar_at(grid, r, 0, fill_value=0.0)
+        return (r + 1e-12 * vals[:, None], acc + vals[0])
+
+    dt = chain_timer(step, (r, jnp.zeros((), grid.dtype)), n0=1, n1=4)
+    emit(
+        f"synthetic tet {grid.n_cells} cells, {n_queries} cold queries",
+        n_queries / dt,
+        "queries/s",
+        seconds=dt,
+        build_seconds=build_s,
+        n_cells=grid.n_cells,
+    )
+
+
+def bench_trace_tet(n_side, n_traj):
+    import jax
+    import jax.numpy as jnp
+
+    from interpolate_unstructured_tpu import add_point_data
+    from interpolate_unstructured_tpu.trace import integrate_along_field
+
+    grid = make_tet_grid(n_side)
+    pts = np.asarray(grid.points)
+    # Helical field around the box axis
+    cx = pts[:, :2] - 0.5
+    grid, ivx = add_point_data(grid, "vx", -cx[:, 1])
+    grid, ivy = add_point_data(grid, "vy", cx[:, 0])
+    grid, ivz = add_point_data(grid, "vz", np.full(grid.n_points, 0.25))
+    rng = np.random.default_rng(3)
+    y0 = jnp.asarray(
+        0.3 + 0.4 * rng.random((n_traj, 3)), grid.dtype
+    )
+
+    f = jax.jit(
+        lambda g, y0: integrate_along_field(
+            g,
+            y0,
+            (ivx, ivy, ivz),
+            nvar=0,
+            min_dx=1e-4,
+            max_dx=0.05,
+            max_steps=256,
+            rtol=1e-3,
+            atol=1e-3,
+        )
+    )
+    res = f(grid, y0)
+    total_pts = int(np.asarray(res.n_steps).clip(max=256).sum())
+    t0 = time.perf_counter()
+    res = f(grid, y0)
+    n = int(np.asarray(res.n_steps).clip(max=256).sum())
+    dt = time.perf_counter() - t0
+    emit(
+        f"trace {n_traj} field lines, tet mesh {grid.n_cells} cells",
+        total_pts / dt,
+        "accepted_steps/s",
+        seconds=dt,
+        mean_steps=total_pts / n_traj,
+    )
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--small", action="store_true", help="quick shapes")
+    args = ap.parse_args()
+
+    import tempfile
+
+    tmpdir = tempfile.mkdtemp()
+
+    nq = 100_000 if args.small else 1_000_000
+    bench_fixture_interpolation("triangle.vtu", nq, tmpdir)
+    bench_fixture_interpolation("quad.vtu", nq, tmpdir)
+    bench_fixture_interpolation("tetra.vtu", nq, tmpdir, multi=True)
+    bench_quad_cell_data(nq, tmpdir)
+    if args.small:
+        bench_large_tet(12, 100_000)
+        bench_trace_tet(8, 64)
+    else:
+        bench_large_tet(55, 10_000_000)  # ~1M cells, 10M queries
+        bench_trace_tet(16, 1024)
+
+
+if __name__ == "__main__":
+    main()
