@@ -137,6 +137,17 @@ def quad_weights(cell_points, r):
     )
 
 
+def _weights_from_geometry(cell_type, cp, vol, r):
+    """Weight-kernel dispatch on pre-gathered per-query geometry."""
+    if cell_type == "triangle":
+        return triangle_weights(cp, vol, r)
+    if cell_type == "quad":
+        return quad_weights(cp, r)
+    if cell_type == "tetra":
+        return tetra_weights(cp, vol, r)
+    raise ValueError(f"Unsupported cell type {cell_type!r}")
+
+
 def cell_weights(grid, r, i_cell):
     """Interpolation weights of each query in its (assumed) cell.
 
@@ -145,13 +156,78 @@ def cell_weights(grid, r, i_cell):
     """
     ic = jnp.maximum(i_cell, 0)
     cp = grid.cell_points[ic]
-    if grid.cell_type == "triangle":
-        return triangle_weights(cp, grid.cell_volume[ic], r)
-    if grid.cell_type == "quad":
-        return quad_weights(cp, r)
-    if grid.cell_type == "tetra":
-        return tetra_weights(cp, grid.cell_volume[ic], r)
-    raise ValueError(f"Unsupported cell type {grid.cell_type!r}")
+    return _weights_from_geometry(
+        grid.cell_type, cp, grid.cell_volume[ic], r
+    )
+
+
+def _onehot_gather(table, ic):
+    """Row gather as a one-hot matmul: (C, K), (B,) -> (B, K).
+
+    TPU per-row gathers run ~50x slower than an MXU matmul of the same
+    shape; each one-hot row has a single 1.0, so the contraction is the
+    exact row value (no rounding: 1*v plus zeros).
+    """
+    c = table.shape[0]
+    onehot = (
+        ic[:, None] == lax.broadcasted_iota(jnp.int32, (1, c), 1)
+    ).astype(table.dtype)
+    return jnp.dot(onehot, table, precision=_PRECISION)
+
+
+def _interpolate_bruteforce(grid, r, i_vars):
+    """Fused locate + interpolate for small (brute-force-mode) meshes.
+
+    Zero per-row gathers: containment margins via one matmul, then one
+    one-hot matmul pulls each query's cell geometry *and* vertex data in
+    a single (B, C) x (C, K) contraction.  Tiled over the batch to
+    bound the materialized (tile, C·nf) margin and (tile, C) one-hot
+    buffers.
+    """
+    from . import locate
+
+    n_cells, nf = grid.face_offsets.shape
+    npc = grid.n_points_per_cell
+    v = i_vars.shape[0]
+    eps = grid.config.eps_inside
+
+    # Per-cell payload: vertex coords | volume | vertex data values
+    pd_cell = grid.point_data[:, i_vars][grid.cells]  # (C, npc, V)
+    table = jnp.concatenate(
+        [
+            grid.cell_points.reshape(n_cells, npc * 3),
+            grid.cell_volume[:, None],
+            pd_cell.reshape(n_cells, npc * v),
+        ],
+        axis=1,
+    )
+
+    def tile(rt):
+        margins = locate._containment_margins(grid, rt)  # (bt, C)
+        best = jnp.argmax(margins, axis=1).astype(jnp.int32)
+        found = jnp.max(margins, axis=1) >= -eps
+        g = _onehot_gather(table, best)
+        cp = g[:, : npc * 3].reshape(-1, npc, 3)
+        vol = g[:, npc * 3]
+        vertex_vals = g[:, npc * 3 + 1 :].reshape(-1, npc, v)
+        w = _weights_from_geometry(grid.cell_type, cp, vol, rt)
+        vals = jnp.einsum("bk,bkv->bv", w, vertex_vals, precision=_PRECISION)
+        return vals, jnp.where(found, best, -1), found
+
+    b = r.shape[0]
+    # Bound tile * C * nf (margins) to ~2^26 elements
+    max_tile = max(1024, (1 << 26) // max(n_cells * nf, 1))
+    if b <= max_tile:
+        return tile(r)
+    chunk = max_tile
+    pad = (-b) % chunk
+    rp = jnp.pad(r, ((0, pad), (0, 0)))
+    vals, ic, found = lax.map(tile, rp.reshape(-1, chunk, 3))
+    return (
+        vals.reshape(-1, v)[:b],
+        ic.reshape(-1)[:b],
+        found.reshape(-1)[:b],
+    )
 
 
 def interpolate_at_icell(grid, r, i_vars, i_cell):
@@ -186,6 +262,20 @@ def interpolate_at(grid, r, i_vars, guess=None, fill_value=jnp.nan):
       i_cell: (B,) containing cell, negative if not found
       found: (B,) bool
     """
+    i_vars = jnp.asarray(i_vars)
+    if grid.locate_mode == "bruteforce":
+        # Fused gather-free pipeline (the guess is irrelevant here:
+        # containment is exact in one shot)
+        values, i_cell, found = _interpolate_bruteforce(grid, r, i_vars)
+        if isinstance(fill_value, (int, float)):
+            fill = jnp.full_like(values, fill_value)
+        else:
+            fill = jnp.broadcast_to(
+                jnp.asarray(fill_value, values.dtype), values.shape
+            )
+        values = jnp.where(found[:, None], values, fill)
+        return values, i_cell, found
+
     i_cell, found = locate.get_cell(grid, r, guess)
     values = interpolate_at_icell(grid, r, i_vars, i_cell)
     if isinstance(fill_value, (int, float)):
@@ -211,7 +301,12 @@ def get_cell_scalar_at(grid, r, i_var, guess=None, fill_value=jnp.nan):
     """Piecewise-constant cell-data lookup (iu_get_cell_scalar_at,
     :436-448): locate, then read cell_data directly — no interpolation."""
     i_cell, found = locate.get_cell(grid, r, guess)
-    vals = grid.cell_data[jnp.maximum(i_cell, 0), i_var]
+    if grid.locate_mode == "bruteforce":
+        vals = _onehot_gather(
+            grid.cell_data[:, i_var][:, None], jnp.maximum(i_cell, 0)
+        )[:, 0]
+    else:
+        vals = grid.cell_data[jnp.maximum(i_cell, 0), i_var]
     vals = jnp.where(found, vals, fill_value)
     return vals, i_cell, found
 

@@ -89,7 +89,9 @@ def locate_bruteforce(grid, r, chunk_size: int = 1024):
     def tile(rt):
         margins = _containment_margins(grid, rt)  # (bt, C)
         best = jnp.argmax(margins, axis=1).astype(jnp.int32)
-        found = jnp.take_along_axis(margins, best[:, None], axis=1)[:, 0] >= -eps
+        # max == value at argmax: avoids a take_along_axis row gather
+        # (TPU gathers are ~50x slower than the reduce)
+        found = jnp.max(margins, axis=1) >= -eps
         return jnp.where(found, best, -1), found
 
     # Keep the materialized (tile, C) margin buffer bounded.
