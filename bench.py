@@ -7,6 +7,13 @@ Protocol parity with the reference benchmark (benchmark.f90:14-69):
 * pass 1: all guesses cold (i_cell unset) -> seeded point location,
 * pass 2: points advected by 0.01*min(domain)*velocity, warm guesses.
 
+Timing method: the remote-tunnel TPU backend adds ~25ms fixed per-call
+transport latency and its block_until_ready is unreliable, so each
+measurement chains n dependent passes inside one jitted fori_loop and
+fetches a dependent scalar; (t[n1]-t[n0])/(n1-n0) is honest device
+time.  This mirrors steady-state production throughput where queries
+stream through the device.
+
 Prints ONE JSON line; the headline metric is cold queries/sec/chip.
 ``vs_baseline`` is measured against BASELINE.json's stated target of
 1e8 cold queries/sec (the reference publishes no numbers — BASELINE.md).
@@ -22,6 +29,7 @@ import numpy as np
 def main():
     import jax
     import jax.numpy as jnp
+    from jax import lax
 
     from interpolate_unstructured_tpu import build_grid, interpolate_scalar_at
     from interpolate_unstructured_tpu.utils import meshgen
@@ -43,52 +51,59 @@ def main():
     domain = rmax - rmin
     lo = rmin + 0.1 * domain
     hi = rmax - 0.1 * domain
-    # z extent is zero; keep z = 0 exactly
     r = lo + rng.random((n_samples, 3)) * (hi - lo)
     velocity = rng.random((n_samples, 3))
     velocity[:, 2] = 0.0
-
     dt = 0.01 * domain[domain > 0].min()
     r_warm = r + dt * velocity
 
     r_dev = jnp.asarray(r, dtype=grid.dtype)
     r_warm_dev = jnp.asarray(r_warm, dtype=grid.dtype)
 
-    @jax.jit
-    def query_cold(grid, r):
-        return interpolate_scalar_at(grid, r, 0)
+    def chain_time(r0, guess, n0=1, n1=21):
+        """Device time per 1M-query pass via chained dependent passes."""
 
-    @jax.jit
-    def query_warm(grid, r, guess):
-        return interpolate_scalar_at(grid, r, 0, guess=guess)
+        @jax.jit
+        def chain(grid, r, n):
+            def body(i, carry):
+                r, acc = carry
+                vals, ic, found = interpolate_scalar_at(
+                    grid, r, 0, guess=guess, fill_value=0.0
+                )
+                # tiny dependent perturbation defeats loop hoisting
+                return (r + 1e-12 * vals[:, None], acc + vals[0])
 
-    # Warm-up / compile
-    vals, i_cell, found = query_cold(grid, r_dev)
-    vals.block_until_ready()
+            _, acc = lax.fori_loop(
+                0, n, body, (r, jnp.zeros((), grid.dtype))
+            )
+            return acc
+
+        float(chain(grid, r0, n0))  # compile + warm
+        t0 = time.perf_counter()
+        float(chain(grid, r0, n0))
+        ta = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        float(chain(grid, r0, n1))
+        tb = time.perf_counter() - t0
+        return max((tb - ta) / (n1 - n0), 1e-9)
+
+    # Correctness gate before timing
+    vals, i_cell, found = jax.jit(
+        lambda g, r: interpolate_scalar_at(g, r, 0)
+    )(grid, r_dev)
     assert bool(found.all()), "all samples lie inside the mesh"
     err = float(jnp.max(jnp.abs(vals - (r_dev.sum(1) + 1.0))))
 
-    def time_best(f, *args, reps=5):
-        best = float("inf")
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            out = f(*args)
-            jax.block_until_ready(out)
-            best = min(best, time.perf_counter() - t0)
-        return best
-
-    t_cold = time_best(query_cold, grid, r_dev)
-    vals_w, _, _ = query_warm(grid, r_warm_dev, i_cell)
-    jax.block_until_ready(vals_w)
-    t_warm = time_best(query_warm, grid, r_warm_dev, i_cell)
+    t_cold = chain_time(r_dev, None)
+    t_warm = chain_time(r_warm_dev, i_cell)
 
     cold_qps = n_samples / t_cold
     warm_qps = n_samples / t_warm
 
     print(
         f"# device={jax.devices()[0].device_kind} dtype={grid.dtype} "
-        f"cold={t_cold:.4f}s ({cold_qps:.3e} q/s) "
-        f"warm={t_warm:.4f}s ({warm_qps:.3e} q/s) max_err={err:.2e}",
+        f"cold={t_cold * 1e3:.3f}ms ({cold_qps:.3e} q/s) "
+        f"warm={t_warm * 1e3:.3f}ms ({warm_qps:.3e} q/s) max_err={err:.2e}",
         file=sys.stderr,
     )
 
