@@ -266,7 +266,14 @@ def interpolate_at(grid, r, i_vars, guess=None, fill_value=jnp.nan):
     if grid.locate_mode == "bruteforce":
         # Fused gather-free pipeline (the guess is irrelevant here:
         # containment is exact in one shot)
-        values, i_cell, found = _interpolate_bruteforce(grid, r, i_vars)
+        from . import pallas_interp
+
+        if grid.config.use_pallas and pallas_interp.supported(grid, r.dtype):
+            values, i_cell, found = (
+                pallas_interp.interpolate_bruteforce_pallas(grid, r, i_vars)
+            )
+        else:
+            values, i_cell, found = _interpolate_bruteforce(grid, r, i_vars)
         if isinstance(fill_value, (int, float)):
             fill = jnp.full_like(values, fill_value)
         else:

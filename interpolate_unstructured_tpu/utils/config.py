@@ -35,6 +35,10 @@ class IUConfig:
     bins_per_cell: float = 2.0
     max_bins: int = 1 << 22
 
+    # Use the fused Pallas kernel for eligible brute-force queries
+    # (float32, mesh small enough for VMEM-resident tables)
+    use_pallas: bool = True
+
 
 DEFAULT_CONFIG = IUConfig()
 
