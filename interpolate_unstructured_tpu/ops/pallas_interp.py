@@ -30,7 +30,6 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 BIG = 1e30
-DEFAULT_TILE = 1024
 MAX_CELLS = 1024  # C_pad cap: keeps the (C_pad, TILE) buffers in VMEM
 
 
@@ -210,7 +209,7 @@ def supported(grid, r_dtype) -> bool:
 
 
 def interpolate_bruteforce_pallas(
-    grid, r, i_vars, tile: int = DEFAULT_TILE, interpret: bool | None = None
+    grid, r, i_vars, tile: int | None = None, interpret: bool | None = None
 ):
     """Fused locate+interpolate. Args as ops.interp, returns
     (values (B, V), i_cell (B,), found (B,))."""
@@ -224,6 +223,10 @@ def interpolate_bruteforce_pallas(
     # Pad cells only to the f32 sublane granularity (8): for an
     # 8-cell mesh this is 16x less margin work than padding to 128
     c_pad = _round_up(max(n_cells, 8), 8)
+    if tile is None:
+        # Largest measured-fastest tile whose (C_pad, TILE) buffers
+        # stay comfortably in VMEM
+        tile = max(512, min(8192, ((1 << 21) // c_pad) // 128 * 128))
     b = r.shape[0]
     b_pad = _round_up(max(b, tile), tile)
 
