@@ -48,6 +48,7 @@ UNDEFINED_NAME = "UNDEFINED_NAME"
         "bin_table",
         "bin_rmin",
         "bin_inv_h",
+        "walk_table",
     ],
     meta_fields=[
         "cell_type",
@@ -81,6 +82,10 @@ class UGrid:
     bin_table: Any  # (prod(bin_shape),) int32 seed cell per bin
     bin_rmin: Any  # (3,)
     bin_inv_h: Any  # (3,) inverse bin size (0 in unused dims)
+    # Packed per-cell walk payload (n_cells, nf*5): flattened face
+    # normals | face offsets | neighbor ids as floats. One row gather
+    # per walk step instead of three (TPU gathers are latency-bound).
+    walk_table: Any = None
     # --- static metadata -----------------------------------------------------
     cell_type: str = "triangle"
     bin_shape: tuple = (1, 1, 1)
@@ -201,6 +206,38 @@ def build_grid(
     )
     face_offsets = np.einsum("cki,cki->ck", cell_points, normals)
     volume = geometry.cell_volumes(cell_points, cell_type)
+    _resolved = (
+        dtype
+        if dtype is not None
+        else (np.float64 if jax.config.jax_enable_x64 else np.float32)
+    )
+    # Neighbor ids as floats are exact while n_cells < 2^24 (float32
+    # mantissa); guard so the packed table is never silently lossy.
+    if n_cells >= (1 << 24) and np.dtype(_resolved) == np.float32:
+        raise ValueError(
+            "float32 grids support up to 2^24 cells (packed walk table); "
+            "load with dtype=jnp.float64"
+        )
+    # Packed row layout (see ops.locate.WalkTable): face normals |
+    # face offsets | neighbor ids | cell vertex coords | volume, padded
+    # to a 512-byte row — XLA's gather switches to a fast per-row DMA
+    # strategy at that width (measured: 512B-row gathers beat 16B-row
+    # gathers on v5e).
+    nf = normals.shape[1]
+    npc = cell_points.shape[1]
+    walk_cols = np.concatenate(
+        [
+            normals.reshape(n_cells, nf * 3),
+            face_offsets,
+            neighbors.astype(np.float64),
+            cell_points.reshape(n_cells, npc * 3),
+            volume[:, None],
+        ],
+        axis=1,
+    )
+    row_width = 512 // np.dtype(_resolved).itemsize
+    walk_table = np.zeros((n_cells, max(row_width, walk_cols.shape[1])))
+    walk_table[:, : walk_cols.shape[1]] = walk_cols
     rmin = points.min(axis=0)
     rmax = points.max(axis=0)
 
@@ -254,6 +291,7 @@ def build_grid(
         rmin=jnp.asarray(rmin, dtype=dtype),
         rmax=jnp.asarray(rmax, dtype=dtype),
         bin_table=jnp.asarray(bin_table),
+        walk_table=jnp.asarray(walk_table, dtype=dtype),
         bin_rmin=jnp.asarray(bin_rmin, dtype=dtype),
         bin_inv_h=jnp.asarray(bin_inv_h, dtype=dtype),
         cell_type=cell_type,

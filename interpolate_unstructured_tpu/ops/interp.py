@@ -242,8 +242,29 @@ def interpolate_at_icell(grid, r, i_vars, i_cell):
     """
     i_vars = jnp.asarray(i_vars)
     ic = jnp.maximum(i_cell, 0)
-    w = cell_weights(grid, r, ic)  # (B, npc)
-    vertex_vals = grid.point_data[:, i_vars][grid.cells[ic]]  # (B, npc, V)
+    b = r.shape[0]
+    n_cells = grid.n_cells
+    npc = grid.n_points_per_cell
+    nf = grid.n_faces_per_cell
+    v = i_vars.shape[0]
+
+    if grid.walk_table is not None:
+        # Geometry rides the packed 512B-row table: one fast gather
+        g = grid.walk_table[ic]
+        cp = g[:, nf * 5 : nf * 5 + npc * 3].reshape(-1, npc, 3)
+        vol = g[:, nf * 5 + npc * 3]
+        w = _weights_from_geometry(grid.cell_type, cp, vol, r)
+    else:
+        w = cell_weights(grid, r, ic)  # (B, npc)
+
+    pd_sel = grid.point_data[:, i_vars]  # (P, V)
+    if b * 4 >= n_cells:
+        # Big batch: pre-gather vertex data per cell (C-sized), then one
+        # contiguous row gather per query
+        pd_cell = pd_sel[grid.cells].reshape(n_cells, npc * v)
+        vertex_vals = pd_cell[ic].reshape(-1, npc, v)
+    else:
+        vertex_vals = pd_sel[grid.cells[ic]]  # (B, npc, V)
     return jnp.einsum("bk,bkv->bv", w, vertex_vals, precision=_PRECISION)
 
 

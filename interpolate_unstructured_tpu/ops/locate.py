@@ -157,24 +157,32 @@ def walk(grid, r0, r1, ic0, max_steps=None, i_icell_mask=None):
         _, _, _, _, active, n = state
         return jnp.any(active) & (n < max_steps)
 
+    nf = grid.n_faces_per_cell
+
     def body(state):
         r_p, ic, dist_left, status, active, n = state
         ics = jnp.maximum(ic, 0)
 
-        normals = grid.face_normals[ics]  # (B, nf, 3)
-        offs = grid.face_offsets[ics]  # (B, nf)
+        # One packed row gather per step: TPU gathers are latency-bound
+        # and fastest at 512-byte rows, so normals | offsets | neighbor
+        # ids (| cell points | volume) travel together
+        g = grid.walk_table[ics]  # (B, row_width)
+        normals = g[:, : nf * 3].reshape(-1, nf, 3)
+        offs = g[:, nf * 3 : nf * 4]
+        nbrs = g[:, nf * 4 : nf * 5].astype(jnp.int32)  # exact: |id| < 2^24
+
         pdn = jnp.einsum("bki,bi->bk", normals, u, precision=_PRECISION)  # path . n per face
         rpn = jnp.einsum("bki,bi->bk", normals, r_p, precision=_PRECISION)
         # Distance along u to each face plane; only faces with pdn > 0
         dist_k = jnp.where(pdn > 0, (offs - rpn) / pdn, big)
         i_face = jnp.argmin(dist_k, axis=1)
-        face_dist = jnp.take_along_axis(dist_k, i_face[:, None], axis=1)[:, 0]
+        face_dist = jnp.min(dist_k, axis=1)
         hit = face_dist < 0.5 * big  # some face had pdn > 0
 
         new_dist_left = dist_left - face_dist
         crossing = hit & (new_dist_left > 0)
 
-        ic_next = grid.neighbors[ics, i_face]
+        ic_next = jnp.take_along_axis(nbrs, i_face[:, None], axis=1)[:, 0]
         out_of_domain = ic_next < 0
         if mask0 is not None:
             mask_next = grid.icell_data[jnp.maximum(ic_next, 0), i_icell_mask]
@@ -231,8 +239,17 @@ def get_cell(grid, r, guess=None, max_steps=None):
         start = bin_seed(grid, r)
     else:
         start = jnp.where(guess >= 0, guess, bin_seed(grid, r))
-    # Start from the center of the start cell (:429)
-    r0 = grid.cell_points[jnp.maximum(start, 0)].mean(axis=1)
+    # Start from the center of the start cell (:429); pull vertex
+    # coords from the packed walk table (fast 512B-row gather)
+    nf = grid.n_faces_per_cell
+    npc = grid.n_points_per_cell
+    starts = jnp.maximum(start, 0)
+    if grid.walk_table is not None:
+        g = grid.walk_table[starts]
+        cp = g[:, nf * 5 : nf * 5 + npc * 3]
+        r0 = cp.reshape(-1, npc, 3).mean(axis=1)
+    else:
+        r0 = grid.cell_points[starts].mean(axis=1)
     ic, _, _, status = walk(grid, r0, r, start, max_steps=max_steps)
     found = (status == STATUS_ARRIVED) & (ic >= 0)
     return jnp.where(found, ic, jnp.minimum(ic, -1)), found
