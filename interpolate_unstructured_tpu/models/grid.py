@@ -48,6 +48,7 @@ UNDEFINED_NAME = "UNDEFINED_NAME"
         "bin_table",
         "bin_rmin",
         "bin_inv_h",
+        "bin_pack",
         "walk_table",
     ],
     meta_fields=[
@@ -82,6 +83,9 @@ class UGrid:
     bin_table: Any  # (prod(bin_shape),) int32 seed cell per bin
     bin_rmin: Any  # (3,)
     bin_inv_h: Any  # (3,) inverse bin size (0 in unused dims)
+    # (n_bins, 4): seed cell id (as float) | seed cell center xyz —
+    # one 16B row gather answers "where do I start walking from"
+    bin_pack: Any = None
     # Packed per-cell walk payload (n_cells, nf*5): flattened face
     # normals | face offsets | neighbor ids as floats. One row gather
     # per walk step instead of three (TPU gathers are latency-bound).
@@ -242,13 +246,19 @@ def build_grid(
     rmax = points.max(axis=0)
 
     ndim = geometry.NDIM_OF_CELL_TYPE[cell_type]
+    centers = cell_points.mean(axis=1)
     bin_table, bin_shape, bin_rmin, bin_inv_h = geometry.build_bin_seed_table(
-        cell_points.mean(axis=1),
+        centers,
         rmin,
         rmax,
         ndim,
         bins_per_cell=config.bins_per_cell,
         max_bins=config.max_bins,
+    )
+    # Packed seed rows: [cell id as float | cell center xyz] — a cold
+    # start costs one 16-byte row gather instead of id + center gathers
+    bin_pack = np.concatenate(
+        [bin_table[:, None].astype(np.float64), centers[bin_table]], axis=1
     )
 
     if dtype is None:
@@ -291,6 +301,7 @@ def build_grid(
         rmin=jnp.asarray(rmin, dtype=dtype),
         rmax=jnp.asarray(rmax, dtype=dtype),
         bin_table=jnp.asarray(bin_table),
+        bin_pack=jnp.asarray(bin_pack, dtype=dtype),
         walk_table=jnp.asarray(walk_table, dtype=dtype),
         bin_rmin=jnp.asarray(bin_rmin, dtype=dtype),
         bin_inv_h=jnp.asarray(bin_inv_h, dtype=dtype),

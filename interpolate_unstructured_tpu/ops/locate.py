@@ -43,6 +43,14 @@ STATUS_BOUNDARY = -1
 STATUS_STEP_CAP = 2  # bounded-loop extension: cap hit before arrival
 
 
+def _bin_index(grid, r):
+    nbx, nby, nbz = grid.bin_shape
+    rel = (r - grid.bin_rmin) * grid.bin_inv_h
+    ij = jnp.floor(rel).astype(jnp.int32)
+    ij = jnp.clip(ij, 0, jnp.array([nbx - 1, nby - 1, nbz - 1]))
+    return (ij[:, 0] * nby + ij[:, 1]) * nbz + ij[:, 2]
+
+
 def bin_seed(grid, r):
     """Cold-start seed cell for each query: one gather from the
     per-bin nearest-cell table built at load time.
@@ -52,12 +60,13 @@ def bin_seed(grid, r):
     Returns:
       (B,) int32 seed cell indices (always valid cells).
     """
-    nbx, nby, nbz = grid.bin_shape
-    rel = (r - grid.bin_rmin) * grid.bin_inv_h
-    ij = jnp.floor(rel).astype(jnp.int32)
-    ij = jnp.clip(ij, 0, jnp.array([nbx - 1, nby - 1, nbz - 1]))
-    flat = (ij[:, 0] * nby + ij[:, 1]) * nbz + ij[:, 2]
-    return grid.bin_table[flat]
+    return grid.bin_table[_bin_index(grid, r)]
+
+
+def _bin_seed_pack(grid, r):
+    """Seed cell AND its center in one packed row gather."""
+    g = grid.bin_pack[_bin_index(grid, r)]  # (B, 4)
+    return g[:, 0].astype(jnp.int32), g[:, 1:4]
 
 
 def _containment_margins(grid, r):
@@ -222,6 +231,22 @@ def walk(grid, r0, r1, ic0, max_steps=None, i_icell_mask=None):
     return ic, r_p, n_steps, status
 
 
+def _found_of(ic, status):
+    return (status == STATUS_ARRIVED) & (ic >= 0)
+
+
+def _resume_walk(grid, r_p, r1, ic, active, max_steps):
+    """Continue interrupted walks from their current position.
+
+    Finished queries get a degenerate r0 == r1 walk (the tiny-distance
+    short circuit, :689-692), so one batched call resumes exactly the
+    active subset; the merged (ic, found) is correct for both kinds.
+    """
+    r0 = jnp.where(active[:, None], r_p, r1)
+    ic_o, rp_o, _, st_o = walk(grid, r0, r1, ic, max_steps=max_steps)
+    return ic_o, rp_o, st_o
+
+
 def get_cell(grid, r, guess=None, max_steps=None):
     """Find the cell containing each query point (iu_get_cell, :412-434).
 
@@ -229,27 +254,84 @@ def get_cell(grid, r, guess=None, max_steps=None):
     center; otherwise from the cold-start seed.  In ``bruteforce`` mode
     the guess is irrelevant — containment is computed exactly in one shot.
 
+    Large batches walk in two phases: a few full-batch rounds resolve
+    the vast majority of queries (seeds are at most a bin away), then
+    the stragglers are compacted into a batch//divisor buffer so the
+    tail rounds stop paying full-batch gather cost.
+
     Returns (i_cell, found): i_cell is -1 (or the off-domain neighbor
     code) where the point is in no cell.
     """
     if grid.locate_mode == "bruteforce":
         return locate_bruteforce(grid, r)
 
-    if guess is None:
-        start = bin_seed(grid, r)
-    else:
-        start = jnp.where(guess >= 0, guess, bin_seed(grid, r))
-    # Start from the center of the start cell (:429); pull vertex
-    # coords from the packed walk table (fast 512B-row gather)
+    cfg = grid.config
+    if max_steps is None:
+        max_steps = cfg.max_walk_steps
+
     nf = grid.n_faces_per_cell
     npc = grid.n_points_per_cell
-    starts = jnp.maximum(start, 0)
-    if grid.walk_table is not None:
-        g = grid.walk_table[starts]
-        cp = g[:, nf * 5 : nf * 5 + npc * 3]
-        r0 = cp.reshape(-1, npc, 3).mean(axis=1)
+    if guess is None and grid.bin_pack is not None:
+        # Pure cold start: id + walk origin in one 16B-row gather
+        start, r0 = _bin_seed_pack(grid, r)
     else:
-        r0 = grid.cell_points[starts].mean(axis=1)
-    ic, _, _, status = walk(grid, r0, r, start, max_steps=max_steps)
-    found = (status == STATUS_ARRIVED) & (ic >= 0)
+        if guess is None:
+            start = bin_seed(grid, r)
+        else:
+            start = jnp.where(guess >= 0, guess, bin_seed(grid, r))
+        # Start from the center of the start cell (:429); vertex coords
+        # come from the packed walk table (fast 512B-row gather)
+        starts = jnp.maximum(start, 0)
+        if grid.walk_table is not None:
+            g = grid.walk_table[starts]
+            cp = g[:, nf * 5 : nf * 5 + npc * 3]
+            r0 = cp.reshape(-1, npc, 3).mean(axis=1)
+        else:
+            r0 = grid.cell_points[starts].mean(axis=1)
+
+    b = r.shape[0]
+    p1 = min(cfg.walk_phase1_steps, max_steps)
+    if b < cfg.walk_compact_min_batch or max_steps <= p1:
+        ic, _, _, status = walk(grid, r0, r, start, max_steps=max_steps)
+        found = _found_of(ic, status)
+        return jnp.where(found, ic, jnp.minimum(ic, -1)), found
+
+    # Phase 1: full batch, few rounds
+    ic1, rp1, _, st1 = walk(grid, r0, r, start, max_steps=p1)
+    active = st1 == STATUS_STEP_CAP
+    found1 = _found_of(ic1, st1)
+    remaining = max_steps - p1
+    m = -(-max(1024, b // cfg.walk_compact_divisor) // 8) * 8
+
+    def small_path(args):
+        ic1, rp1, active, found1 = args
+        # Stable compaction of active query ids into m slots
+        pos = jnp.cumsum(active.astype(jnp.int32)) - 1
+        scatter_pos = jnp.where(active, pos, m)
+        idx = (
+            jnp.zeros(m, jnp.int32)
+            .at[scatter_pos]
+            .set(jnp.arange(b, dtype=jnp.int32), mode="drop")
+        )
+        act_s = active[idx]
+        ic_o, _, st_o = _resume_walk(
+            grid, rp1[idx], r[idx], ic1[idx], act_s, remaining
+        )
+        found_o = _found_of(ic_o, st_o)
+        # Duplicate idx entries (slots past the active count alias
+        # query 0) scatter identical values — deterministic
+        return (
+            ic1.at[idx].set(ic_o),
+            found1.at[idx].set(found_o),
+        )
+
+    def full_path(args):
+        ic1, rp1, active, found1 = args
+        ic_o, _, st_o = _resume_walk(grid, rp1, r, ic1, active, remaining)
+        return ic_o, _found_of(ic_o, st_o)
+
+    n_act = jnp.sum(active.astype(jnp.int32))
+    ic, found = lax.cond(
+        n_act <= m, small_path, full_path, (ic1, rp1, active, found1)
+    )
     return jnp.where(found, ic, jnp.minimum(ic, -1)), found

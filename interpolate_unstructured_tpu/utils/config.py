@@ -31,9 +31,18 @@ class IUConfig:
     # cap — generously above any realistic walk length.
     max_walk_steps: int = 16384
 
-    # Bin-seed table sizing: bins ~= bins_per_cell * n_cells
-    bins_per_cell: float = 2.0
-    max_bins: int = 1 << 22
+    # Bin-seed table sizing: bins ~= bins_per_cell * n_cells.
+    # Finer bins give better cold-start seeds (shorter walks) at the
+    # cost of seed-table memory (16 bytes/bin for the packed table).
+    bins_per_cell: float = 4.0
+    max_bins: int = 1 << 23
+
+    # Two-phase walk: run phase1 steps on the full batch, then compact
+    # the (few) still-walking queries into a batch//divisor buffer so
+    # straggler rounds stop paying full-batch gather cost.
+    walk_phase1_steps: int = 3
+    walk_compact_divisor: int = 8
+    walk_compact_min_batch: int = 1 << 16
 
     # Use the fused Pallas kernel for eligible brute-force queries
     # (float32, mesh small enough for VMEM-resident tables)
