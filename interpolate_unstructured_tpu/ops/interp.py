@@ -73,7 +73,9 @@ def tetra_weights(cell_points, volume, r):
     v24 = p[:, 3] - p[:, 1]
 
     def triple(a, b, c):
-        return jnp.einsum("bi,bi->b", a, _cross(b, c), precision=_PRECISION)
+        # elementwise dot (VPU) — batched einsum would hit the MXU as
+        # millions of tiny matmuls
+        return (a * _cross(b, c)).sum(-1)
 
     w = jnp.stack(
         [
@@ -211,7 +213,7 @@ def _interpolate_bruteforce(grid, r, i_vars):
         vol = g[:, npc * 3]
         vertex_vals = g[:, npc * 3 + 1 :].reshape(-1, npc, v)
         w = _weights_from_geometry(grid.cell_type, cp, vol, rt)
-        vals = jnp.einsum("bk,bkv->bv", w, vertex_vals, precision=_PRECISION)
+        vals = (w[:, :, None] * vertex_vals).sum(axis=1)
         return vals, jnp.where(found, best, -1), found
 
     b = r.shape[0]
@@ -265,7 +267,7 @@ def interpolate_at_icell(grid, r, i_vars, i_cell):
         vertex_vals = pd_cell[ic].reshape(-1, npc, v)
     else:
         vertex_vals = pd_sel[grid.cells[ic]]  # (B, npc, V)
-    return jnp.einsum("bk,bkv->bv", w, vertex_vals, precision=_PRECISION)
+    return (w[:, :, None] * vertex_vals).sum(axis=1)
 
 
 def interpolate_at(grid, r, i_vars, guess=None, fill_value=jnp.nan):
