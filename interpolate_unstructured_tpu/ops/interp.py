@@ -120,10 +120,17 @@ def quad_weights(cell_points, r):
     )
 
     denom = b1 + mu[:, None] * b3  # (B, 3)
-    dim = jnp.argmax(jnp.abs(denom), axis=1)
-    denom_d = jnp.take_along_axis(denom, dim[:, None], axis=1)[:, 0]
-    q_d = jnp.take_along_axis(q, dim[:, None], axis=1)[:, 0]
-    b2_d = jnp.take_along_axis(b2, dim[:, None], axis=1)[:, 0]
+    # First-occurrence maxloc via where-chains (take_along_axis would
+    # lower to the slow per-row gather path)
+    a0, a1, a2 = (jnp.abs(denom[:, d]) for d in range(3))
+    use0 = a0 >= a1
+    d01 = jnp.where(use0, denom[:, 0], denom[:, 1])
+    q01 = jnp.where(use0, q[:, 0], q[:, 1])
+    b01 = jnp.where(use0, b2[:, 0], b2[:, 1])
+    use01 = jnp.maximum(a0, a1) >= a2
+    denom_d = jnp.where(use01, d01, denom[:, 2])
+    q_d = jnp.where(use01, q01, q[:, 2])
+    b2_d = jnp.where(use01, b01, b2[:, 2])
     lam = (q_d - b2_d * mu) / denom_d
 
     # Vertex order (1,2)-(4,3): tmp1 = p1 (1-lam) + p2 lam,
