@@ -1,1 +1,2 @@
 from . import binda, convert, vtk, vtu
+from . import checkpoint

@@ -169,3 +169,32 @@ def test_convert_rejects_mixed_blocks(tmp_path):
     )
     with pytest.raises(ValueError, match="Mixed cell types"):
         mesh_to_binda_writer(mesh)
+
+
+def test_grid_checkpoint_roundtrip(tmp_path, triangle_grid):
+    """save_grid/load_grid round-trips the fully preprocessed state."""
+    import jax.numpy as jnp
+    import interpolate_unstructured_tpu as iu
+    from interpolate_unstructured_tpu.io.checkpoint import load_grid, save_grid
+
+    grid, _ = iu.add_cell_data(
+        triangle_grid, "rho", np.arange(triangle_grid.n_cells, dtype=float)
+    )
+    fn = tmp_path / "grid.binda"
+    save_grid(grid, fn)
+    g2 = load_grid(fn)
+    assert g2.cell_type == grid.cell_type
+    assert g2.point_data_names == grid.point_data_names
+    assert g2.cell_data_names == ("rho",)
+    assert g2.bin_shape == grid.bin_shape
+    np.testing.assert_array_equal(
+        np.asarray(g2.walk_table), np.asarray(grid.walk_table)
+    )
+    # Fully functional after reload (no preprocessing rerun)
+    ivar = iu.get_point_data_index(g2, "Polynomial")
+    r = jnp.asarray([[0.5, 0.5, 0.0], [1.7, 0.3, 0.0]])
+    v, ic, f = iu.interpolate_scalar_at(g2, r, ivar)
+    assert bool(f.all())
+    np.testing.assert_allclose(
+        np.asarray(v), np.asarray(r).sum(1) + 1, atol=1e-13
+    )
