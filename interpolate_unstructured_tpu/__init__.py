@@ -45,7 +45,11 @@ from .ops.locate import (
     point_is_inside_cell,
     walk,
 )
+from .io.checkpoint import load_grid, save_grid
+from .ops.kdtree import KdTree, build_kdtree, nearest as kdtree_nearest
+from .trace import TraceResult, integrate_along_field
 from .utils.config import DEFAULT_CONFIG, IUConfig
+from .utils.validate import validate_grid
 
 __version__ = "0.1.0"
 
@@ -80,4 +84,12 @@ __all__ = [
     "STATUS_STEP_CAP",
     "IUConfig",
     "DEFAULT_CONFIG",
+    "save_grid",
+    "load_grid",
+    "KdTree",
+    "build_kdtree",
+    "kdtree_nearest",
+    "integrate_along_field",
+    "TraceResult",
+    "validate_grid",
 ]

@@ -193,3 +193,21 @@ def test_locate_modes_agree_large_mesh():
     # Located cells must contain the query in both modes
     assert bool(iu.point_is_inside_cell(g_b, r, ic_b).all())
     assert bool(iu.point_is_inside_cell(g_w, r, ic_w).all())
+
+
+def test_validate_grid(triangle_grid, tetra_grid):
+    from interpolate_unstructured_tpu import validate_grid
+
+    assert validate_grid(triangle_grid) == []
+    assert validate_grid(tetra_grid) == []
+
+    # Corrupt adjacency -> caught
+    import dataclasses
+    import jax.numpy as jnp
+
+    bad = dataclasses.replace(
+        triangle_grid,
+        neighbors=triangle_grid.neighbors.at[0, 0].set(5),
+    )
+    with pytest.raises(ValueError, match="asymmetric"):
+        validate_grid(bad)
