@@ -28,26 +28,29 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 REFERENCE_DATA = "/root/reference/test_data"
 
 
-def chain_timer(step, args_init, n0=1, n1=6):
-    """Time one iteration of ``state -> state`` with a dependent fetch."""
+def chain_timer(step, grid, args_init, n0=2, n1=42):
+    """Time one iteration of ``(grid, state) -> state`` with a dependent
+    fetch.  The grid MUST be a jit argument, not a closure: closed-over
+    device arrays ship as constants through the remote-compile tunnel
+    (a 512MB walk table overflows its request limit)."""
     import jax
     import jax.numpy as jnp
     from jax import lax
 
     @jax.jit
-    def chain(state, n):
-        return lax.fori_loop(0, n, lambda i, s: step(s), state)
+    def chain(grid, state, n):
+        return lax.fori_loop(0, n, lambda i, s: step(grid, s), state)
 
     def fetch(state):
         leaf = jax.tree.leaves(state)[0]
         return float(jnp.sum(leaf.ravel()[:1]))
 
-    fetch(chain(args_init, n0))  # compile + warm
+    fetch(chain(grid, args_init, n0))  # compile + warm
     t0 = time.perf_counter()
-    fetch(chain(args_init, n0))
+    fetch(chain(grid, args_init, n0))
     ta = time.perf_counter() - t0
     t0 = time.perf_counter()
-    fetch(chain(args_init, n1))
+    fetch(chain(grid, args_init, n1))
     tb = time.perf_counter() - t0
     return max((tb - ta) / (n1 - n0), 1e-12)
 
@@ -91,13 +94,13 @@ def bench_fixture_interpolation(name, n_queries, tmpdir, multi=False):
     )
     iv = jnp.asarray(i_vars)
 
-    def step(state):
+    def step(grid, state):
         r, acc = state
         vals, ic, found = interpolate_at(grid, r, iv)
         vals = jnp.nan_to_num(vals)
         return (r + 1e-12 * vals[:, :1], acc + vals[0, 0])
 
-    dt = chain_timer(step, (r, jnp.zeros((), grid.dtype)))
+    dt = chain_timer(step, grid, (r, jnp.zeros((), grid.dtype)))
     emit(
         f"{name} interpolate x{len(i_vars)}",
         n_queries / dt,
@@ -121,12 +124,12 @@ def bench_quad_cell_data(n_queries, tmpdir):
         rmin + rng.random((n_queries, 3)) * (rmax - rmin), grid.dtype
     )
 
-    def step(state):
+    def step(grid, state):
         r, acc = state
         vals, ic, found = get_cell_scalar_at(grid, r, icd, fill_value=0.0)
         return (r + 1e-12 * vals[:, None], acc + vals[0])
 
-    dt = chain_timer(step, (r, jnp.zeros((), grid.dtype)))
+    dt = chain_timer(step, grid, (r, jnp.zeros((), grid.dtype)))
     emit("quad.vtu cell-data lookup", n_queries / dt, "queries/s", seconds=dt)
 
 
@@ -156,12 +159,12 @@ def bench_large_tet(n_side, n_queries):
     rng = np.random.default_rng(2)
     r = jnp.asarray(rng.random((n_queries, 3)), grid.dtype)
 
-    def step(state):
+    def step(grid, state):
         r, acc = state
         vals, ic, found = interpolate_scalar_at(grid, r, 0, fill_value=0.0)
         return (r + 1e-12 * vals[:, None], acc + vals[0])
 
-    dt = chain_timer(step, (r, jnp.zeros((), grid.dtype)), n0=1, n1=4)
+    dt = chain_timer(step, grid, (r, jnp.zeros((), grid.dtype)), n0=1, n1=4)
     emit(
         f"synthetic tet {grid.n_cells} cells, {n_queries} cold queries",
         n_queries / dt,

@@ -286,7 +286,7 @@ def build_grid(
     cd_names, cd = stack_registry(cell_data, n_cells, dtype)
     icd_names, icd = stack_registry(icell_data, n_cells, jnp.int32)
 
-    return UGrid(
+    grid = UGrid(
         points=jnp.asarray(points, dtype=dtype),
         cells=jnp.asarray(cells),
         neighbors=jnp.asarray(neighbors),
@@ -313,6 +313,45 @@ def build_grid(
         locate_mode=locate_mode,
         config=config,
     )
+
+    if config.refine_bin_seeds and locate_mode == "walk":
+        grid = _refine_bin_seeds(grid, centers)
+    return grid
+
+
+def _refine_bin_seeds(grid: UGrid, centers: np.ndarray) -> UGrid:
+    """Reseed the bin table with the cell *containing* each bin center.
+
+    The kd-tree-style nearest-center seed (geometry.build_bin_seed_table)
+    can sit a few face hops from the bin itself; one batched self-locate
+    of all bin centers replaces it with the containing cell, so cold
+    walks start at most a bin radius from their target.  Bin centers in
+    holes / outside the domain keep their nearest-center seed.
+    """
+    from ..ops import locate
+
+    nbx, nby, nbz = grid.bin_shape
+    inv_h = np.asarray(grid.bin_inv_h)
+    h = np.divide(1.0, inv_h, out=np.zeros(3), where=inv_h > 0)
+    rmin = np.asarray(grid.bin_rmin)
+    ax = rmin[0] + (np.arange(nbx) + 0.5) * h[0]
+    ay = rmin[1] + (np.arange(nby) + 0.5) * h[1]
+    az = rmin[2] + (np.arange(nbz) + 0.5) * h[2]
+    gx, gy, gz = np.meshgrid(ax, ay, az, indexing="ij")
+    bc = np.stack([gx.ravel(), gy.ravel(), gz.ravel()], axis=1)
+    if h[2] == 0:  # 2D grids: probe in the mesh plane
+        bc[:, 2] = centers[:, 2].mean() if len(centers) else 0.0
+
+    bc_dev = jnp.asarray(bc, dtype=grid.dtype)
+    ic, found = jax.jit(locate.get_cell, static_argnames=())(
+        grid, bc_dev, grid.bin_table
+    )
+    new_table = jnp.where(found, ic, grid.bin_table).astype(jnp.int32)
+    new_centers = jnp.asarray(centers, dtype=grid.dtype)[new_table]
+    new_pack = jnp.concatenate(
+        [new_table[:, None].astype(grid.dtype), new_centers], axis=1
+    )
+    return dataclasses.replace(grid, bin_table=new_table, bin_pack=new_pack)
 
 
 def read_grid(

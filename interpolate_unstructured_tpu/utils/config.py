@@ -48,6 +48,12 @@ class IUConfig:
     # (float32, mesh small enough for VMEM-resident tables)
     use_pallas: bool = True
 
+    # After building the grid, relocate every bin center with the walk
+    # itself and reseed the bin table with the *containing* cell
+    # (nearest-center seeds can sit a few hops away); shortens cold
+    # walks at the cost of one batched locate at build time.
+    refine_bin_seeds: bool = True
+
 
 DEFAULT_CONFIG = IUConfig()
 
