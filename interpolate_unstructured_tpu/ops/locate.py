@@ -190,6 +190,11 @@ def walk(grid, r0, r1, ic0, max_steps=None, i_icell_mask=None):
         i_face = jnp.argmin(dist_k, axis=1)
         face_dist = jnp.min(dist_k, axis=1)
         hit = face_dist < 0.5 * big  # some face had pdn > 0
+        # Never step backwards: a grazing entry face can yield a tiny
+        # negative distance, which would grow dist_left and let two
+        # cells ping-pong forever (the fp hazard the serial f64
+        # reference rarely meets; batched f32 hits it constantly)
+        face_dist = jnp.maximum(face_dist, 0.0)
 
         new_dist_left = dist_left - face_dist
         crossing = hit & (new_dist_left > 0)

@@ -153,7 +153,12 @@ def integrate_along_field(
 
     def walk1(r0, r1, ic0):
         ic, r_p, _, st = locate.walk(
-            grid, r0[None], r1[None], ic0[None], i_icell_mask=i_icell_mask
+            grid,
+            r0[None],
+            r1[None],
+            ic0[None],
+            max_steps=grid.config.trace_walk_max_steps,
+            i_icell_mask=i_icell_mask,
         )
         return ic[0], r_p[0], st[0]
 

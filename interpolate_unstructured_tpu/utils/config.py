@@ -28,8 +28,14 @@ class IUConfig:
 
     # Default step cap for the batched neighbor walk. The reference walks
     # unbounded (huge(1), :431); a bounded lax.while_loop needs a finite
-    # cap — generously above any realistic walk length.
-    max_walk_steps: int = 16384
+    # cap. Seeded walks take <10 steps; 1024 covers domain-crossing warm
+    # walks while bounding the cost of numerical face ping-pong.
+    max_walk_steps: int = 1024
+
+    # Step cap for the short walks inside RK sub-steps of the tracer
+    # (each spans at most max_dx). A capped walk is treated as an
+    # invalid position: the step shrinks and retries (:1081-1097).
+    trace_walk_max_steps: int = 128
 
     # Bin-seed table sizing: bins ~= bins_per_cell * n_cells.
     # Finer bins give better cold-start seeds (shorter walks) at the
