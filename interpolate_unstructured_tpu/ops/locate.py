@@ -151,6 +151,18 @@ def walk(grid, r0, r1, ic0, max_steps=None, i_icell_mask=None):
     dtype = r0.dtype
     tiny = tiny_distance(dtype)
     big = huge_distance(dtype)
+    # Forward nudge past each crossed face: rounding can leave r_p on
+    # the wrong side of the face it just crossed, producing zero-length
+    # A<->B hop cycles (livelocks the tracer's shrink-and-retry).  A
+    # few-ulp overshoot guarantees progress; it is far below the
+    # inside-test tolerance, so located cells are unaffected.
+    nudge = (
+        16.0
+        * jnp.finfo(dtype).eps
+        * jnp.maximum(
+            jnp.max(jnp.abs(grid.rmin)), jnp.max(jnp.abs(grid.rmax))
+        )
+    ).astype(dtype)
 
     delta = r1 - r0
     total = jnp.linalg.norm(delta, axis=-1)
@@ -216,11 +228,18 @@ def walk(grid, r0, r1, ic0, max_steps=None, i_icell_mask=None):
             mask_changed = jnp.zeros_like(crossing)
 
         # Advance position to the face intersection (skip if no face hit —
-        # the reference would add 1e100 here, :762; we stay put instead)
+        # the reference would add 1e100 here, :762; we stay put instead).
+        # Hops that continue walking overshoot the face by `nudge` so the
+        # next cell sees r_p strictly on its side; terminating hops stay
+        # exactly on the face (the tracer uses that intersection, :1084).
+        continuing = crossing & ~out_of_domain & ~mask_changed
+        advance = face_dist + jnp.where(continuing, nudge, 0.0)
         r_p = jnp.where(
-            (active & hit)[:, None], r_p + face_dist[:, None] * u, r_p
+            (active & hit)[:, None], r_p + advance[:, None] * u, r_p
         )
-        dist_left = jnp.where(active & hit, new_dist_left, dist_left)
+        dist_left = jnp.where(
+            active & hit, dist_left - advance, dist_left
+        )
 
         new_status = jnp.where(
             crossing & out_of_domain,

@@ -125,6 +125,7 @@ def sharded_trace(mesh: Mesh, axis_name: str = DATA_AXIS, **trace_kwargs):
                 y_field=P(axis_name, None, None),
                 n_steps=P(axis_name),
                 boundary_material=P(axis_name),
+                n_iterations=P(axis_name),
             ),
         )
         return f(grid, y0, i_field)

@@ -45,7 +45,20 @@ from .ops import interp, locate
 
 SAFETY_FAC = 0.8
 MIN_RADIUS = 1e-12
-SHRINK_EPS = 1e-8
+
+
+def _shrink_eps(dtype):
+    """Boundary shrink factor: dx -> (1-eps)*|r_p - r0| (:1084).
+
+    The reference's 1e-8 assumes float64; in float32, (1 - 1e-8) == 1
+    exactly, so dx never decreases and the shrink-and-retry loop
+    livelocks at domain boundaries.  Use ~sqrt(machine eps) instead.
+    """
+    import numpy as np
+
+    if np.dtype(dtype) == np.float32:
+        return 3e-4
+    return 1e-8
 # boundary_material sentinel: trace still running / buffer exhausted
 BM_NOT_REACHED = -2
 
@@ -58,6 +71,7 @@ class TraceResult(NamedTuple):
     n_steps: Any  # (B,) int32: valid points; max_steps+1 = not reached
     boundary_material: Any  # (B,) int32: -1 physical boundary, mask value,
     #                         or BM_NOT_REACHED if the buffer filled first
+    n_iterations: Any  # (B,) int32: RK iterations spent (diagnostics)
 
 
 class _State(NamedTuple):
@@ -137,6 +151,7 @@ def integrate_along_field(
         raise ValueError(f"y0 must have shape (B, {ndim + nvar})")
     dtype = grid.dtype
     y0 = y0.astype(dtype)
+    shrink_eps = _shrink_eps(dtype)
 
     def pad3(r_nd):
         """(ndim,) -> (3,) with zero-filled unused coordinates (:1042)."""
@@ -270,7 +285,7 @@ def integrate_along_field(
 
             # ---- failure path: shrink dx to the boundary distance ----
             d_boundary = jnp.sqrt(jnp.sum((r_p - r0) ** 2))
-            dx_fail = (1.0 - SHRINK_EPS) * d_boundary
+            dx_fail = (1.0 - shrink_eps) * d_boundary
             hit_boundary = failed & (dx_fail < min_dx)
 
             # ---- accept path: write the new point ----
@@ -333,7 +348,14 @@ def integrate_along_field(
             final.yf_buf,
             n_steps,
             final.boundary_material.astype(jnp.int32),
+            final.iteration,
         )
 
-    y, y_field, n_steps, bm = jax.vmap(trace_one)(y0)
-    return TraceResult(y=y, y_field=y_field, n_steps=n_steps, boundary_material=bm)
+    y, y_field, n_steps, bm, iters = jax.vmap(trace_one)(y0)
+    return TraceResult(
+        y=y,
+        y_field=y_field,
+        n_steps=n_steps,
+        boundary_material=bm,
+        n_iterations=iters,
+    )
