@@ -60,10 +60,22 @@ def get_cell_neighbors(
     )  # (n_cells, n_vertices, n_points_face)
     faces = np.sort(face_vertex_ids.reshape(-1, n_points_face), axis=1)
 
-    # Group identical faces; a face shared by exactly two cells links them
-    _, face_id, counts = np.unique(
-        faces, axis=0, return_inverse=True, return_counts=True
-    )
+    # Group identical faces; a face shared by exactly two cells links
+    # them.  When point ids fit 21 bits, pack each sorted face into one
+    # int64 key — 1-D np.unique is ~4x faster than the row-wise sort
+    # np.unique(axis=0) does.
+    n_unique_points = int(faces.max(initial=0)) + 1
+    if n_points_face <= 3 and n_unique_points < (1 << 21):
+        keys = faces[:, 0].astype(np.int64)
+        for j in range(1, n_points_face):
+            keys = (keys << 21) | faces[:, j].astype(np.int64)
+        _, face_id, counts = np.unique(
+            keys, return_inverse=True, return_counts=True
+        )
+    else:
+        _, face_id, counts = np.unique(
+            faces, axis=0, return_inverse=True, return_counts=True
+        )
     owner_cell = np.repeat(np.arange(n_cells, dtype=np.int64), n_vertices)
 
     order = np.argsort(face_id, kind="stable")
