@@ -45,13 +45,17 @@ def chain_timer(step, grid, args_init, n0=2, n1=42):
         leaf = jax.tree.leaves(state)[0]
         return float(jnp.sum(leaf.ravel()[:1]))
 
+    def timed(n):
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            fetch(chain(grid, args_init, n))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
     fetch(chain(grid, args_init, n0))  # compile + warm
-    t0 = time.perf_counter()
-    fetch(chain(grid, args_init, n0))
-    ta = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    fetch(chain(grid, args_init, n1))
-    tb = time.perf_counter() - t0
+    ta = timed(n0)
+    tb = timed(n1)
     return max((tb - ta) / (n1 - n0), 1e-12)
 
 
