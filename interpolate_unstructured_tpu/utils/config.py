@@ -46,7 +46,7 @@ class IUConfig:
     # Two-phase walk: run phase1 steps on the full batch, then compact
     # the (few) still-walking queries into a batch//divisor buffer so
     # straggler rounds stop paying full-batch gather cost.
-    walk_phase1_steps: int = 3
+    walk_phase1_steps: int = 2
     walk_compact_divisor: int = 8
     walk_compact_min_batch: int = 1 << 16
 
