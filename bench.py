@@ -60,8 +60,12 @@ def main():
     r_dev = jnp.asarray(r, dtype=grid.dtype)
     r_warm_dev = jnp.asarray(r_warm, dtype=grid.dtype)
 
-    def chain_time(r0, guess, n0=1, n1=21):
-        """Device time per 1M-query pass via chained dependent passes."""
+    def chain_time(r0, guess, n0=1, n1=101):
+        """Device time per 1M-query pass via chained dependent passes.
+
+        min-of-5 per point and a wide n1-n0 span keep the ~25 ms
+        per-call transport jitter out of the difference.
+        """
 
         @jax.jit
         def chain(grid, r, n):
@@ -79,13 +83,16 @@ def main():
             return acc
 
         float(chain(grid, r0, n0))  # compile + warm
-        t0 = time.perf_counter()
-        float(chain(grid, r0, n0))
-        ta = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        float(chain(grid, r0, n1))
-        tb = time.perf_counter() - t0
-        return max((tb - ta) / (n1 - n0), 1e-9)
+
+        def timed(n):
+            best = float("inf")
+            for _ in range(5):
+                t0 = time.perf_counter()
+                float(chain(grid, r0, n))
+                best = min(best, time.perf_counter() - t0)
+            return best
+
+        return max((timed(n1) - timed(n0)) / (n1 - n0), 1e-9)
 
     # Correctness gate before timing
     vals, i_cell, found = jax.jit(
