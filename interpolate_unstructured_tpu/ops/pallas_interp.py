@@ -30,7 +30,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 BIG = 1e30
-MAX_CELLS = 1024  # C_pad cap: keeps the (C_pad, TILE) buffers in VMEM
+MAX_CELLS = 4096  # C_pad cap: keeps the (C_pad, TILE) buffers in VMEM
 
 
 def _round_up(x, m):
@@ -226,7 +226,8 @@ def interpolate_bruteforce_pallas(
     if tile is None:
         # Largest measured-fastest tile whose (C_pad, TILE) buffers
         # stay comfortably in VMEM
-        tile = max(512, min(8192, ((1 << 21) // c_pad) // 128 * 128))
+        # ~4MB margin + ~4MB one-hot buffers at the cap
+        tile = max(256, min(8192, ((1 << 20) // c_pad) // 128 * 128))
     b = r.shape[0]
     b_pad = _round_up(max(b, tile), tile)
 

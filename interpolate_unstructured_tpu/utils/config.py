@@ -23,8 +23,10 @@ class IUConfig:
 
     # Meshes up to this many cells use the matmul brute-force locate
     # (exact containment over all cells on the MXU); larger meshes use
-    # bin-seeded neighbor walks.
-    bruteforce_max_cells: int = 4096
+    # bin-seeded neighbor walks. Crossover measured on v5e: the K=3
+    # margins matmul is MXU-starved, so brute force loses to the walk
+    # above ~1k cells.
+    bruteforce_max_cells: int = 1024
 
     # Default step cap for the batched neighbor walk. The reference walks
     # unbounded (huge(1), :431); a bounded lax.while_loop needs a finite
