@@ -1,0 +1,88 @@
+"""Edge cases: quad linear fallback, tracer buffer overflow,
+axisymmetric clamping."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import interpolate_unstructured_tpu as iu
+from interpolate_unstructured_tpu.ops import interp
+from interpolate_unstructured_tpu.trace import BM_NOT_REACHED, integrate_along_field
+from interpolate_unstructured_tpu.utils import meshgen
+
+
+def test_quad_parallelogram_linear_fallback():
+    """For a parallelogram, the quadratic coefficient A = (b2 x b3)_z
+    vanishes (b3 = 0) and the linear fallback solves mu exactly
+    (m_interp_unstructured.f90:618-622)."""
+    # Sheared parallelogram
+    p = jnp.asarray(
+        [[[0.0, 0.0, 0.0], [2.0, 0.5, 0.0], [3.0, 2.5, 0.0], [1.0, 2.0, 0.0]]]
+    )
+    # Point at parametric (lam, mu) = (0.25, 0.75)
+    lam, mu = 0.25, 0.75
+    b1 = p[0, 1] - p[0, 0]
+    b2 = p[0, 3] - p[0, 0]
+    r = (p[0, 0] + lam * b1 + mu * b2)[None, :]
+    w = interp.quad_weights(p, r)
+    expected = jnp.asarray(
+        [[(1 - lam) * (1 - mu), lam * (1 - mu), lam * mu, (1 - lam) * mu]]
+    )
+    np.testing.assert_allclose(np.asarray(w), np.asarray(expected), atol=1e-13)
+    # Weights reconstruct the point
+    rec = (np.asarray(w)[0, :, None] * np.asarray(p)[0]).sum(0)
+    np.testing.assert_allclose(rec, np.asarray(r)[0], atol=1e-13)
+
+
+def test_trace_buffer_overflow_reports_not_reached(test_data_dir):
+    grid = iu.read_grid(test_data_dir / "triangle.vtu")
+    pts = np.asarray(grid.points)
+    grid, ivx = iu.add_point_data(grid, "vx", -(pts[:, 1] - 1.0))
+    grid, ivy = iu.add_point_data(grid, "vy", pts[:, 0] - 1.0)
+    # Circle around the domain center: never reaches the boundary
+    y0 = jnp.asarray([[1.3, 1.0]])
+    res = integrate_along_field(
+        grid, y0, (ivx, ivy), nvar=0,
+        min_dx=1e-5, max_dx=0.05, max_steps=8, rtol=1e-3, atol=1e-3,
+    )
+    assert int(res.n_steps[0]) == 9  # max_steps + 1 (:1167-1168)
+    assert int(res.boundary_material[0]) == BM_NOT_REACHED
+    # All 8 stored points are valid (on the r=0.3 circle about (1,1))
+    d = np.linalg.norm(np.asarray(res.y[0, :8, :2]) - 1.0, axis=1)
+    np.testing.assert_allclose(d, 0.3, atol=5e-3)
+
+
+def test_trace_axisymmetric_clamps_radius(test_data_dir):
+    grid = iu.read_grid(test_data_dir / "triangle.vtu")
+    pts = np.asarray(grid.points)
+    # Field pointing in -x: drives r toward (and past) zero
+    grid, ivx = iu.add_point_data(grid, "vx", np.full(grid.n_points, -1.0))
+    grid, ivy = iu.add_point_data(grid, "vy", np.zeros(grid.n_points))
+    y0 = jnp.asarray([[1.5, 1.0]])
+    res = integrate_along_field(
+        grid, y0, (ivx, ivy), nvar=0, axisymmetric=True,
+        min_dx=1e-5, max_dx=0.2, max_steps=64, rtol=1e-3, atol=1e-3,
+    )
+    n = min(int(res.n_steps[0]), 64)
+    ys = np.asarray(res.y[0, :n])
+    assert (ys[:, 0] >= 1e-12 - 1e-18).all()  # first coord clamped
+
+
+def test_walk_mode_multivar_matches_bruteforce():
+    points, cells, neighbors = meshgen.tet_box_mesh(5, 5, 5)
+    pd = {
+        "Polynomial": points.sum(1) + 1,
+        "X": points[:, 0],
+        "YZ": points[:, 1] * 0.5 + points[:, 2],
+    }
+    g_w = iu.build_grid(points, cells, neighbors, "tetra",
+                        point_data=pd, locate_mode="walk")
+    g_b = iu.build_grid(points, cells, neighbors, "tetra",
+                        point_data=pd, locate_mode="bruteforce")
+    rng = np.random.default_rng(40)
+    r = jnp.asarray(rng.random((500, 3)))
+    iv = jnp.asarray([0, 1, 2])
+    vw, icw, fw = iu.interpolate_at(g_w, r, iv)
+    vb, icb, fb = iu.interpolate_at(g_b, r, iv)
+    assert bool(fw.all()) and bool(fb.all())
+    np.testing.assert_allclose(np.asarray(vw), np.asarray(vb), atol=1e-12)
