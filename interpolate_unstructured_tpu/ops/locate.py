@@ -148,6 +148,7 @@ def walk(grid, r0, r1, ic0, max_steps=None, i_icell_mask=None):
     """
     if max_steps is None:
         max_steps = grid.config.max_walk_steps
+    ic0 = jnp.asarray(ic0, jnp.int32)
     dtype = r0.dtype
     tiny = tiny_distance(dtype)
     big = huge_distance(dtype)
@@ -175,13 +176,23 @@ def walk(grid, r0, r1, ic0, max_steps=None, i_icell_mask=None):
         mask0 = None
 
     def cond(state):
-        _, _, _, _, active, n = state
+        _, _, _, _, _, active, n = state
         return jnp.any(active) & (n < max_steps)
 
     nf = grid.n_faces_per_cell
 
+    def _face_pick(nbrs, dist_k, i_face):
+        """Neighbor + distance of a chosen face via one-hot select
+        (take_along_axis would hit the slow gather path)."""
+        onehot = (
+            lax.broadcasted_iota(jnp.int32, nbrs.shape, 1)
+            == i_face[:, None]
+        )
+        nbr = jnp.sum(jnp.where(onehot, nbrs, 0), axis=1, dtype=jnp.int32)
+        return onehot, nbr
+
     def body(state):
-        r_p, ic, dist_left, status, active, n = state
+        r_p, ic, prev, dist_left, status, active, n = state
         ics = jnp.maximum(ic, 0)
 
         # One packed row gather per step: TPU gathers are latency-bound
@@ -201,25 +212,27 @@ def walk(grid, r0, r1, ic0, max_steps=None, i_icell_mask=None):
         dist_k = jnp.where(pdn > 0, (offs - rpn) / pdn, big)
         i_face = jnp.argmin(dist_k, axis=1)
         face_dist = jnp.min(dist_k, axis=1)
+        onehot1, ic_next = _face_pick(nbrs, dist_k, i_face)
+
+        # A straight ray never re-enters a convex cell, yet float
+        # rounding at a grazing face can pick the cell we just left and
+        # ping-pong forever (the serial f64 reference rarely meets
+        # this; batched f32 hits it constantly).  When the best face
+        # leads straight back, take the second-best exit instead.
+        backtrack = (ic_next == prev) & (prev >= 0)
+        dist_k2 = jnp.where(onehot1, big, dist_k)
+        i_face2 = jnp.argmin(dist_k2, axis=1)
+        face_dist2 = jnp.min(dist_k2, axis=1)
+        _, ic_next2 = _face_pick(nbrs, dist_k2, i_face2)
+        face_dist = jnp.where(backtrack, face_dist2, face_dist)
+        ic_next = jnp.where(backtrack, ic_next2, ic_next)
+
         hit = face_dist < 0.5 * big  # some face had pdn > 0
-        # Never step backwards: a grazing entry face can yield a tiny
-        # negative distance, which would grow dist_left and let two
-        # cells ping-pong forever (the fp hazard the serial f64
-        # reference rarely meets; batched f32 hits it constantly)
+        # Never step backwards: clamp tiny negative grazing distances
         face_dist = jnp.maximum(face_dist, 0.0)
 
         new_dist_left = dist_left - face_dist
         crossing = hit & (new_dist_left > 0)
-
-        # One-hot select, NOT take_along_axis: per-row dynamic indexing
-        # lowers to the slow gather path (~14ms/1M rows measured)
-        face_onehot = (
-            lax.broadcasted_iota(jnp.int32, nbrs.shape, 1)
-            == i_face[:, None]
-        )
-        ic_next = jnp.sum(
-            jnp.where(face_onehot, nbrs, 0), axis=1, dtype=jnp.int32
-        )
         out_of_domain = ic_next < 0
         if mask0 is not None:
             mask_next = grid.icell_data[jnp.maximum(ic_next, 0), i_icell_mask]
@@ -247,20 +260,22 @@ def walk(grid, r0, r1, ic0, max_steps=None, i_icell_mask=None):
             jnp.where(mask_changed, STATUS_MASK_CHANGED, STATUS_ARRIVED),
         )
         status = jnp.where(active, new_status, status)
+        prev = jnp.where(active & continuing, ic, prev)
         ic = jnp.where(active & crossing, ic_next, ic)
         n_active = active & crossing & ~out_of_domain & ~mask_changed
-        return r_p, ic, dist_left, status, n_active, n + 1
+        return r_p, ic, prev, dist_left, status, n_active, n + 1
 
     b = r0.shape[0]
     init = (
         r0,
         ic0,
+        jnp.full(b, -1, dtype=jnp.int32),  # previous cell (backtrack guard)
         total,
         jnp.zeros(b, dtype=jnp.int32),
         ~degenerate,
         jnp.array(0, dtype=jnp.int32),
     )
-    r_p, ic, _, status, still_active, n = lax.while_loop(cond, body, init)
+    r_p, ic, _, _, status, still_active, n = lax.while_loop(cond, body, init)
     status = jnp.where(still_active, STATUS_STEP_CAP, status)
     n_steps = jnp.broadcast_to(n, status.shape)
     return ic, r_p, n_steps, status

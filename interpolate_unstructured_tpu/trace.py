@@ -284,8 +284,16 @@ def integrate_along_field(
             accept = ok & ((err <= 1.0) | (dx < 2.0 * min_dx))
 
             # ---- failure path: shrink dx to the boundary distance ----
+            # Capped at 0.75*dx: when a trajectory hugs a wall the walk
+            # fails right at the step end (d_boundary ~ dx) and the
+            # (1-eps) factor alone decays dx at ~eps per retry —
+            # thousands of futile iterations (the reference's 1e-8
+            # factor would effectively hang there). The cap bounds the
+            # retry count at log(dx/min_dx)/log(4/3).
             d_boundary = jnp.sqrt(jnp.sum((r_p - r0) ** 2))
-            dx_fail = (1.0 - shrink_eps) * d_boundary
+            dx_fail = jnp.minimum(
+                (1.0 - shrink_eps) * d_boundary, 0.75 * dx
+            )
             hit_boundary = failed & (dx_fail < min_dx)
 
             # ---- accept path: write the new point ----
