@@ -153,217 +153,217 @@ def integrate_along_field(
     y0 = y0.astype(dtype)
     shrink_eps = _shrink_eps(dtype)
 
+    b = y0.shape[0]
+    rows = jnp.arange(b)
+
     def pad3(r_nd):
-        """(ndim,) -> (3,) with zero-filled unused coordinates (:1042)."""
-        return jnp.zeros(3, dtype=dtype).at[:ndim].set(r_nd)
+        """(B, ndim) -> (B, 3) with zero-filled unused coords (:1042)."""
+        return jnp.zeros((b, 3), dtype=dtype).at[:, :ndim].set(r_nd)
 
     def clamp_axi(r3):
         if axisymmetric:
-            return r3.at[0].set(jnp.maximum(r3[0], MIN_RADIUS))
+            return r3.at[:, 0].set(jnp.maximum(r3[:, 0], MIN_RADIUS))
         return r3
 
     def unitvec(field):
-        u = field / jnp.sqrt(jnp.sum(field * field))
+        u = field / jnp.sqrt(jnp.sum(field * field, axis=1, keepdims=True))
         return -u if reverse else u
 
-    def walk1(r0, r1, ic0):
-        ic, r_p, _, st = locate.walk(
-            grid,
-            r0[None],
-            r1[None],
-            ic0[None],
-            max_steps=grid.config.trace_walk_max_steps,
-            i_icell_mask=i_icell_mask,
-        )
-        return ic[0], r_p[0], st[0]
-
-    def interp1(r3, ic):
-        vals = interp.interpolate_at_icell(
-            grid, r3[None], i_field, jnp.maximum(ic, 0)[None]
-        )
-        return vals[0]
+    sub_int_b = jax.vmap(sub_int)  # user callback stays per-point
 
     def boundary_code(ic):
         """-1 for a physical boundary, else the mask value of the cell
         that ended the trace (:1086-1096)."""
         if i_icell_mask is None:
-            return jnp.int32(-1)
+            return jnp.full_like(ic, -1)
         masked = grid.icell_data[jnp.maximum(ic, 0), i_icell_mask]
-        return jnp.where(ic < 0, jnp.int32(-1), masked.astype(jnp.int32))
+        return jnp.where(ic < 0, -1, masked.astype(jnp.int32))
 
     def rk_stage(anchor, k_prev, coeff, ic_start, r0, ok):
-        """One walk+interpolate sub-step; degenerate when ``ok`` is
-        already False (aimed at r0, the walk short-circuits)."""
-        ys = anchor + coeff * k_prev
-        r3 = clamp_axi(pad3(ys[:ndim]))
-        tgt = jnp.where(ok, r3, r0)
-        ic, r_p, st = walk1(r0, tgt, ic_start)
+        """One batched walk+interpolate sub-step; lanes with ``ok``
+        False aim at their own start, making the walk a degenerate
+        no-op (tiny-distance short circuit, :689-692)."""
+        ys = anchor + coeff[:, None] * k_prev
+        r3 = clamp_axi(pad3(ys[:, :ndim]))
+        tgt = jnp.where(ok[:, None], r3, r0)
+        ic, r_p, _, st = locate.walk(
+            grid,
+            r0,
+            tgt,
+            ic_start,
+            max_steps=grid.config.trace_walk_max_steps,
+            i_icell_mask=i_icell_mask,
+        )
         failed = ok & (st != 0)
-        field = interp1(tgt, ic)
-        k = jnp.concatenate([unitvec(field), sub_int(field, ys)])
+        field = interp.interpolate_at_icell(
+            grid, tgt, i_field, jnp.maximum(ic, 0)
+        )
+        k = jnp.concatenate([unitvec(field), sub_int_b(field, ys)], axis=1)
         return ys, field, k, ic, r_p, failed
 
-    def trace_one(y0_i):
-        r0_3 = pad3(y0_i[:ndim])
+    # ---- initialization (:1045-1073) -------------------------------------
+    r0_3 = pad3(y0[:, :ndim])
+    ic0, found0 = locate.get_cell(grid, r0_3)
+    ic0 = jnp.where(found0, ic0, -1).astype(jnp.int32)
+    field0 = interp.interpolate_at_icell(
+        grid, r0_3, i_field, jnp.maximum(ic0, 0)
+    )
+    if mask_value is not None:
+        in_region = found0 & (
+            grid.icell_data[jnp.maximum(ic0, 0), i_icell_mask] == mask_value
+        )
+    else:
+        in_region = found0
+    start_done = ~in_region
+    start_bm = jnp.where(
+        start_done, boundary_code(ic0), jnp.int32(BM_NOT_REACHED)
+    )
 
-        # Cold-start initial locate + field sample (:1054)
-        ic0, found0 = locate.get_cell(grid, r0_3[None])
-        ic0, found0 = ic0[0], found0[0]
-        ic0 = jnp.where(found0, ic0, jnp.int32(-1))
-        field0 = interp1(r0_3, ic0)
+    # One scratch row past max_steps swallows masked writes
+    y_buf = jnp.zeros((b, max_steps + 1, ndim + nvar), dtype=dtype)
+    y_buf = y_buf.at[:, 0, :].set(y0)
+    yf_buf = jnp.zeros((b, max_steps + 1, ndim), dtype=dtype)
+    yf_buf = yf_buf.at[:, 0, :].set(
+        jnp.where(in_region[:, None], field0, 0.0)
+    )
 
-        if mask_value is not None:
-            in_region = found0 & (
-                grid.icell_data[jnp.maximum(ic0, 0), i_icell_mask]
-                == mask_value
-            )
-        else:
-            in_region = found0
-        # Invalid start: exit immediately with the boundary code (:1057-1068)
-        start_done = ~in_region
-        start_bm = jnp.where(start_done, boundary_code(ic0), BM_NOT_REACHED)
+    init = _State(
+        y_buf=y_buf,
+        yf_buf=yf_buf,
+        n_idx=jnp.zeros(b, jnp.int32),
+        i_cell_prev=ic0,
+        dx=jnp.full(b, max_dx, dtype),
+        last_rejected=jnp.full(b, -100, jnp.int32),
+        iteration=jnp.zeros(b, jnp.int32),
+        done=start_done,
+        overflow=jnp.zeros(b, bool),
+        boundary_material=start_bm,
+    )
 
-        y_buf = jnp.zeros((max_steps, ndim + nvar), dtype=dtype)
-        y_buf = y_buf.at[0].set(y0_i)
-        yf_buf = jnp.zeros((max_steps, ndim), dtype=dtype)
-        yf_buf = yf_buf.at[0].set(jnp.where(in_region, field0, 0.0))
+    def take_row(buf, idx):
+        """(B, S, D) rows at per-lane idx without a slow gather path."""
+        return jnp.take_along_axis(buf, idx[:, None, None], axis=1)[:, 0]
 
-        init = _State(
-            y_buf=y_buf,
-            yf_buf=yf_buf,
-            n_idx=jnp.int32(0),
-            i_cell_prev=ic0,
-            dx=jnp.asarray(max_dx, dtype),
-            last_rejected=jnp.int32(-100),
-            iteration=jnp.int32(1),
-            done=start_done,
-            overflow=jnp.bool_(False),
-            boundary_material=start_bm,
+    def cond(carry):
+        it, s = carry
+        return jnp.any(~s.done) & (it < max_iterations)
+
+    def body(carry):
+        it, s = carry
+        act = ~s.done
+        anchor = take_row(s.y_buf, s.n_idx)  # (B, ndim+nvar)
+        field_a = take_row(s.yf_buf, s.n_idx)
+        r0 = pad3(anchor[:, :ndim])
+        dx = s.dx
+
+        # k1 reuses the stored field sample (:1109-1115)
+        k1 = jnp.concatenate(
+            [unitvec(field_a), sub_int_b(field_a, anchor)], axis=1
         )
 
-        def cond(s: _State):
-            return (~s.done) & (s.iteration < max_iterations)
+        ok = act
+        _, _, k2, ic2, rp2, f2 = rk_stage(
+            anchor, k1, 0.5 * dx, s.i_cell_prev, r0, ok
+        )
+        ok = ok & ~f2
+        _, _, k3, ic3, rp3, f3 = rk_stage(
+            anchor, k2, 0.75 * dx, s.i_cell_prev, r0, ok
+        )
+        ok = ok & ~f3
+        # 3rd-order update + 4th sub-step at the updated point (:1144-1156)
+        k123 = (2.0 * k1 + 3.0 * k2 + 4.0 * k3) / 9.0
+        ys3, field4, k4, ic4, rp4, f4 = rk_stage(
+            anchor, k123, dx, s.i_cell_prev, r0, ok
+        )
+        ok = ok & ~f4
 
-        def body(s: _State):
-            anchor = s.y_buf[s.n_idx]
-            field_a = s.yf_buf[s.n_idx]
-            r0 = pad3(anchor[:ndim])
-            dx = s.dx
+        failed = act & ~ok
+        # First failing stage supplies (r_p, i_cell) for the shrink
+        r_p = jnp.where(
+            f2[:, None], rp2, jnp.where(f3[:, None], rp3, rp4)
+        )
+        ic_fail = jnp.where(f2, ic2, jnp.where(f3, ic3, ic4))
 
-            # k1 reuses the stored field sample (:1109-1115)
-            k1 = jnp.concatenate([unitvec(field_a), sub_int(field_a, anchor)])
+        # Embedded 2nd-order estimate and error norm (:1159-1163)
+        y2nd = anchor + dx[:, None] * (
+            7.0 * k1 + 6.0 * k2 + 8.0 * k3 + 3.0 * k4
+        ) / 24.0
+        scales = atol + jnp.maximum(jnp.abs(ys3), jnp.abs(y2nd)) * rtol
+        err = jnp.sqrt(jnp.sum(((ys3 - y2nd) / scales) ** 2, axis=1) / 3.0)
 
-            ok = jnp.bool_(True)
-            _, _, k2, ic2, rp2, f2 = rk_stage(
-                anchor, k1, 0.5 * dx, s.i_cell_prev, r0, ok
-            )
-            ok = ok & ~f2
-            _, _, k3, ic3, rp3, f3 = rk_stage(
-                anchor, k2, 0.75 * dx, s.i_cell_prev, r0, ok
-            )
-            ok = ok & ~f3
-            # 3rd-order update + 4th sub-step at the updated point (:1144-1156)
-            k123 = (2.0 * k1 + 3.0 * k2 + 4.0 * k3) / 9.0
-            ys3, field4, k4, ic4, rp4, f4 = rk_stage(
-                anchor, k123, dx, s.i_cell_prev, r0, ok
-            )
-            ok = ok & ~f4
+        accept = ok & ((err <= 1.0) | (dx < 2.0 * min_dx))
 
-            failed = ~ok
-            # First failing stage supplies (r_p, i_cell) for the shrink
-            r_p = jnp.where(f2, rp2, jnp.where(f3, rp3, rp4))
-            ic_fail = jnp.where(f2, ic2, jnp.where(f3, ic3, ic4))
+        # ---- failure path: shrink dx to the boundary distance ----
+        # Capped at 0.75*dx: when a trajectory hugs a wall the walk
+        # fails right at the step end (d_boundary ~ dx) and the (1-eps)
+        # factor alone decays dx at ~eps per retry — thousands of
+        # futile iterations (the reference's 1e-8 factor would
+        # effectively hang there).
+        d_boundary = jnp.sqrt(jnp.sum((r_p - r0) ** 2, axis=1))
+        dx_fail = jnp.minimum((1.0 - shrink_eps) * d_boundary, 0.75 * dx)
+        hit_boundary = failed & (dx_fail < min_dx)
 
-            # Embedded 2nd-order estimate and error norm (:1159-1163)
-            y2nd = anchor + dx * (
-                7.0 * k1 + 6.0 * k2 + 8.0 * k3 + 3.0 * k4
-            ) / 24.0
-            scales = atol + jnp.maximum(jnp.abs(ys3), jnp.abs(y2nd)) * rtol
-            err = jnp.sqrt(jnp.sum(((ys3 - y2nd) / scales) ** 2) / 3.0)
+        # ---- accept path: write the new point ----
+        n_new = jnp.where(accept, s.n_idx + 1, s.n_idx)
+        overflow = accept & (n_new >= max_steps)
+        write = accept & ~overflow
+        # Non-writers scatter into the scratch row (index max_steps)
+        w_idx = jnp.where(write, n_new, max_steps)
+        ys_store = clamp_axi_y(ys3)
+        y_buf = s.y_buf.at[rows, w_idx].set(ys_store)
+        yf_buf = s.yf_buf.at[rows, w_idx].set(field4)
+        i_cell_prev = jnp.where(accept, ic4, s.i_cell_prev)
 
-            accept = ok & ((err <= 1.0) | (dx < 2.0 * min_dx))
+        # ---- step-size control (:1178-1188) ----
+        last_rejected = jnp.where(
+            act & (failed | ~accept), it, s.last_rejected
+        )
+        max_growth = jnp.where(last_rejected > it - 2, 1.0, 2.0).astype(
+            dtype
+        )
+        dx_factor = jnp.minimum(
+            max_growth, SAFETY_FAC * (1.0 / err) ** (1.0 / 3.0)
+        )
+        dx_ok = jnp.clip(dx * dx_factor, min_dx, max_dx)
+        dx_new = jnp.where(failed, dx_fail, dx_ok)
+        dx_new = jnp.where(act, dx_new, s.dx)
 
-            # ---- failure path: shrink dx to the boundary distance ----
-            # Capped at 0.75*dx: when a trajectory hugs a wall the walk
-            # fails right at the step end (d_boundary ~ dx) and the
-            # (1-eps) factor alone decays dx at ~eps per retry —
-            # thousands of futile iterations (the reference's 1e-8
-            # factor would effectively hang there). The cap bounds the
-            # retry count at log(dx/min_dx)/log(4/3).
-            d_boundary = jnp.sqrt(jnp.sum((r_p - r0) ** 2))
-            dx_fail = jnp.minimum(
-                (1.0 - shrink_eps) * d_boundary, 0.75 * dx
-            )
-            hit_boundary = failed & (dx_fail < min_dx)
+        done = s.done | hit_boundary | overflow
+        bm = jnp.where(
+            hit_boundary, boundary_code(ic_fail), s.boundary_material
+        )
 
-            # ---- accept path: write the new point ----
-            n_new = jnp.where(accept, s.n_idx + 1, s.n_idx)
-            overflow = accept & (n_new >= max_steps)
-            write = accept & ~overflow
-            w_idx = jnp.where(write, n_new, s.n_idx)
-            ys_store = ys3
-            if axisymmetric:
-                ys_store = ys_store.at[0].set(
-                    jnp.maximum(ys_store[0], MIN_RADIUS)
-                )
-            y_buf = jnp.where(
-                write, s.y_buf.at[w_idx].set(ys_store), s.y_buf
-            )
-            yf_buf = jnp.where(
-                write, s.yf_buf.at[w_idx].set(field4), s.yf_buf
-            )
-            i_cell_prev = jnp.where(accept, ic4, s.i_cell_prev)
-
-            # ---- step-size control (:1178-1188) ----
-            last_rejected = jnp.where(
-                failed | ~accept, s.iteration, s.last_rejected
-            )
-            max_growth = jnp.where(
-                last_rejected > s.iteration - 2, 1.0, 2.0
-            ).astype(dtype)
-            dx_factor = jnp.minimum(
-                max_growth, SAFETY_FAC * (1.0 / err) ** (1.0 / 3.0)
-            )
-            dx_ok = jnp.clip(dx * dx_factor, min_dx, max_dx)
-            dx_new = jnp.where(failed, dx_fail, dx_ok)
-
-            done = s.done | hit_boundary | overflow
-            bm = jnp.where(
-                hit_boundary, boundary_code(ic_fail), s.boundary_material
-            )
-
-            return _State(
+        return (
+            it + 1,
+            _State(
                 y_buf=y_buf,
                 yf_buf=yf_buf,
                 n_idx=jnp.where(write, n_new, s.n_idx),
                 i_cell_prev=i_cell_prev,
                 dx=dx_new,
                 last_rejected=last_rejected,
-                iteration=s.iteration + 1,
+                iteration=jnp.where(act, it + 1, s.iteration),
                 done=done,
                 overflow=s.overflow | overflow,
                 boundary_material=bm,
-            )
-
-        final = lax.while_loop(cond, body, init)
-        # n_steps: points stored; max_steps+1 flags 'boundary not
-        # reached before the buffer filled' (:1167-1168)
-        n_steps = jnp.where(
-            final.overflow, jnp.int32(max_steps + 1), final.n_idx + 1
-        )
-        return (
-            final.y_buf,
-            final.yf_buf,
-            n_steps,
-            final.boundary_material.astype(jnp.int32),
-            final.iteration,
+            ),
         )
 
-    y, y_field, n_steps, bm, iters = jax.vmap(trace_one)(y0)
+    def clamp_axi_y(ys):
+        if axisymmetric:
+            return ys.at[:, 0].set(jnp.maximum(ys[:, 0], MIN_RADIUS))
+        return ys
+
+    _, final = lax.while_loop(cond, body, (jnp.int32(0), init))
+    # n_steps: points stored; max_steps+1 flags 'boundary not reached
+    # before the buffer filled' (:1167-1168)
+    n_steps = jnp.where(
+        final.overflow, jnp.int32(max_steps + 1), final.n_idx + 1
+    )
     return TraceResult(
-        y=y,
-        y_field=y_field,
+        y=final.y_buf[:, :max_steps],
+        y_field=final.yf_buf[:, :max_steps],
         n_steps=n_steps,
-        boundary_material=bm,
-        n_iterations=iters,
+        boundary_material=final.boundary_material.astype(jnp.int32),
+        n_iterations=final.iteration,
     )
