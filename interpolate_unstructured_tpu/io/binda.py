@@ -170,3 +170,26 @@ class BindaWriter:
                     )
                 )
             f.write(bytes(self._blob))
+
+
+def main(argv=None):
+    """CLI: list the entries of a binda container."""
+    import argparse
+
+    parser = argparse.ArgumentParser(
+        description="Inspect a BINDA container (entries, dtypes, shapes)"
+    )
+    parser.add_argument("file", help="path to a .binda file")
+    args = parser.parse_args(argv)
+    bf = read_binda(args.file)
+    print(f"{args.file}: {len(bf.entries)} entries")
+    for i, e in enumerate(bf.entries):
+        meta = f"  [{e.metadata}]" if e.metadata else ""
+        print(
+            f"  {i:3d}  {e.name:<16s} {e.dtype:<8s} "
+            f"shape={e.shape} offset={e.offset}{meta}"
+        )
+
+
+if __name__ == "__main__":
+    main()
