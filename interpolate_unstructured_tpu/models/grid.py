@@ -222,26 +222,7 @@ def build_grid(
             "float32 grids support up to 2^24 cells (packed walk table); "
             "load with dtype=jnp.float64"
         )
-    # Packed row layout (see ops.locate.WalkTable): face normals |
-    # face offsets | neighbor ids | cell vertex coords | volume, padded
-    # to a 512-byte row — XLA's gather switches to a fast per-row DMA
-    # strategy at that width (measured: 512B-row gathers beat 16B-row
-    # gathers on v5e).
-    nf = normals.shape[1]
-    npc = cell_points.shape[1]
-    walk_cols = np.concatenate(
-        [
-            normals.reshape(n_cells, nf * 3),
-            face_offsets,
-            neighbors.astype(np.float64),
-            cell_points.reshape(n_cells, npc * 3),
-            volume[:, None],
-        ],
-        axis=1,
-    )
-    row_width = 512 // np.dtype(_resolved).itemsize
-    walk_table = np.zeros((n_cells, max(row_width, walk_cols.shape[1])))
-    walk_table[:, : walk_cols.shape[1]] = walk_cols
+
     rmin = points.min(axis=0)
     rmax = points.max(axis=0)
 
@@ -302,7 +283,7 @@ def build_grid(
         rmax=jnp.asarray(rmax, dtype=dtype),
         bin_table=jnp.asarray(bin_table),
         bin_pack=jnp.asarray(bin_pack, dtype=dtype),
-        walk_table=jnp.asarray(walk_table, dtype=dtype),
+        walk_table=None,  # assembled on device below (no extra transfer)
         bin_rmin=jnp.asarray(bin_rmin, dtype=dtype),
         bin_inv_h=jnp.asarray(bin_inv_h, dtype=dtype),
         cell_type=cell_type,
@@ -314,9 +295,36 @@ def build_grid(
         config=config,
     )
 
+    grid = dataclasses.replace(grid, walk_table=_build_walk_table(grid))
     if config.refine_bin_seeds and locate_mode == "walk":
         grid = _refine_bin_seeds(grid, centers)
     return grid
+
+
+def _build_walk_table(grid: UGrid):
+    """Packed per-cell walk rows, assembled ON DEVICE from arrays that
+    are already resident: face normals | face offsets | neighbor ids |
+    cell vertex coords | volume, zero-padded to a 512-byte row (XLA's
+    gather switches to a fast per-row DMA strategy at that width).
+    Building on device avoids shipping ~0.5 GB of mostly-padding
+    through the (slow) host->device tunnel on million-cell grids."""
+    n_cells = grid.n_cells
+    nf = grid.n_faces_per_cell
+    npc = grid.n_points_per_cell
+    dtype = grid.dtype
+    cols = jnp.concatenate(
+        [
+            grid.face_normals.reshape(n_cells, nf * 3),
+            grid.face_offsets,
+            grid.neighbors.astype(dtype),
+            grid.cell_points.reshape(n_cells, npc * 3),
+            grid.cell_volume[:, None],
+        ],
+        axis=1,
+    )
+    row_width = 512 // jnp.dtype(dtype).itemsize
+    pad = max(row_width, cols.shape[1]) - cols.shape[1]
+    return jnp.pad(cols, ((0, 0), (0, pad)))
 
 
 def _refine_bin_seeds(grid: UGrid, centers: np.ndarray) -> UGrid:
