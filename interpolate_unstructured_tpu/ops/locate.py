@@ -328,6 +328,10 @@ def get_cell(grid, r, guess=None, max_steps=None):
         if guess is None:
             start = bin_seed(grid, r)
         else:
+            # Out-of-range guesses fall back to a cold start (the
+            # reference error-stops on guess > n_cells, :490; under jit
+            # a graceful reseed is the batch-friendly equivalent)
+            guess = jnp.where(guess >= grid.n_cells, -1, guess)
             start = jnp.where(guess >= 0, guess, bin_seed(grid, r))
         # Start from the center of the start cell (:429); vertex coords
         # come from the packed walk table (fast 512B-row gather)

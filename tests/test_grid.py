@@ -211,3 +211,15 @@ def test_validate_grid(triangle_grid, tetra_grid):
     )
     with pytest.raises(ValueError, match="asymmetric"):
         validate_grid(bad)
+
+
+def test_out_of_range_guess_reseeds(test_data_dir):
+    """The reference error-stops on guess > n_cells (:490); under jit we
+    reseed cold instead — results must match a cold query."""
+    grid = iu.read_grid(test_data_dir / "triangle.vtu", locate_mode="walk")
+    r = jnp.asarray([[0.5, 0.5, 0.0], [1.5, 1.5, 0.0]])
+    bad_guess = jnp.asarray([9999, 12345], dtype=jnp.int32)
+    ic_bad, f_bad = iu.get_cell(grid, r, guess=bad_guess)
+    ic_cold, f_cold = iu.get_cell(grid, r)
+    np.testing.assert_array_equal(np.asarray(f_bad), np.asarray(f_cold))
+    assert bool(iu.point_is_inside_cell(grid, r, ic_bad).all())
