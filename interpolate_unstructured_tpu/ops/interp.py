@@ -256,6 +256,31 @@ def interpolate_at_icell(grid, r, i_vars, i_cell):
     npc = grid.n_points_per_cell
     nf = grid.n_faces_per_cell
     v = i_vars.shape[0]
+    pd_sel = grid.point_data[:, i_vars]  # (P, V)
+
+    row_width = 512 // jnp.dtype(grid.dtype).itemsize
+    k_cols = npc * 3 + 1 + npc * v
+    if b * 4 >= n_cells and k_cols <= row_width:
+        # Big batch: assemble a per-call fused row table on device
+        # (vertex coords | volume | vertex data) padded to the 512-byte
+        # fast-gather width — ONE row gather per query answers the
+        # whole interpolation (C-sized assembly is cheap relative to
+        # B-sized gathers)
+        ftab = jnp.concatenate(
+            [
+                grid.cell_points.reshape(n_cells, npc * 3),
+                grid.cell_volume[:, None],
+                pd_sel[grid.cells].reshape(n_cells, npc * v),
+            ],
+            axis=1,
+        )
+        ftab = jnp.pad(ftab, ((0, 0), (0, row_width - k_cols)))
+        g = ftab[ic]
+        cp = g[:, : npc * 3].reshape(-1, npc, 3)
+        vol = g[:, npc * 3]
+        vertex_vals = g[:, npc * 3 + 1 : k_cols].reshape(-1, npc, v)
+        w = _weights_from_geometry(grid.cell_type, cp, vol, r)
+        return (w[:, :, None] * vertex_vals).sum(axis=1)
 
     if grid.walk_table is not None:
         # Geometry rides the packed 512B-row table: one fast gather
@@ -266,14 +291,7 @@ def interpolate_at_icell(grid, r, i_vars, i_cell):
     else:
         w = cell_weights(grid, r, ic)  # (B, npc)
 
-    pd_sel = grid.point_data[:, i_vars]  # (P, V)
-    if b * 4 >= n_cells:
-        # Big batch: pre-gather vertex data per cell (C-sized), then one
-        # contiguous row gather per query
-        pd_cell = pd_sel[grid.cells].reshape(n_cells, npc * v)
-        vertex_vals = pd_cell[ic].reshape(-1, npc, v)
-    else:
-        vertex_vals = pd_sel[grid.cells[ic]]  # (B, npc, V)
+    vertex_vals = pd_sel[grid.cells[ic]]  # (B, npc, V)
     return (w[:, :, None] * vertex_vals).sum(axis=1)
 
 
