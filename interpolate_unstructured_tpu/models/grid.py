@@ -86,9 +86,10 @@ class UGrid:
     # (n_bins, 4): seed cell id (as float) | seed cell center xyz —
     # one 16B row gather answers "where do I start walking from"
     bin_pack: Any = None
-    # Packed per-cell walk payload (n_cells, nf*5): flattened face
-    # normals | face offsets | neighbor ids as floats. One row gather
-    # per walk step instead of three (TPU gathers are latency-bound).
+    # Packed per-cell walk payload (n_cells, 512B/itemsize): face
+    # normals | face offsets | neighbor ids | cell vertex coords |
+    # volume, zero padded. One 512-byte row gather per walk step
+    # serves the hop AND the final interpolation geometry.
     walk_table: Any = None
     # --- static metadata -----------------------------------------------------
     cell_type: str = "triangle"

@@ -2,9 +2,11 @@
 interpolated vector field.
 
 Re-design of ``iu_integrate_along_field``
-(m_interp_unstructured.f90:987-1217) for TPU execution: one
-``lax.while_loop`` per trajectory with fixed-shape output buffers,
-``vmap``-ed over a batch of seed points.  Control-flow parity:
+(m_interp_unstructured.f90:987-1217) for TPU execution: one batched
+``lax.while_loop`` over the whole trajectory batch with fixed-shape
+output buffers and explicit active-lane masking (vmapping a nested
+while_loop both miscompiles at some batch shapes on this backend and
+is ~5x slower — see benchmarks/RESULTS.md).  Control-flow parity:
 
 * integrates along the *unit vector* of the interpolated field
   (arc-length parameterization, get_unitvec :1193-1201, optional
@@ -27,10 +29,10 @@ Re-design of ``iu_integrate_along_field``
   to a region (:1055-1068).
 
 The Fortran ``cycle``-on-failure structure is flattened branch-free:
-when an earlier sub-step fails, later walks are aimed at their own start
-point, which makes them degenerate no-ops (the walk's tiny-distance
-short-circuit, :689-692), so one pass through the body computes exactly
-the same thing the reference's goto-laden loop does.
+when an earlier sub-step fails (or a lane is done), later walks are
+aimed at their own start point, which makes them degenerate no-ops
+(the walk's tiny-distance short-circuit, :689-692), so one pass through
+the body computes exactly what the reference's goto-laden loop does.
 """
 
 from __future__ import annotations
