@@ -139,12 +139,16 @@ class BindaWriter:
 
     def add_entry(self, name: str, data: np.ndarray, metadata: str = ""):
         if len(name) > 128:
-            raise ValueError("Name must be at most 128 characters.")
+            raise ValueError(
+                f"Entry name longer than the 128-byte header field: {name!r}"
+            )
         if len(metadata) > 128:
-            raise ValueError("Metadata must be at most 128 characters.")
+            raise ValueError("Entry metadata longer than the 128-byte header field")
         data = np.asarray(data)
         if data.ndim > _MAX_NDIM:
-            raise ValueError("Number of dimensions cannot exceed 8.")
+            raise ValueError(
+                f"binda headers hold at most 8 dims, array has {data.ndim}"
+            )
         if np.issubdtype(data.dtype, np.integer):
             data = data.astype(np.int32)
         payload = np.ascontiguousarray(data).tobytes()

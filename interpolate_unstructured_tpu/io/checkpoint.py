@@ -22,7 +22,7 @@ import numpy as np
 
 from .binda import BindaWriter, read_binda
 
-_FORMAT_VERSION = "1"
+_FORMAT_VERSION = "2"  # v2 adds optional kd-tree seed arrays + depth
 
 # UGrid array leaves stored verbatim (name -> attribute)
 _ARRAY_FIELDS = [
@@ -57,14 +57,19 @@ def save_grid(grid, filename) -> None:
             grid.cell_type,
             grid.locate_mode,
             "x".join(str(s) for s in grid.bin_shape),
+            str(grid.kd_max_depth),
         ]
     )
     w.add_entry("ugrid_header", np.zeros(1, dtype=np.int32), meta)
-    for name in _ARRAY_FIELDS:
-        arr = np.asarray(getattr(grid, name))
+    fields = _ARRAY_FIELDS + ["kd_node_points", "kd_node_ids"]
+    for name in fields:
+        value = getattr(grid, name)
+        if value is None:  # optional leaves (kd-tree seed backend)
+            continue
+        arr = np.asarray(value)
         if arr.dtype == np.bool_:
             arr = arr.astype(np.int32)
-        w.add_entry(f"grid/{name}", arr, str(np.asarray(getattr(grid, name)).dtype))
+        w.add_entry(f"grid/{name}", arr, str(np.asarray(value).dtype))
     for i, nm in enumerate(grid.point_data_names):
         w.add_entry("point_data_name", np.array([i], dtype=np.int32), nm)
     for i, nm in enumerate(grid.cell_data_names):
@@ -74,8 +79,18 @@ def save_grid(grid, filename) -> None:
     w.write_to_file(filename)
 
 
-def load_grid(filename, config=None):
-    """Reload a grid saved by :func:`save_grid` — no preprocessing."""
+def load_grid(filename, config=None, dtype=None):
+    """Reload a grid saved by :func:`save_grid` — no preprocessing.
+
+    The saved float dtype is restored exactly.  Loading a float64
+    checkpoint in a session without ``jax_enable_x64`` raises instead
+    of silently downcasting (which would also corrupt the float-encoded
+    neighbor ids in the packed walk table on large grids); pass
+    ``dtype=jnp.float32`` to downcast explicitly — that path re-applies
+    ``build_grid``'s 2^24-cell float32 guard.
+    """
+    import jax
+
     from ..models.grid import UGrid
     from ..utils.config import DEFAULT_CONFIG
 
@@ -83,32 +98,61 @@ def load_grid(filename, config=None):
     ix = bf.index("ugrid_header")
     if ix < 0:
         raise ValueError(f"{filename} is not a saved UGrid container")
-    version, cell_type, locate_mode, bin_shape_s = bf.entries[ix].metadata.split(",")
-    if version != _FORMAT_VERSION:
+    parts = bf.entries[ix].metadata.split(",")
+    version, cell_type, locate_mode, bin_shape_s = parts[:4]
+    if version not in ("1", "2"):
         raise ValueError(f"Unsupported grid checkpoint version {version}")
+    kd_max_depth = int(parts[4]) if len(parts) > 4 else 0
     bin_shape = tuple(int(s) for s in bin_shape_s.split("x"))
 
-    arrays = {}
+    host_arrays = {}
     for i, e in enumerate(bf.entries):
         if e.name.startswith("grid/"):
-            arr = bf.read(i)
-            orig_dtype = e.metadata
-            if orig_dtype == "bool":
-                arr = arr.astype(bool)
-            arrays[e.name[len("grid/") :]] = jnp.asarray(arr)
+            # binda readers widen (int64/float64); restore the exact
+            # dtype recorded at save time
+            host_arrays[e.name[len("grid/") :]] = bf.read(i).astype(e.metadata)
+
+    saved_dtype = host_arrays["points"].dtype
+    target = saved_dtype if dtype is None else np.dtype(dtype)
+    if target == np.float64 and not jax.config.jax_enable_x64:
+        raise ValueError(
+            f"{filename} was saved in float64 but jax_enable_x64 is off; "
+            "enable x64 or pass dtype=jnp.float32 to downcast explicitly"
+        )
+    n_cells = host_arrays["cells"].shape[0]
+    if target == np.float32 and n_cells >= (1 << 24):
+        raise ValueError(
+            "float32 grids support up to 2^24 cells (packed walk table); "
+            "load with dtype=jnp.float64"
+        )
+
+    arrays = {}
+    for name, arr in host_arrays.items():
+        if arr.dtype.kind == "f" and arr.dtype != target:
+            arr = arr.astype(target)
+        arrays[name] = jnp.asarray(arr)
 
     def names_of(kind):
         return tuple(
             bf.entries[i].metadata for i in bf.indices(f"{kind}_name")
         )
 
+    from ..utils.config import resolve_config
+
+    config = resolve_config(
+        config or DEFAULT_CONFIG,
+        target,
+        host_arrays["rmin"],
+        host_arrays["rmax"],
+    )
     return UGrid(
         **arrays,
         cell_type=cell_type,
         bin_shape=bin_shape,
+        kd_max_depth=kd_max_depth,
         point_data_names=names_of("point_data"),
         cell_data_names=names_of("cell_data"),
         icell_data_names=names_of("icell_data"),
         locate_mode=locate_mode,
-        config=config or DEFAULT_CONFIG,
+        config=config,
     )

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops import geometry
-from ..utils.config import DEFAULT_CONFIG, IUConfig
+from ..utils.config import DEFAULT_CONFIG, IUConfig, resolve_config
 
 UNDEFINED_NAME = "UNDEFINED_NAME"
 
@@ -50,10 +50,13 @@ UNDEFINED_NAME = "UNDEFINED_NAME"
         "bin_inv_h",
         "bin_pack",
         "walk_table",
+        "kd_node_points",
+        "kd_node_ids",
     ],
     meta_fields=[
         "cell_type",
         "bin_shape",
+        "kd_max_depth",
         "point_data_names",
         "cell_data_names",
         "icell_data_names",
@@ -91,9 +94,15 @@ class UGrid:
     # volume, zero padded. One 512-byte row gather per walk step
     # serves the hop AND the final interpolation geometry.
     walk_table: Any = None
+    # Optional kd-tree over cell centers (seed_mode="kdtree"): implicit
+    # left-balanced node layout (ops.kdtree), giving kdtree2-equivalent
+    # exact nearest-center cold seeds (:272-288)
+    kd_node_points: Any = None  # (n_cells, 3)
+    kd_node_ids: Any = None  # (n_cells,) int32 cell id per tree node
     # --- static metadata -----------------------------------------------------
     cell_type: str = "triangle"
     bin_shape: tuple = (1, 1, 1)
+    kd_max_depth: int = 0  # static traversal stack bound
     point_data_names: tuple = ()
     cell_data_names: tuple = ()
     icell_data_names: tuple = ()
@@ -254,6 +263,21 @@ def build_grid(
     if locate_mode not in ("bruteforce", "walk"):
         raise ValueError(f"Unknown locate_mode {locate_mode!r}")
 
+    # Dtype/domain-scaled inside tolerance (repo invariant: scale every
+    # epsilon to the dtype)
+    config = resolve_config(config, dtype, rmin, rmax)
+
+    if config.seed_mode not in ("bins", "kdtree"):
+        raise ValueError(f"Unknown seed_mode {config.seed_mode!r}")
+    kd_node_points = kd_node_ids = None
+    kd_max_depth = 0
+    if config.seed_mode == "kdtree":
+        from ..ops import kdtree as kdtree_mod
+
+        kd = kdtree_mod.build_kdtree(centers, dtype=dtype)
+        kd_node_points, kd_node_ids = kd.node_points, kd.node_ids
+        kd_max_depth = kd.max_depth
+
     def stack_registry(reg, n_rows, target_dtype):
         reg = reg or {}
         names = tuple(reg.keys())
@@ -287,8 +311,11 @@ def build_grid(
         walk_table=None,  # assembled on device below (no extra transfer)
         bin_rmin=jnp.asarray(bin_rmin, dtype=dtype),
         bin_inv_h=jnp.asarray(bin_inv_h, dtype=dtype),
+        kd_node_points=kd_node_points,
+        kd_node_ids=kd_node_ids,
         cell_type=cell_type,
         bin_shape=bin_shape,
+        kd_max_depth=kd_max_depth,
         point_data_names=pd_names,
         cell_data_names=cd_names,
         icell_data_names=icd_names,

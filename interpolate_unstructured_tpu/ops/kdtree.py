@@ -104,6 +104,12 @@ def nearest(tree: KdTree, r, max_iters: int | None = None):
 
     Args:
       r: (B, 3) query points.
+      max_iters: optional cap on traversal rounds.  The default
+        (2n + 2) provably covers every reachable node, so the result
+        is the exact nearest neighbor.  A smaller user-supplied cap
+        trades exactness for bounded latency: hitting it returns the
+        best candidate found so far (fine as a walk seed, which only
+        needs to be *near*).
     Returns:
       (idx, dist2): (B,) int32 original point index of the nearest
       neighbor and its squared distance.
@@ -116,7 +122,11 @@ def nearest(tree: KdTree, r, max_iters: int | None = None):
     depth = tree.max_depth
     big = jnp.asarray(np.finfo(np.float32).max, r.dtype)
     if max_iters is None:
-        max_iters = 8 * n.bit_length() * depth  # generous pruning bound
+        # Provable exactness bound: every node is pushed at most once
+        # (only its parent's single visit can push it, plus the root),
+        # so total pops <= total pushes <= 2n + 1.  Pruning exits far
+        # earlier in practice; this cap only backstops the while_loop.
+        max_iters = 2 * n + 2
 
     # Per-query stack of (node, squared plane distance at push time);
     # one extra column serves as a scratch slot for masked pushes
@@ -151,10 +161,16 @@ def nearest(tree: KdTree, r, max_iters: int | None = None):
         best_d2 = jnp.where(closer, d2, best_d2)
         best_idx = jnp.where(closer, tree.node_ids[node_c], best_idx)
 
-        # Split plane: dim cycles with depth = floor(log2(node+1));
-        # frexp is exact for integers (< 2^24), unlike a float log2
-        _, e = jnp.frexp((node + 1).astype(jnp.float32))
-        dim = (e - 1) % 3
+        # Split plane: dim cycles with depth = floor(log2(node+1)),
+        # computed in pure integer arithmetic (bit-smear + popcount —
+        # a float32 frexp would round node indices near 2^25)
+        v = node + 1
+        v = v | (v >> 1)
+        v = v | (v >> 2)
+        v = v | (v >> 4)
+        v = v | (v >> 8)
+        v = v | (v >> 16)
+        dim = (lax.population_count(v) - 1) % 3
         delta = jnp.take_along_axis(diff, dim[:, None], axis=1)[:, 0]
         near = jnp.where(delta < 0, 2 * node + 1, 2 * node + 2)
         far = jnp.where(delta < 0, 2 * node + 2, 2 * node + 1)

@@ -69,6 +69,28 @@ def _bin_seed_pack(grid, r):
     return g[:, 0].astype(jnp.int32), g[:, 1:4]
 
 
+def kd_seed(grid, r):
+    """Cold-start seed via the exact nearest cell center — the kd-tree
+    backend (seed_mode="kdtree"), matching find_nearby_cell_kdtree
+    (:272-288) / kdtree2_n_nearest semantics.
+
+    Args:
+      r: (B, 3) query positions.
+    Returns:
+      (B,) int32 seed cell indices.
+    """
+    from . import kdtree as kdtree_mod
+
+    tree = kdtree_mod.KdTree(
+        grid.kd_node_points,
+        grid.kd_node_ids,
+        grid.n_cells,
+        grid.kd_max_depth,
+    )
+    idx, _ = kdtree_mod.nearest(tree, r)
+    return idx
+
+
 def _containment_margins(grid, r):
     """margins[b, c] = min over faces k of (d[c,k] - r_b . n[c,k]).
 
@@ -176,7 +198,7 @@ def walk(grid, r0, r1, ic0, max_steps=None, i_icell_mask=None):
         mask0 = None
 
     def cond(state):
-        _, _, _, _, _, active, n = state
+        active, n = state[5], state[7]
         return jnp.any(active) & (n < max_steps)
 
     nf = grid.n_faces_per_cell
@@ -192,7 +214,7 @@ def walk(grid, r0, r1, ic0, max_steps=None, i_icell_mask=None):
         return onehot, nbr
 
     def body(state):
-        r_p, ic, prev, dist_left, status, active, n = state
+        r_p, ic, prev, dist_left, status, active, steps, n = state
         ics = jnp.maximum(ic, 0)
 
         # One packed row gather per step: TPU gathers are latency-bound
@@ -262,8 +284,9 @@ def walk(grid, r0, r1, ic0, max_steps=None, i_icell_mask=None):
         status = jnp.where(active, new_status, status)
         prev = jnp.where(active & continuing, ic, prev)
         ic = jnp.where(active & crossing, ic_next, ic)
+        steps = steps + active.astype(jnp.int32)
         n_active = active & crossing & ~out_of_domain & ~mask_changed
-        return r_p, ic, prev, dist_left, status, n_active, n + 1
+        return r_p, ic, prev, dist_left, status, n_active, steps, n + 1
 
     b = r0.shape[0]
     init = (
@@ -273,11 +296,13 @@ def walk(grid, r0, r1, ic0, max_steps=None, i_icell_mask=None):
         total,
         jnp.zeros(b, dtype=jnp.int32),
         ~degenerate,
+        jnp.zeros(b, dtype=jnp.int32),  # per-query step counter
         jnp.array(0, dtype=jnp.int32),
     )
-    r_p, ic, _, _, status, still_active, n = lax.while_loop(cond, body, init)
+    r_p, ic, _, _, status, still_active, n_steps, _ = lax.while_loop(
+        cond, body, init
+    )
     status = jnp.where(still_active, STATUS_STEP_CAP, status)
-    n_steps = jnp.broadcast_to(n, status.shape)
     return ic, r_p, n_steps, status
 
 
@@ -321,18 +346,22 @@ def get_cell(grid, r, guess=None, max_steps=None):
 
     nf = grid.n_faces_per_cell
     npc = grid.n_points_per_cell
-    if guess is None and grid.bin_pack is not None:
+    use_kd = (
+        grid.config.seed_mode == "kdtree" and grid.kd_node_points is not None
+    )
+    if guess is None and not use_kd and grid.bin_pack is not None:
         # Pure cold start: id + walk origin in one 16B-row gather
         start, r0 = _bin_seed_pack(grid, r)
     else:
+        cold = kd_seed if use_kd else bin_seed
         if guess is None:
-            start = bin_seed(grid, r)
+            start = cold(grid, r)
         else:
             # Out-of-range guesses fall back to a cold start (the
             # reference error-stops on guess > n_cells, :490; under jit
             # a graceful reseed is the batch-friendly equivalent)
             guess = jnp.where(guess >= grid.n_cells, -1, guess)
-            start = jnp.where(guess >= 0, guess, bin_seed(grid, r))
+            start = jnp.where(guess >= 0, guess, cold(grid, r))
         # Start from the center of the start cell (:429); vertex coords
         # come from the packed walk table (fast 512B-row gather)
         starts = jnp.maximum(start, 0)

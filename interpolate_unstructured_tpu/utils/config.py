@@ -39,6 +39,12 @@ class IUConfig:
     # invalid position: the step shrinks and retries (:1081-1097).
     trace_walk_max_steps: int = 128
 
+    # Cold-start seed backend: "bins" = O(1) uniform-grid seed table
+    # (TPU default); "kdtree" = exact nearest-cell-center via the
+    # stackless batched kd-tree (kdtree2-equivalent seeding quality,
+    # m_interp_unstructured.f90:272-288, at O(log n) gather cost).
+    seed_mode: str = "bins"
+
     # Bin-seed table sizing: bins ~= bins_per_cell * n_cells.
     # Finer bins give better cold-start seeds (shorter walks) at the
     # cost of seed-table memory (16 bytes/bin for the packed table).
@@ -64,6 +70,26 @@ class IUConfig:
 
 
 DEFAULT_CONFIG = IUConfig()
+
+
+def resolve_config(config: IUConfig, dtype, rmin, rmax) -> IUConfig:
+    """Scale ``eps_inside`` to the compute dtype and domain extent.
+
+    The reference's fixed 1e-10 assumes float64 with O(1) coordinates;
+    for float32 grids it sits below margin rounding noise, so near-face
+    queries would be misreported as not-found.  The resolved tolerance
+    is ``max(eps_inside, 32 * eps(dtype) * max|coord|)`` — a no-op in
+    float64 on O(1) domains (3e-14 < 1e-10), a few-ulp band in float32.
+    """
+    extent = float(
+        max(np.max(np.abs(np.asarray(rmin))), np.max(np.abs(np.asarray(rmax))))
+    )
+    eps = max(
+        config.eps_inside, 32.0 * float(np.finfo(dtype).eps) * max(extent, 1.0)
+    )
+    if eps != config.eps_inside:
+        config = dataclasses.replace(config, eps_inside=eps)
+    return config
 
 
 def tiny_distance(dtype) -> float:

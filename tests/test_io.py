@@ -36,6 +36,36 @@ def test_binda_roundtrip(tmp_path):
     assert bf.index("missing") == -1
 
 
+def test_binda_golden_byte_identity(tmp_path):
+    """The writer reproduces the committed golden container
+    byte-for-byte — catches any drift in the format (header field
+    widths, dtype strings, offsets) without needing the Fortran reader."""
+    import os
+
+    golden = os.path.join(os.path.dirname(__file__), "data", "golden.binda")
+    w = BindaWriter()
+    pts = np.array(
+        [[0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0]], dtype=np.float64
+    )
+    cells = np.array([[0, 1, 2], [0, 2, 3]], dtype=np.int32)
+    nbrs = np.array([[-1, 1, -1], [0, -1, -1]], dtype=np.int32)
+    w.add_entry("points", pts)
+    w.add_entry("cells", cells, "triangle")
+    w.add_entry("cell_neighbors", nbrs)
+    w.add_entry("point_data", pts.sum(axis=1) + 1.0, "Polynomial")
+    fn = tmp_path / "regen.binda"
+    w.write_to_file(fn)
+    with open(golden, "rb") as f:
+        want = f.read()
+    assert fn.read_bytes() == want
+
+    # And the reader parses the golden bytes back to the same arrays
+    bf = read_binda(golden)
+    np.testing.assert_array_equal(bf.read_float64(bf.index("points")), pts)
+    np.testing.assert_array_equal(bf.read_int32(bf.index("cells")), cells)
+    assert bf.entries[bf.index("cells")].metadata == "triangle"
+
+
 def test_binda_header_layout(tmp_path):
     """Byte-level layout must match the Fortran reader's expectations."""
     w = BindaWriter()
@@ -197,4 +227,47 @@ def test_grid_checkpoint_roundtrip(tmp_path, triangle_grid):
     assert bool(f.all())
     np.testing.assert_allclose(
         np.asarray(v), np.asarray(r).sum(1) + 1, atol=1e-13
+    )
+
+
+def test_grid_checkpoint_dtype_and_kdtree(tmp_path):
+    """Checkpoint restores the saved dtype exactly, downcasts only on
+    explicit request, and round-trips the kd-tree seed arrays."""
+    import jax.numpy as jnp
+    import interpolate_unstructured_tpu as iu
+    from interpolate_unstructured_tpu.io.checkpoint import load_grid, save_grid
+    from interpolate_unstructured_tpu.utils import meshgen
+    from interpolate_unstructured_tpu.utils.config import IUConfig
+
+    points, cells, neighbors = meshgen.triangle_rect_mesh(4, 4)
+    poly = points.sum(axis=1) + 1.0
+    grid = iu.build_grid(
+        points,
+        cells,
+        neighbors,
+        "triangle",
+        point_data={"Polynomial": poly},
+        locate_mode="walk",
+        config=IUConfig(seed_mode="kdtree"),
+        dtype=jnp.float64,
+    )
+    fn = tmp_path / "kd.binda"
+    save_grid(grid, fn)
+
+    g64 = load_grid(fn)
+    assert g64.dtype == jnp.float64  # saved dtype restored, not ambient
+    assert g64.kd_max_depth == grid.kd_max_depth
+    np.testing.assert_array_equal(
+        np.asarray(g64.kd_node_ids), np.asarray(grid.kd_node_ids)
+    )
+
+    # Explicit downcast: float leaves cast, ints untouched, still works
+    g32 = load_grid(fn, dtype=jnp.float32)
+    assert g32.dtype == jnp.float32
+    assert g32.cells.dtype == jnp.int32
+    r = jnp.asarray([[0.5, 0.5, 0.0], [1.2, 0.8, 0.0]], dtype=jnp.float32)
+    v, _, f = iu.interpolate_scalar_at(g32, r, 0)
+    assert bool(f.all())
+    np.testing.assert_allclose(
+        np.asarray(v), np.asarray(r).sum(1) + 1, atol=1e-5
     )

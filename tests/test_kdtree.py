@@ -51,3 +51,50 @@ def test_kdtree_as_seed_backend(tetra_grid):
     assert bool(
         iu.point_is_inside_cell(grid, jnp.asarray(r), ic_kd)[ok].all()
     )
+
+
+def test_seed_mode_kdtree_matches_bins():
+    """seed_mode="kdtree" as a first-class backend: same located cells
+    and interpolated values as the default bin-table seeding on a mesh
+    large enough to use the walk path."""
+    import interpolate_unstructured_tpu as iu
+    from interpolate_unstructured_tpu.utils import meshgen
+    from interpolate_unstructured_tpu.utils.config import IUConfig
+
+    points, cells, neighbors = meshgen.triangle_rect_mesh(8, 8)
+    poly = points.sum(axis=1) + 1.0
+
+    def make(seed_mode):
+        return iu.build_grid(
+            points,
+            cells,
+            neighbors,
+            "triangle",
+            point_data={"Polynomial": poly},
+            locate_mode="walk",
+            config=IUConfig(seed_mode=seed_mode),
+        )
+
+    g_bins = make("bins")
+    g_kd = make("kdtree")
+    assert g_kd.kd_node_points is not None
+    assert g_kd.kd_max_depth > 0
+
+    rng = np.random.default_rng(11)
+    r = rng.random((500, 3)) * np.array([2.0, 2.0, 0.0])
+    r = jnp.asarray(r)
+
+    ic_b, f_b = iu.get_cell(g_bins, r)
+    ic_k, f_k = iu.get_cell(g_kd, r)
+    np.testing.assert_array_equal(np.asarray(f_b), np.asarray(f_k))
+    np.testing.assert_array_equal(np.asarray(ic_b), np.asarray(ic_k))
+
+    vals, _, found = iu.interpolate_scalar_at(g_kd, r, 0)
+    assert bool(found.all())
+    np.testing.assert_allclose(
+        np.asarray(vals), np.asarray(r.sum(axis=1) + 1.0), atol=1e-13
+    )
+
+    # Warm restarts keep working with the kd backend (guess path)
+    ic2, f2 = iu.get_cell(g_kd, r, guess=ic_k)
+    np.testing.assert_array_equal(np.asarray(ic2), np.asarray(ic_k))

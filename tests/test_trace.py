@@ -62,6 +62,41 @@ def test_trace_circular_field(circular_grid):
     np.testing.assert_allclose(yf[:, 1], ypos[:, 0], atol=1e-12)
 
 
+def test_trace_golden_quarter_circle(circular_grid):
+    """Analytic golden at tight tolerance (f64): the quarter-circle
+    trace must land on (0, 1.5) with arc length 0.75*pi to ~1e-6 —
+    the high-precision stand-in for cross-validation against the
+    unbuildable Fortran binaries (BASELINE.md)."""
+    grid, i_field = circular_grid
+    assert grid.dtype == jnp.float64
+
+    def sub_int(field, y):
+        return jnp.ones(1, dtype=y.dtype)
+
+    y0 = jnp.asarray([[1.5, 0.0, 0.0]])
+    res = integrate_along_field(
+        grid,
+        y0,
+        i_field,
+        nvar=1,
+        sub_int=sub_int,
+        min_dx=1e-9,
+        max_dx=0.05,
+        max_steps=4000,
+        rtol=1e-10,
+        atol=1e-10,
+    )
+    n = int(res.n_steps[0])
+    assert n <= 4000, "boundary not reached"
+    final = np.asarray(res.y[0, n - 1])
+    # Exit point on the x=0 wall and accumulated arc length = 0.75*pi
+    np.testing.assert_allclose(final[:2], [0.0, 1.5], atol=1e-6)
+    np.testing.assert_allclose(final[2], 0.75 * np.pi, atol=1e-6)
+    # Every accepted point sits on the radius-1.5 circle
+    rr = np.linalg.norm(np.asarray(res.y[0, :n, :2]), axis=1)
+    np.testing.assert_allclose(rr, 1.5, atol=1e-7)
+
+
 def test_trace_reverse_exits_immediately(circular_grid):
     grid, i_field = circular_grid
     # Reversed (clockwise) from (1.5, 0.1): leaves through y=0 quickly
