@@ -47,52 +47,61 @@ def get_cell_neighbors(
     _, idx = np.unique(points, axis=0, return_inverse=True)
     cells_uniq = idx.reshape(-1)[cells.reshape(-1)].reshape(cells.shape)
 
-    # Build all faces at once: (n_cells * n_vertices, n_points_face)
-    face_vertex_ids = np.stack(
-        [
-            np.stack(
-                [cells_uniq[:, (i + k) % n_vertices] for k in range(n_points_face)],
-                axis=1,
-            )
-            for i in range(n_vertices)
-        ],
-        axis=1,
-    )  # (n_cells, n_vertices, n_points_face)
-    faces = np.sort(face_vertex_ids.reshape(-1, n_points_face), axis=1)
-
-    # Group identical faces; a face shared by exactly two cells links
-    # them.  When point ids fit 21 bits, pack each sorted face into one
-    # int64 key — 1-D np.unique is ~4x faster than the row-wise sort
-    # np.unique(axis=0) does.
-    n_unique_points = int(faces.max(initial=0)) + 1
-    if n_points_face <= 3 and n_unique_points < (1 << 21):
-        keys = faces[:, 0].astype(np.int64)
-        for j in range(1, n_points_face):
-            keys = (keys << 21) | faces[:, j].astype(np.int64)
-        _, face_id, counts = np.unique(
-            keys, return_inverse=True, return_counts=True
-        )
+    # Group identical faces with ONE argsort over packed scalar keys; a
+    # run of exactly two equal keys links the pair of owner cells
+    # (convert_to_binary.py:157; degenerate >2-owner faces stay
+    # boundary, like the reference).  Keys are built column-wise with a
+    # min/max sorting network — no (C, nv, npf) materialization, no
+    # row-wise np.sort (both are scattered-access patterns this path
+    # used to spend ~80% of its time in).
+    n_unique_points = int(cells_uniq.max(initial=0)) + 1
+    if n_points_face in (2, 3) and n_unique_points < (1 << 21):
+        keys2d = np.empty((n_cells, n_vertices), dtype=np.int64)
+        for f in range(n_vertices):
+            a = cells_uniq[:, f].astype(np.int64)
+            b = cells_uniq[:, (f + 1) % n_vertices].astype(np.int64)
+            if n_points_face == 2:
+                lo = np.minimum(a, b)
+                hi = np.maximum(a, b)
+                keys2d[:, f] = (lo << 21) | hi
+            else:
+                c = cells_uniq[:, (f + 2) % n_vertices].astype(np.int64)
+                lo = np.minimum(np.minimum(a, b), c)
+                hi = np.maximum(np.maximum(a, b), c)
+                mid = a + b + c - lo - hi
+                keys2d[:, f] = (lo << 42) | (mid << 21) | hi
+        keys = keys2d.reshape(-1)
     else:
-        _, face_id, counts = np.unique(
-            faces, axis=0, return_inverse=True, return_counts=True
+        # Generic fallback: sorted face tuples via a void byte view
+        fidx = (
+            np.arange(n_vertices)[:, None]
+            + np.arange(n_points_face)[None, :]
+        ) % n_vertices
+        faces = np.sort(
+            cells_uniq[:, fidx].reshape(-1, n_points_face), axis=1
         )
-    owner_cell = np.repeat(np.arange(n_cells, dtype=np.int64), n_vertices)
+        faces_c = np.ascontiguousarray(faces)
+        keys = faces_c.view(
+            np.dtype((np.void, faces_c.dtype.itemsize * n_points_face))
+        ).reshape(-1)
 
-    order = np.argsort(face_id, kind="stable")
-    sorted_fid = face_id[order]
-    sorted_owner = owner_cell[order]
-    sorted_slot = order  # flat (cell, face-k) slot
+    order = np.argsort(keys, kind="stable")
+    sk = keys[order]
+    same_next = np.zeros(len(sk), dtype=bool)
+    same_next[:-1] = sk[:-1] == sk[1:]
+    same_prev = np.zeros(len(sk), dtype=bool)
+    same_prev[1:] = same_next[:-1]
+    run_continues = np.zeros(len(sk), dtype=bool)  # sk[i+1] == sk[i+2]
+    run_continues[:-1] = same_next[1:]
+    pos = np.flatnonzero(same_next & ~same_prev & ~run_continues)
 
     neighbors = np.full((n_cells, n_vertices), -1, dtype=np.int32)
-    # Positions where a face id repeats: pairs of adjacent rows share a face.
-    same_as_next = np.flatnonzero(sorted_fid[:-1] == sorted_fid[1:])
-    # Only faces with exactly 2 owners produce adjacency (counts check
-    # matches convert_to_binary.py:157, excluding degenerate >2-owner faces)
-    valid = counts[sorted_fid[same_as_next]] == 2
-    pos = same_as_next[valid]
     flat = neighbors.reshape(-1)
-    flat[sorted_slot[pos]] = sorted_owner[pos + 1]
-    flat[sorted_slot[pos + 1]] = sorted_owner[pos]
+    # order[] is the flat (cell * n_vertices + face_k) slot of each face
+    slot_a = order[pos]
+    slot_b = order[pos + 1]
+    flat[slot_a] = slot_b // n_vertices
+    flat[slot_b] = slot_a // n_vertices
     return neighbors
 
 

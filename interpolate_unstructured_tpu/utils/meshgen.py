@@ -83,40 +83,32 @@ def tet_box_mesh(nx: int, ny: int, nz: int, extent=(1.0, 1.0, 1.0)):
     gx, gy, gz = np.meshgrid(xs, ys, zs, indexing="ij")
     points = np.stack([gx.ravel(), gy.ravel(), gz.ravel()], axis=1)
 
-    def vid(i, j, k):
-        return (i * (ny + 1) + j) * (nz + 1) + k
-
+    # Flat vertex id of each cube's (0,0,0) corner + per-axis strides
+    strides = np.array([(ny + 1) * (nz + 1), nz + 1, 1], dtype=np.int64)
     i, j, k = np.meshgrid(
         np.arange(nx), np.arange(ny), np.arange(nz), indexing="ij"
     )
-    i, j, k = i.ravel(), j.ravel(), k.ravel()
+    base = (
+        i.ravel() * strides[0] + j.ravel() * strides[1] + k.ravel()
+    ).astype(np.int64)
 
     cells = []
-    eye = np.eye(3, dtype=np.int64)
     for perm in itertools.permutations(range(3)):
-        # Path from corner (0,0,0) to (1,1,1) through axis order `perm`
-        c = np.stack([i, j, k], axis=1)
-        verts = [c.copy()]
-        for ax in perm:
-            c = c + eye[ax]
-            verts.append(c.copy())
-        tet = np.stack(
-            [vid(v[:, 0], v[:, 1], v[:, 2]) for v in verts], axis=1
+        # Path from corner (0,0,0) to (1,1,1) through axis order `perm`:
+        # vertex offsets are prefix sums of the axis strides, so the
+        # whole permutation block is one broadcast add over `base`
+        offs = np.concatenate([[0], np.cumsum(strides[list(perm)])])
+        tet = base[:, None] + offs[None, :]  # (n_cubes, 4)
+        # All cubes are congruent and axis-aligned: orientation is a
+        # per-permutation constant — test one representative tet and
+        # swap two vertices for the whole block when negative
+        p = points[tet[0]]
+        vol = np.dot(
+            p[1] - p[0], np.cross(p[2] - p[0], p[3] - p[0])
         )
+        if vol < 0:
+            tet = tet[:, [0, 1, 3, 2]]
         cells.append(tet)
     cells = np.concatenate(cells, axis=0)
-
-    # Fix orientation: swap two vertices where the signed volume is negative
-    p = points[cells]
-    vol = np.einsum(
-        "ci,ci->c",
-        p[:, 1] - p[:, 0],
-        np.cross(p[:, 2] - p[:, 0], p[:, 3] - p[:, 0]),
-    )
-    flip = vol < 0
-    cells[flip, 2], cells[flip, 3] = (
-        cells[flip, 3].copy(),
-        cells[flip, 2].copy(),
-    )
     neighbors = get_cell_neighbors(cells, points, 3)
     return points, cells, neighbors
