@@ -33,6 +33,9 @@ def main():
 
     from interpolate_unstructured_tpu import build_grid, interpolate_scalar_at
     from interpolate_unstructured_tpu.utils import meshgen
+    from interpolate_unstructured_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
 
     n_samples = 1_000_000
 

@@ -231,6 +231,10 @@ def main():
     ap.add_argument("--small", action="store_true", help="quick shapes")
     args = ap.parse_args()
 
+    from interpolate_unstructured_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
+
     import tempfile
 
     tmpdir = tempfile.mkdtemp()

@@ -145,7 +145,7 @@ def point_is_inside_cell(grid, r, i_cell):
     return (margin >= -grid.config.eps_inside) & (i_cell >= 0)
 
 
-def walk(grid, r0, r1, ic0, max_steps=None, i_icell_mask=None):
+def walk(grid, r0, r1, ic0, max_steps=None, i_icell_mask=None, table=None):
     """Batched neighbor walk from r0 (inside cell ic0) towards r1.
 
     Vectorization of iu_get_cell_through_neighbors +
@@ -160,6 +160,11 @@ def walk(grid, r0, r1, ic0, max_steps=None, i_icell_mask=None):
       max_steps: static int step cap (reference walks unbounded, :431).
       i_icell_mask: optional static int; stop when
         icell_data[:, mask] changes vs the start cell (:712-719).
+      table: optional packed per-cell row table to gather from instead
+        of ``grid.walk_table``; must share its leading
+        ``normals | offsets | neighbors`` column layout (the tracer
+        passes a fused table whose rows also carry the field's vertex
+        values so its interpolation reuses the same gather width).
 
     Returns:
       ic1: (B,) final cell (negative if walked out of the domain)
@@ -170,6 +175,8 @@ def walk(grid, r0, r1, ic0, max_steps=None, i_icell_mask=None):
     """
     if max_steps is None:
         max_steps = grid.config.max_walk_steps
+    if table is None:
+        table = grid.walk_table
     ic0 = jnp.asarray(ic0, jnp.int32)
     dtype = r0.dtype
     tiny = tiny_distance(dtype)
@@ -220,7 +227,7 @@ def walk(grid, r0, r1, ic0, max_steps=None, i_icell_mask=None):
         # One packed row gather per step: TPU gathers are latency-bound
         # and fastest at 512-byte rows, so normals | offsets | neighbor
         # ids (| cell points | volume) travel together
-        g = grid.walk_table[ics]  # (B, row_width)
+        g = table[ics]  # (B, row_width)
         normals = g[:, : nf * 3].reshape(-1, nf, 3)
         offs = g[:, nf * 3 : nf * 4]
         nbrs = g[:, nf * 4 : nf * 5].astype(jnp.int32)  # exact: |id| < 2^24

@@ -79,6 +79,8 @@ class TraceResult(NamedTuple):
 class _State(NamedTuple):
     y_buf: Any
     yf_buf: Any
+    anchor: Any  # (B, ndim+nvar) current accepted state (== y_buf[n_idx])
+    field_a: Any  # (B, ndim) field at the anchor (== yf_buf[n_idx])
     n_idx: Any  # index of last accepted point (n_steps-1)
     i_cell_prev: Any
     dx: Any
@@ -91,6 +93,39 @@ class _State(NamedTuple):
 
 def _default_sub_int(field, y):
     return jnp.zeros((0,), dtype=y.dtype)
+
+
+def _build_trace_table(grid, i_field):
+    """Fused per-cell row table for the tracer: the walk-table layout
+    (face normals | offsets | neighbor ids) extended with the cell
+    geometry AND the traced field's vertex values, padded to the
+    512-byte fast-gather width.
+
+    One row gather after each RK sub-walk then serves the *entire*
+    interpolation (iu_interpolate_at_icell, :497-527) — the generic
+    path's three separate gathers (walk row, connectivity, point data)
+    collapse into none.  Assembled on device once per trace call;
+    C-sized assembly is cheap next to the per-iteration B-sized gathers.
+    """
+    n_cells = grid.n_cells
+    nf = grid.n_faces_per_cell
+    npc = grid.n_points_per_cell
+    dtype = grid.dtype
+    pd = grid.point_data[:, i_field]  # (P, ndim)
+    cols = jnp.concatenate(
+        [
+            grid.face_normals.reshape(n_cells, nf * 3),
+            grid.face_offsets,
+            grid.neighbors.astype(dtype),
+            grid.cell_points.reshape(n_cells, npc * 3),
+            grid.cell_volume[:, None],
+            pd[grid.cells].reshape(n_cells, npc * pd.shape[1]),
+        ],
+        axis=1,
+    )
+    row_width = 512 // jnp.dtype(dtype).itemsize
+    pad = max(row_width, cols.shape[1]) - cols.shape[1]
+    return jnp.pad(cols, ((0, 0), (0, pad)))
 
 
 def integrate_along_field(
@@ -156,7 +191,6 @@ def integrate_along_field(
     shrink_eps = _shrink_eps(dtype)
 
     b = y0.shape[0]
-    rows = jnp.arange(b)
 
     def pad3(r_nd):
         """(B, ndim) -> (B, 3) with zero-filled unused coords (:1042)."""
@@ -181,27 +215,44 @@ def integrate_along_field(
         masked = grid.icell_data[jnp.maximum(ic, 0), i_icell_mask]
         return jnp.where(ic < 0, -1, masked.astype(jnp.int32))
 
-    def rk_stage(anchor, k_prev, coeff, ic_start, r0, ok):
-        """One batched walk+interpolate sub-step; lanes with ``ok``
+    trace_table = _build_trace_table(grid, i_field)
+    nf = grid.n_faces_per_cell
+    npc = grid.n_points_per_cell
+    _cp_off = nf * 5
+    _vol_off = _cp_off + npc * 3
+    _fv_off = _vol_off + 1
+
+    def rk_stage(anchor, k_prev, coeff, r_start, ic_start, ok):
+        """One batched walk+interpolate sub-step.  Lanes with ``ok``
         False aim at their own start, making the walk a degenerate
-        no-op (tiny-distance short circuit, :689-692)."""
+        no-op (tiny-distance short circuit, :689-692).  The walk starts
+        from the *previous sub-step's* end point and cell (the
+        reference threads i_cell between sub-steps the same way,
+        :1122-1150) — sub-step targets are ~0.25*dx apart, so carried
+        starts walk far fewer faces than restarting from the anchor.
+        After the walk, ONE fused-row gather yields geometry + field
+        vertex values for the interpolation."""
         ys = anchor + coeff[:, None] * k_prev
         r3 = clamp_axi(pad3(ys[:, :ndim]))
-        tgt = jnp.where(ok[:, None], r3, r0)
+        tgt = jnp.where(ok[:, None], r3, r_start)
         ic, r_p, _, st = locate.walk(
             grid,
-            r0,
+            r_start,
             tgt,
             ic_start,
             max_steps=grid.config.trace_walk_max_steps,
             i_icell_mask=i_icell_mask,
+            table=trace_table,
         )
         failed = ok & (st != 0)
-        field = interp.interpolate_at_icell(
-            grid, tgt, i_field, jnp.maximum(ic, 0)
-        )
+        g = trace_table[jnp.maximum(ic, 0)]
+        cp = g[:, _cp_off:_vol_off].reshape(-1, npc, 3)
+        vol = g[:, _vol_off]
+        w = interp._weights_from_geometry(grid.cell_type, cp, vol, tgt)
+        vv = g[:, _fv_off : _fv_off + npc * ndim].reshape(-1, npc, ndim)
+        field = (w[:, :, None] * vv).sum(axis=1)
         k = jnp.concatenate([unitvec(field), sub_int_b(field, ys)], axis=1)
-        return ys, field, k, ic, r_p, failed
+        return ys, field, k, ic, r_p, tgt, failed
 
     # ---- initialization (:1045-1073) -------------------------------------
     r0_3 = pad3(y0[:, :ndim])
@@ -232,6 +283,8 @@ def integrate_along_field(
     init = _State(
         y_buf=y_buf,
         yf_buf=yf_buf,
+        anchor=y0,
+        field_a=jnp.where(in_region[:, None], field0, 0.0),
         n_idx=jnp.zeros(b, jnp.int32),
         i_cell_prev=ic0,
         dx=jnp.full(b, max_dx, dtype),
@@ -242,9 +295,18 @@ def integrate_along_field(
         boundary_material=start_bm,
     )
 
-    def take_row(buf, idx):
-        """(B, S, D) rows at per-lane idx without a slow gather path."""
-        return jnp.take_along_axis(buf, idx[:, None, None], axis=1)[:, 0]
+    # Buffer writes as one-hot selects over the step axis: a per-lane
+    # dynamic scatter (.at[rows, idx].set) lowers to a serialized
+    # per-row path that costs ~10ms per iteration at 64k lanes — 4x the
+    # three walks combined; the masked full-buffer rewrite is
+    # bandwidth-bound and ~10x cheaper.  The current anchor state rides
+    # the loop carry, so the matching per-lane *gather* disappears
+    # entirely.
+    step_iota = lax.broadcasted_iota(jnp.int32, (1, max_steps + 1), 1)
+
+    def write_rows(buf, idx, write, values):
+        sel = (step_iota == idx[:, None]) & write[:, None]
+        return jnp.where(sel[:, :, None], values[:, None, :], buf)
 
     def cond(carry):
         it, s = carry
@@ -253,8 +315,8 @@ def integrate_along_field(
     def body(carry):
         it, s = carry
         act = ~s.done
-        anchor = take_row(s.y_buf, s.n_idx)  # (B, ndim+nvar)
-        field_a = take_row(s.yf_buf, s.n_idx)
+        anchor = s.anchor  # (B, ndim+nvar)
+        field_a = s.field_a
         r0 = pad3(anchor[:, :ndim])
         dx = s.dx
 
@@ -264,18 +326,25 @@ def integrate_along_field(
         )
 
         ok = act
-        _, _, k2, ic2, rp2, f2 = rk_stage(
-            anchor, k1, 0.5 * dx, s.i_cell_prev, r0, ok
+        _, _, k2, ic2, rp2, tgt2, f2 = rk_stage(
+            anchor, k1, 0.5 * dx, r0, s.i_cell_prev, ok
         )
         ok = ok & ~f2
-        _, _, k3, ic3, rp3, f3 = rk_stage(
-            anchor, k2, 0.75 * dx, s.i_cell_prev, r0, ok
+        # Carry the sub-step end point/cell into the next walk (the
+        # reference's i_cell threading, :1122-1150); failed/done lanes
+        # keep the anchor start, which their degenerate walk ignores
+        start3 = jnp.where(ok[:, None], tgt2, r0)
+        ics3 = jnp.where(ok, ic2, s.i_cell_prev)
+        _, _, k3, ic3, rp3, tgt3, f3 = rk_stage(
+            anchor, k2, 0.75 * dx, start3, ics3, ok
         )
         ok = ok & ~f3
         # 3rd-order update + 4th sub-step at the updated point (:1144-1156)
         k123 = (2.0 * k1 + 3.0 * k2 + 4.0 * k3) / 9.0
-        ys3, field4, k4, ic4, rp4, f4 = rk_stage(
-            anchor, k123, dx, s.i_cell_prev, r0, ok
+        start4 = jnp.where(ok[:, None], tgt3, r0)
+        ics4 = jnp.where(ok, ic3, s.i_cell_prev)
+        ys3, field4, k4, ic4, rp4, _, f4 = rk_stage(
+            anchor, k123, dx, start4, ics4, ok
         )
         ok = ok & ~f4
 
@@ -309,11 +378,11 @@ def integrate_along_field(
         n_new = jnp.where(accept, s.n_idx + 1, s.n_idx)
         overflow = accept & (n_new >= max_steps)
         write = accept & ~overflow
-        # Non-writers scatter into the scratch row (index max_steps)
-        w_idx = jnp.where(write, n_new, max_steps)
         ys_store = clamp_axi_y(ys3)
-        y_buf = s.y_buf.at[rows, w_idx].set(ys_store)
-        yf_buf = s.yf_buf.at[rows, w_idx].set(field4)
+        y_buf = write_rows(s.y_buf, n_new, write, ys_store)
+        yf_buf = write_rows(s.yf_buf, n_new, write, field4)
+        anchor_new = jnp.where(write[:, None], ys_store, s.anchor)
+        field_new = jnp.where(write[:, None], field4, s.field_a)
         i_cell_prev = jnp.where(accept, ic4, s.i_cell_prev)
 
         # ---- step-size control (:1178-1188) ----
@@ -340,6 +409,8 @@ def integrate_along_field(
             _State(
                 y_buf=y_buf,
                 yf_buf=yf_buf,
+                anchor=anchor_new,
+                field_a=field_new,
                 n_idx=jnp.where(write, n_new, s.n_idx),
                 i_cell_prev=i_cell_prev,
                 dx=dx_new,
