@@ -7,35 +7,112 @@ Protocol parity with the reference benchmark (benchmark.f90:14-69):
 * pass 1: all guesses cold (i_cell unset) -> seeded point location,
 * pass 2: points advected by 0.01*min(domain)*velocity, warm guesses.
 
+Beyond the reference protocol the JSON line also reports the hard
+numbers the tiny mesh cannot probe:
+* ``large_mesh_cold_qps`` — 10M cold queries against a ~1M-cell tet
+  mesh through the per-bin candidate path (the grid round-trips through
+  save_grid/load_grid, proving the checkpoint path at scale), and
+* ``warm_walk_qps`` — the warm pass on a walk-mode grid, so the
+  guess-seeded neighbor walk itself is exercised (in brute-force mode
+  cold and warm share one code path and the warm row says nothing).
+
 Timing method: the remote-tunnel TPU backend adds ~25ms fixed per-call
 transport latency and its block_until_ready is unreliable, so each
 measurement chains n dependent passes inside one jitted fori_loop and
 fetches a dependent scalar; (t[n1]-t[n0])/(n1-n0) is honest device
 time.  This mirrors steady-state production throughput where queries
-stream through the device.
+stream through the device.  Grids and guesses are jit ARGUMENTS (never
+closures): closed-over device arrays ship as constants through the
+remote-compile tunnel and overflow its request limit.  The warm pass
+chains each iteration's located cells into the next iteration's
+guesses.
 
-Prints ONE JSON line; the headline metric is cold queries/sec/chip.
-``vs_baseline`` is measured against BASELINE.json's stated target of
-1e8 cold queries/sec (the reference publishes no numbers — BASELINE.md).
+Prints ONE JSON line; the headline metric is cold queries/sec/chip on
+the reference protocol.  ``vs_baseline`` is measured against
+BASELINE.json's stated target of 1e8 cold queries/sec (the reference
+publishes no numbers — BASELINE.md).
 """
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
 
+LARGE_N_SIDE = 55  # ~998k tets
+LARGE_N_QUERIES = 10_000_000
+CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "benchmarks", "cache")
 
-def main():
+
+def chain_time(grid, r0, guess=None, n0=1, n1=101):
+    """Device time per pass via chained dependent passes.
+
+    min-of-5 per point and a wide n1-n0 span keep the ~25 ms
+    per-call transport jitter out of the difference.
+    """
     import jax
     import jax.numpy as jnp
     from jax import lax
 
+    from interpolate_unstructured_tpu import interpolate_scalar_at
+
+    if guess is None:
+
+        @jax.jit
+        def chain(grid, r, n):
+            def body(i, carry):
+                r, acc = carry
+                vals, ic, found = interpolate_scalar_at(
+                    grid, r, 0, fill_value=0.0
+                )
+                # tiny dependent perturbation defeats loop hoisting
+                return (r + 1e-12 * vals[:, None], acc + vals[0])
+
+            _, acc = lax.fori_loop(0, n, body, (r, jnp.zeros((), grid.dtype)))
+            return acc
+
+        args = (grid, r0)
+    else:
+
+        @jax.jit
+        def chain(grid, r, guess, n):
+            def body(i, carry):
+                r, g, acc = carry
+                vals, ic, found = interpolate_scalar_at(
+                    grid, r, 0, guess=g, fill_value=0.0
+                )
+                # chain the located cells into the next pass's guesses
+                return (r + 1e-12 * vals[:, None], ic, acc + vals[0])
+
+            _, _, acc = lax.fori_loop(
+                0, n, body, (r, guess, jnp.zeros((), grid.dtype))
+            )
+            return acc
+
+        args = (grid, r0, guess)
+
+    float(chain(*args, n0))  # compile + warm
+
+    def timed(n):
+        best = float("inf")
+        for _ in range(5):
+            t0 = time.perf_counter()
+            float(chain(*args, n))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    return max((timed(n1) - timed(n0)) / (n1 - n0), 1e-9)
+
+
+def toy_protocol():
+    """The reference benchmark protocol (benchmark.f90): 8-cell mesh."""
+    import jax
+    import jax.numpy as jnp
+
     from interpolate_unstructured_tpu import build_grid, interpolate_scalar_at
     from interpolate_unstructured_tpu.utils import meshgen
-    from interpolate_unstructured_tpu.utils.cache import enable_compile_cache
-
-    enable_compile_cache()
 
     n_samples = 1_000_000
 
@@ -43,9 +120,10 @@ def main():
     # each split into 2 triangles (9 points / 8 cells)
     points, cells, neighbors = meshgen.triangle_rect_mesh(2, 2)
     poly = points.sum(axis=1) + 1.0
-    grid = build_grid(
-        points, cells, neighbors, "triangle",
-        point_data={"Polynomial": poly},
+    kw = dict(point_data={"Polynomial": poly})
+    grid = build_grid(points, cells, neighbors, "triangle", **kw)
+    grid_walk = build_grid(
+        points, cells, neighbors, "triangle", locate_mode="walk", **kw
     )
 
     rng = np.random.default_rng(2024)
@@ -63,40 +141,6 @@ def main():
     r_dev = jnp.asarray(r, dtype=grid.dtype)
     r_warm_dev = jnp.asarray(r_warm, dtype=grid.dtype)
 
-    def chain_time(r0, guess, n0=1, n1=101):
-        """Device time per 1M-query pass via chained dependent passes.
-
-        min-of-5 per point and a wide n1-n0 span keep the ~25 ms
-        per-call transport jitter out of the difference.
-        """
-
-        @jax.jit
-        def chain(grid, r, n):
-            def body(i, carry):
-                r, acc = carry
-                vals, ic, found = interpolate_scalar_at(
-                    grid, r, 0, guess=guess, fill_value=0.0
-                )
-                # tiny dependent perturbation defeats loop hoisting
-                return (r + 1e-12 * vals[:, None], acc + vals[0])
-
-            _, acc = lax.fori_loop(
-                0, n, body, (r, jnp.zeros((), grid.dtype))
-            )
-            return acc
-
-        float(chain(grid, r0, n0))  # compile + warm
-
-        def timed(n):
-            best = float("inf")
-            for _ in range(5):
-                t0 = time.perf_counter()
-                float(chain(grid, r0, n))
-                best = min(best, time.perf_counter() - t0)
-            return best
-
-        return max((timed(n1) - timed(n0)) / (n1 - n0), 1e-9)
-
     # Correctness gate before timing
     vals, i_cell, found = jax.jit(
         lambda g, r: interpolate_scalar_at(g, r, 0)
@@ -104,16 +148,105 @@ def main():
     assert bool(found.all()), "all samples lie inside the mesh"
     err = float(jnp.max(jnp.abs(vals - (r_dev.sum(1) + 1.0))))
 
-    t_cold = chain_time(r_dev, None)
-    t_warm = chain_time(r_warm_dev, i_cell)
+    t_cold = chain_time(grid, r_dev)
+    t_warm = chain_time(grid, r_warm_dev, guess=i_cell)
+    # Same warm protocol on the walk-mode grid: the guess-seeded
+    # neighbor walk is the code under test here
+    t_warm_walk = chain_time(grid_walk, r_warm_dev, guess=i_cell)
 
-    cold_qps = n_samples / t_cold
-    warm_qps = n_samples / t_warm
+    return {
+        "cold_qps": n_samples / t_cold,
+        "warm_qps": n_samples / t_warm,
+        "warm_walk_qps": n_samples / t_warm_walk,
+        "max_err": err,
+        "device": jax.devices()[0].device_kind,
+        "dtype": str(grid.dtype),
+    }
+
+
+def large_mesh():
+    """10M cold queries on a ~1M-cell tet mesh (candidate-bin path).
+
+    The grid is built once and round-tripped through save_grid /
+    load_grid, proving the checkpoint path at scale and amortizing the
+    host preprocessing across driver rounds.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from interpolate_unstructured_tpu import (
+        build_grid,
+        interpolate_scalar_at,
+    )
+    from interpolate_unstructured_tpu.io.checkpoint import load_grid, save_grid
+    from interpolate_unstructured_tpu.utils import meshgen
+
+    os.makedirs(CACHE_DIR, exist_ok=True)
+    dtype_tag = "f64" if jax.config.jax_enable_x64 else "f32"
+    cache = os.path.join(
+        CACHE_DIR, f"tet{LARGE_N_SIDE}_{dtype_tag}.binda"
+    )
+    t0 = time.perf_counter()
+    if os.path.exists(cache):
+        grid = load_grid(cache)
+        prep_s = time.perf_counter() - t0
+        prep_kind = "load_grid"
+    else:
+        points, cells, neighbors = meshgen.tet_box_mesh(
+            LARGE_N_SIDE, LARGE_N_SIDE, LARGE_N_SIDE
+        )
+        grid = build_grid(
+            points, cells, neighbors, "tetra",
+            point_data={"Polynomial": points.sum(axis=1) + 1.0},
+            locate_mode="walk",
+        )
+        save_grid(grid, cache)
+        prep_s = time.perf_counter() - t0
+        prep_kind = "build_grid+save"
+
+    rng = np.random.default_rng(2)
+    r = jnp.asarray(rng.random((LARGE_N_QUERIES, 3)), grid.dtype)
+
+    # Correctness gate: linear exactness + full found-ness on a slice
+    vals, ic, found = jax.jit(
+        lambda g, r: interpolate_scalar_at(g, r, 0, fill_value=0.0)
+    )(grid, r[:1_000_000])
+    f = np.asarray(found)
+    assert f.all(), "all samples lie inside the unit box"
+    err = float(
+        np.abs(
+            np.asarray(vals) - (np.asarray(r[:1_000_000]).sum(1) + 1.0)
+        ).max()
+    )
+    tol = 1e-12 if grid.dtype == jnp.float64 else 5e-5
+    assert err < tol, f"linear exactness broke: {err}"
+
+    t_cold = chain_time(grid, r, n0=1, n1=6)
+    return {
+        "large_mesh_cold_qps": LARGE_N_QUERIES / t_cold,
+        "large_mesh_cells": grid.n_cells,
+        "large_mesh_prep_s": prep_s,
+        "large_mesh_prep": prep_kind,
+        "large_mesh_max_err": err,
+    }
+
+
+def main():
+    from interpolate_unstructured_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
+
+    toy = toy_protocol()
+    big = large_mesh()
 
     print(
-        f"# device={jax.devices()[0].device_kind} dtype={grid.dtype} "
-        f"cold={t_cold * 1e3:.3f}ms ({cold_qps:.3e} q/s) "
-        f"warm={t_warm * 1e3:.3f}ms ({warm_qps:.3e} q/s) max_err={err:.2e}",
+        f"# device={toy['device']} dtype={toy['dtype']} "
+        f"cold={toy['cold_qps']:.3e} q/s warm={toy['warm_qps']:.3e} q/s "
+        f"warm_walk={toy['warm_walk_qps']:.3e} q/s "
+        f"max_err={toy['max_err']:.2e} | large-mesh "
+        f"({big['large_mesh_cells']} cells) "
+        f"cold={big['large_mesh_cold_qps']:.3e} q/s "
+        f"prep={big['large_mesh_prep_s']:.1f}s ({big['large_mesh_prep']})",
         file=sys.stderr,
     )
 
@@ -121,9 +254,14 @@ def main():
         json.dumps(
             {
                 "metric": "cold_interpolation_queries_per_sec_per_chip",
-                "value": cold_qps,
+                "value": toy["cold_qps"],
                 "unit": "queries/s",
-                "vs_baseline": cold_qps / 1e8,
+                "vs_baseline": toy["cold_qps"] / 1e8,
+                "warm_qps": toy["warm_qps"],
+                "warm_walk_qps": toy["warm_walk_qps"],
+                "large_mesh_cold_qps": big["large_mesh_cold_qps"],
+                "large_mesh_cells": big["large_mesh_cells"],
+                "large_mesh_vs_baseline": big["large_mesh_cold_qps"] / 1e8,
             }
         )
     )

@@ -22,7 +22,7 @@ import numpy as np
 
 from .binda import BindaWriter, read_binda
 
-_FORMAT_VERSION = "2"  # v2 adds optional kd-tree seed arrays + depth
+_FORMAT_VERSION = "3"  # v3 adds optional per-bin candidate tables
 
 # UGrid array leaves stored verbatim (name -> attribute)
 _ARRAY_FIELDS = [
@@ -43,7 +43,21 @@ _ARRAY_FIELDS = [
     "bin_rmin",
     "bin_inv_h",
     "bin_pack",
-    "walk_table",
+]
+
+# Optional leaves: stored when present, reconstructed/None otherwise.
+# The packed derived tables (walk_table, cand_table) are NOT stored —
+# they are assembled on device from the arrays above at load time
+# (models.grid._build_walk_table/_build_cand_table), saving ~1.5 GB of
+# checkpoint size per million-cell grid.  Old checkpoints that do carry
+# a grid/walk_table entry still load (it is simply used as saved).
+_OPTIONAL_FIELDS = [
+    "kd_node_points",
+    "kd_node_ids",
+    "cand_ids",
+    "cand_count",
+    "cand_rmin",
+    "cand_inv_h",
 ]
 
 
@@ -58,10 +72,11 @@ def save_grid(grid, filename) -> None:
             grid.locate_mode,
             "x".join(str(s) for s in grid.bin_shape),
             str(grid.kd_max_depth),
+            "x".join(str(s) for s in grid.cand_shape),
         ]
     )
     w.add_entry("ugrid_header", np.zeros(1, dtype=np.int32), meta)
-    fields = _ARRAY_FIELDS + ["kd_node_points", "kd_node_ids"]
+    fields = _ARRAY_FIELDS + _OPTIONAL_FIELDS
     for name in fields:
         value = getattr(grid, name)
         if value is None:  # optional leaves (kd-tree seed backend)
@@ -100,10 +115,15 @@ def load_grid(filename, config=None, dtype=None):
         raise ValueError(f"{filename} is not a saved UGrid container")
     parts = bf.entries[ix].metadata.split(",")
     version, cell_type, locate_mode, bin_shape_s = parts[:4]
-    if version not in ("1", "2"):
+    if version not in ("1", "2", "3"):
         raise ValueError(f"Unsupported grid checkpoint version {version}")
     kd_max_depth = int(parts[4]) if len(parts) > 4 else 0
     bin_shape = tuple(int(s) for s in bin_shape_s.split("x"))
+    cand_shape = (
+        tuple(int(s) for s in parts[5].split("x"))
+        if len(parts) > 5
+        else (1, 1, 1)
+    )
 
     host_arrays = {}
     for i, e in enumerate(bf.entries):
@@ -145,10 +165,11 @@ def load_grid(filename, config=None, dtype=None):
         host_arrays["rmin"],
         host_arrays["rmax"],
     )
-    return UGrid(
+    grid = UGrid(
         **arrays,
         cell_type=cell_type,
         bin_shape=bin_shape,
+        cand_shape=cand_shape,
         kd_max_depth=kd_max_depth,
         point_data_names=names_of("point_data"),
         cell_data_names=names_of("cell_data"),
@@ -156,3 +177,44 @@ def load_grid(filename, config=None, dtype=None):
         locate_mode=locate_mode,
         config=config,
     )
+    if target != saved_dtype and grid.cand_ids is not None:
+        # The candidate lists were inflated by the SAVE-time dtype's
+        # inside tolerance; a coarser load dtype widens the query-side
+        # tolerance past that inflation, which could admit points into
+        # cells filtered out of their bin. Rebuild the lists from the
+        # (exact, float64) host geometry with the resolved tolerance.
+        from ..models.grid import candidate_row_capacity
+        from ..ops.geometry import NDIM_OF_CELL_TYPE, build_candidate_bins
+
+        k_max = candidate_row_capacity(cell_type, target, config)
+        cand_ids, cand_count, cand_shape, cand_rmin, cand_inv_h = (
+            build_candidate_bins(
+                host_arrays["cell_points"].astype(np.float64),
+                host_arrays["face_normals"].astype(np.float64),
+                host_arrays["face_offsets"].astype(np.float64),
+                host_arrays["rmin"].astype(np.float64),
+                host_arrays["rmax"].astype(np.float64),
+                NDIM_OF_CELL_TYPE[cell_type],
+                k_max,
+                bins_per_cell=config.cand_bins_per_cell,
+                max_bins=config.cand_max_bins,
+                eps=2.0 * config.eps_inside,
+            )
+        )
+        grid = dataclasses.replace(
+            grid,
+            cand_ids=jnp.asarray(cand_ids),
+            cand_count=jnp.asarray(cand_count),
+            cand_shape=cand_shape,
+            cand_rmin=jnp.asarray(cand_rmin, dtype=target),
+            cand_inv_h=jnp.asarray(cand_inv_h, dtype=target),
+        )
+    if grid.walk_table is None:  # build_grid always carries one
+        from ..models.grid import _build_walk_table
+
+        grid = dataclasses.replace(grid, walk_table=_build_walk_table(grid))
+    if grid.cand_ids is not None:
+        from ..models.grid import _build_cand_table
+
+        grid = dataclasses.replace(grid, cand_table=_build_cand_table(grid))
+    return grid

@@ -52,10 +52,16 @@ UNDEFINED_NAME = "UNDEFINED_NAME"
         "walk_table",
         "kd_node_points",
         "kd_node_ids",
+        "cand_ids",
+        "cand_count",
+        "cand_table",
+        "cand_rmin",
+        "cand_inv_h",
     ],
     meta_fields=[
         "cell_type",
         "bin_shape",
+        "cand_shape",
         "kd_max_depth",
         "point_data_names",
         "cell_data_names",
@@ -99,9 +105,19 @@ class UGrid:
     # exact nearest-center cold seeds (:272-288)
     kd_node_points: Any = None  # (n_cells, 3)
     kd_node_ids: Any = None  # (n_cells,) int32 cell id per tree node
+    # Per-bin candidate tables (ops.geometry.build_candidate_bins): the
+    # cells intersecting each bin, packed with their face planes into
+    # one wide fast-gather row so cold containment resolves in a single
+    # gather (ops.locate.locate_candidates).
+    cand_ids: Any = None  # (n_cand_bins, K) int32, -1 padded
+    cand_count: Any = None  # (n_cand_bins,) int32 exact intersection count
+    cand_table: Any = None  # (n_cand_bins, row_floats) packed rows
+    cand_rmin: Any = None  # (3,)
+    cand_inv_h: Any = None  # (3,)
     # --- static metadata -----------------------------------------------------
     cell_type: str = "triangle"
     bin_shape: tuple = (1, 1, 1)
+    cand_shape: tuple = (1, 1, 1)
     kd_max_depth: int = 0  # static traversal stack bound
     point_data_names: tuple = ()
     cell_data_names: tuple = ()
@@ -324,9 +340,93 @@ def build_grid(
     )
 
     grid = dataclasses.replace(grid, walk_table=_build_walk_table(grid))
-    if config.refine_bin_seeds and locate_mode == "walk":
+    # Candidate bins take over the whole cold path; an explicit
+    # seed_mode="kdtree" choice opts into kd-seeded cold walks instead
+    # (kdtree2 parity, m_interp_unstructured.f90:272-288)
+    if (
+        config.use_candidate_bins
+        and locate_mode == "walk"
+        and config.seed_mode != "kdtree"
+    ):
+        k_max = candidate_row_capacity(cell_type, dtype, config)
+        if k_max >= 1:
+            cand_ids, cand_count, cand_shape, cand_rmin, cand_inv_h = (
+                geometry.build_candidate_bins(
+                    cell_points,
+                    normals,
+                    face_offsets,
+                    rmin,
+                    rmax,
+                    ndim,
+                    k_max,
+                    bins_per_cell=config.cand_bins_per_cell,
+                    max_bins=config.cand_max_bins,
+                    # Build-side inflation strictly dominates the
+                    # query-side inside tolerance plus device rounding,
+                    # so no containing cell can be filtered out of its
+                    # bin's candidate list
+                    eps=2.0 * config.eps_inside,
+                )
+            )
+            grid = dataclasses.replace(
+                grid,
+                cand_ids=jnp.asarray(cand_ids),
+                cand_count=jnp.asarray(cand_count),
+                cand_shape=cand_shape,
+                cand_rmin=jnp.asarray(cand_rmin, dtype=dtype),
+                cand_inv_h=jnp.asarray(cand_inv_h, dtype=dtype),
+            )
+            grid = dataclasses.replace(grid, cand_table=_build_cand_table(grid))
+    if (
+        config.refine_bin_seeds
+        and locate_mode == "walk"
+        and grid.cand_table is None
+    ):
+        # Bin seeds only matter when cold starts actually walk (kd-tree
+        # mode / candidates disabled); the refinement pass costs one
+        # batched self-locate of every bin center, so skip it when the
+        # candidate tables supersede seeded cold walks.
         grid = _refine_bin_seeds(grid, centers)
     return grid
+
+
+def candidate_row_capacity(cell_type: str, dtype, config: IUConfig) -> int:
+    """Candidates per packed row: each needs nf normals (3), nf offsets
+    and its id; one trailing slot holds the bin's exact count."""
+    nf = geometry.N_POINTS_PER_CELL[cell_type]
+    per_cand = 4 * nf + 1
+    row_floats = config.cand_row_bytes // jnp.dtype(dtype).itemsize
+    return (row_floats - 1) // per_cand
+
+
+def _build_cand_table(grid: UGrid):
+    """Pack per-bin candidate rows ON DEVICE from resident face arrays:
+    for each candidate cell [face normals | face offsets | id], then the
+    bin's exact intersection count, zero-padded to ``cand_row_bytes``.
+    Invalid (padding) slots get -huge offsets so their containment
+    margin can never win."""
+    from ..utils.config import huge_distance
+
+    ids = grid.cand_ids  # (n_bins, K) int32
+    n_bins, k_max = ids.shape
+    nf = grid.n_faces_per_cell
+    dtype = grid.dtype
+    per_cand = 4 * nf + 1
+    safe = jnp.maximum(ids, 0)
+    normals = grid.face_normals[safe].reshape(n_bins, k_max, nf * 3)
+    offs = grid.face_offsets[safe]  # (n_bins, K, nf)
+    offs = jnp.where(
+        (ids >= 0)[..., None], offs, jnp.asarray(-huge_distance(dtype), dtype)
+    )
+    rows = jnp.concatenate(
+        [normals, offs, ids.astype(dtype)[..., None]], axis=-1
+    ).reshape(n_bins, k_max * per_cand)
+    rows = jnp.concatenate(
+        [rows, grid.cand_count.astype(dtype)[:, None]], axis=1
+    )
+    row_floats = grid.config.cand_row_bytes // jnp.dtype(dtype).itemsize
+    pad = max(row_floats, rows.shape[1]) - rows.shape[1]
+    return jnp.pad(rows, ((0, 0), (0, pad)))
 
 
 def _build_walk_table(grid: UGrid):

@@ -166,3 +166,178 @@ def build_bin_seed_table(
         np.asarray(rmin, dtype=np.float64),
         inv_h,
     )
+
+def _bin_grid_shape(rmin, rmax, ndim, n_bins_target):
+    """Regular bin grid over the bbox: shape, sizes, inverse sizes.
+
+    Bins are distributed across active dims proportionally to extent
+    (geometric-mean normalization); unused dims collapse to one bin.
+    """
+    extent = np.asarray(rmax, dtype=np.float64) - np.asarray(rmin, np.float64)
+    active = np.zeros(3, dtype=bool)
+    active[:ndim] = extent[:ndim] > 0
+    n_active = int(active.sum())
+    bin_shape = np.ones(3, dtype=np.int64)
+    if n_active > 0:
+        geo_mean = np.exp(np.log(extent[active]).mean())
+        per_unit = (n_bins_target ** (1.0 / n_active)) / geo_mean
+        bin_shape[active] = np.maximum(
+            1, np.round(extent[active] * per_unit).astype(np.int64)
+        )
+    h = np.where(active, extent / bin_shape, 1.0)
+    inv_h = np.where(active, 1.0 / h, 0.0)
+    return bin_shape, h, inv_h, active
+
+
+def build_candidate_bins(
+    cell_points: np.ndarray,
+    face_normals: np.ndarray,
+    face_offsets: np.ndarray,
+    rmin: np.ndarray,
+    rmax: np.ndarray,
+    ndim: int,
+    k_max: int,
+    bins_per_cell: float = 1.0,
+    max_bins: int = 1 << 21,
+    eps: float = 0.0,
+    pair_chunk: int = 1 << 23,
+):
+    """Per-bin candidate-cell lists: which cells intersect each bin of a
+    regular grid over the bounding box.
+
+    This is the build side of the one-gather cold locate: at query time
+    the bin of ``r`` is inspected and containment is tested against the
+    bin's (at most ``k_max``) candidate cells directly, so most cold
+    queries resolve with ZERO walk steps — the TPU replacement for the
+    reference's kd-tree-seed-then-walk cold path (README.md:3-6,
+    m_interp_unstructured.f90:272-288 + :664-725).
+
+    Candidate lists are *complete* unless a bin intersects more than
+    ``k_max`` cells: where ``count <= k_max``, "no candidate contains r"
+    is an exact not-found; overflowing bins keep the ``k_max`` cells
+    whose bin-center margin is largest (best bin coverage) and defer
+    unresolved queries to a neighbor walk seeded at the best candidate.
+
+    Cell-bin intersection is AABB overlap refined by the cell's face
+    planes (exact for axis-separations and face-separations; the few
+    edge-axis-only separations of the SAT are kept conservatively —
+    extra candidates cost list slots, never correctness).  All tests are
+    inflated by ``eps`` so the query-time inside tolerance can never
+    admit a point into a cell that was filtered out of its bin.
+
+    Returns:
+      cand_ids:  (n_bins, k_max) int32, -1 padded
+      cand_count: (n_bins,) int32 — the EXACT intersection count
+        (may exceed k_max; that flags overflow bins)
+      bin_shape, bin_rmin, bin_inv_h: grid params (as the seed table)
+    """
+    n_cells = len(cell_points)
+    rmin = np.asarray(rmin, dtype=np.float64)
+    n_target = min(max(int(bins_per_cell * n_cells), 1), max_bins)
+    bin_shape, h, inv_h, active = _bin_grid_shape(rmin, rmax, ndim, n_target)
+    nbx, nby, nbz = (int(s) for s in bin_shape)
+    n_bins = nbx * nby * nbz
+
+    # Cell AABBs -> bin index ranges, inflated by eps (+1 ulp guard)
+    pad = eps + 1e-300
+    lo = cell_points.min(axis=1) - pad
+    hi = cell_points.max(axis=1) + pad
+    b0 = np.clip(
+        np.floor((lo - rmin) * inv_h).astype(np.int64), 0, bin_shape - 1
+    )
+    b1 = np.clip(
+        np.floor((hi - rmin) * inv_h).astype(np.int64), 0, bin_shape - 1
+    )
+    cnt = b1 - b0 + 1  # (C, 3)
+    n_pairs_per_cell = cnt.prod(axis=1)
+    pair_end = np.cumsum(n_pairs_per_cell)
+    total_pairs = int(pair_end[-1]) if n_cells else 0
+    pair_start = pair_end - n_pairs_per_cell
+
+    half = np.where(active, 0.5 * h, 0.0)  # bin half-extent per dim
+
+    out_bin, out_cell, out_score = [], [], []
+    # Chunk over cells so pair arrays stay bounded (~pair_chunk rows)
+    c_lo = 0
+    while c_lo < n_cells:
+        c_hi = int(
+            np.searchsorted(pair_end, pair_end[c_lo] - 1 + pair_chunk, "right")
+        )
+        c_hi = max(c_hi, c_lo + 1)
+        sl = slice(c_lo, c_hi)
+        base = pair_start[c_lo]
+        p = int(pair_end[c_hi - 1] - base)
+        pc = np.repeat(
+            np.arange(c_lo, c_hi, dtype=np.int64),
+            n_pairs_per_cell[sl],
+        )
+        rank = np.arange(p, dtype=np.int64) - (pair_start[pc] - base)
+        cz = cnt[pc, 2]
+        iz = rank % cz
+        t = rank // cz
+        cy = cnt[pc, 1]
+        iy = t % cy
+        ix = t // cy
+        bx = b0[pc, 0] + ix
+        by = b0[pc, 1] + iy
+        bz = b0[pc, 2] + iz
+        pbin = (bx * nby + by) * nbz + bz
+
+        # Bin centers of each pair
+        cb = np.stack(
+            [
+                rmin[0] + (bx + 0.5) * h[0] * active[0],
+                rmin[1] + (by + 0.5) * h[1] * active[1],
+                rmin[2] + (bz + 0.5) * h[2] * active[2],
+            ],
+            axis=1,
+        )
+        if not active[2] and ndim == 2:
+            # planar meshes: probe in the mesh plane
+            cb[:, 2] = cell_points[:, :, 2].mean() if n_cells else 0.0
+
+        nrm = face_normals[pc]  # (P, nf, 3)
+        off = face_offsets[pc]  # (P, nf)
+        proj = np.einsum("pki,pi->pk", nrm, cb)  # n . bin_center
+        reach = np.abs(nrm) @ half  # (P, nf) max |n . (x - cb)| over bin
+        # Face-plane separation: whole bin strictly outside face k
+        separated = (proj - reach > off + eps).any(axis=1)
+        keep = ~separated
+        out_bin.append(pbin[keep].astype(np.int64))
+        out_cell.append(pc[keep].astype(np.int32))
+        # Rank candidates by bin-center interiority (covers-most first)
+        out_score.append(
+            (off - proj).min(axis=1)[keep].astype(np.float32)
+        )
+        c_lo = c_hi
+
+    if total_pairs:
+        pbin = np.concatenate(out_bin)
+        pcell = np.concatenate(out_cell)
+        score = np.concatenate(out_score)
+    else:
+        pbin = np.zeros(0, np.int64)
+        pcell = np.zeros(0, np.int32)
+        score = np.zeros(0, np.float32)
+
+    order = np.lexsort((-score, pbin))
+    pbin = pbin[order]
+    pcell = pcell[order]
+
+    cand_count = np.zeros(n_bins, dtype=np.int32)
+    np.add.at(cand_count, pbin, 1)
+    # rank within bin = position - first position of that bin
+    first = np.zeros(n_bins + 1, dtype=np.int64)
+    first[1:] = np.cumsum(cand_count)
+    rank_in_bin = np.arange(len(pbin), dtype=np.int64) - first[pbin]
+    keep = rank_in_bin < k_max
+
+    cand_ids = np.full((n_bins, k_max), -1, dtype=np.int32)
+    cand_ids[pbin[keep], rank_in_bin[keep]] = pcell[keep]
+    return (
+        cand_ids,
+        cand_count,
+        (nbx, nby, nbz),
+        rmin,
+        inv_h,
+    )

@@ -194,6 +194,15 @@ def walk(grid, r0, r1, ic0, max_steps=None, i_icell_mask=None, table=None):
         )
     ).astype(dtype)
 
+    # Arrival tolerance: absorbs the walk's own rounding so a target
+    # exactly ON a face can't coin-flip between "arrived" and "crossed"
+    # (points on the domain hull would randomly report as outside).
+    # Deliberately a few-ulp band like `nudge` — NOT eps_inside: at
+    # 1e-10 the tracer would accept sub-step positions measurably
+    # outside their cell, where the unsigned-area kernels lose linearity
+    # (reflection at the face, m_interp_unstructured.f90:542-549).
+    eps_arrive = 4.0 * nudge
+
     delta = r1 - r0
     total = jnp.linalg.norm(delta, axis=-1)
     degenerate = total < tiny
@@ -260,8 +269,14 @@ def walk(grid, r0, r1, ic0, max_steps=None, i_icell_mask=None, table=None):
         # Never step backwards: clamp tiny negative grazing distances
         face_dist = jnp.maximum(face_dist, 0.0)
 
+        # Arrival is eps-tolerant, consistent with the inside test: a
+        # target within eps_inside PAST the exit face still counts as
+        # arrived in the current cell (margin >= -eps there).  The
+        # reference's knife-edge `dist < remaining` (:700-704) makes
+        # points exactly ON a face a rounding coin-flip between
+        # "arrived" and "crossed out of the domain".
         new_dist_left = dist_left - face_dist
-        crossing = hit & (new_dist_left > 0)
+        crossing = hit & (new_dist_left > eps_arrive)
         out_of_domain = ic_next < 0
         if mask0 is not None:
             mask_next = grid.icell_data[jnp.maximum(ic_next, 0), i_icell_mask]
@@ -317,6 +332,126 @@ def _found_of(ic, status):
     return (status == STATUS_ARRIVED) & (ic >= 0)
 
 
+def _cand_bin_index(grid, r):
+    nbx, nby, nbz = grid.cand_shape
+    rel = (r - grid.cand_rmin) * grid.cand_inv_h
+    ij = jnp.floor(rel).astype(jnp.int32)
+    ij = jnp.clip(ij, 0, jnp.array([nbx - 1, nby - 1, nbz - 1]))
+    return (ij[:, 0] * nby + ij[:, 1]) * nbz + ij[:, 2]
+
+
+def locate_candidates(grid, r, max_steps=None):
+    """Cold containment via per-bin candidate lists: ONE wide row gather
+    answers "which cell contains r" for every query whose bin's complete
+    candidate list fits the packed row (the overwhelming majority).
+
+    This replaces seed-then-walk for cold batches: each walk step is a
+    full gather round over the batch, while the candidate row carries
+    the face planes of every cell intersecting the query's bin, so
+    containment is a branch-free VPU reduction over K candidates.
+    Queries in overflow bins (complete list > K) that match no stored
+    candidate fall back to a compacted neighbor walk seeded at the most
+    interior candidate.  Where the bin is NOT overflowing, "no candidate
+    contains r" is exact: the point is outside the mesh.
+
+    Returns (i_cell, found) with get_cell's contract.
+    """
+    cfg = grid.config
+    if max_steps is None:
+        max_steps = cfg.max_walk_steps
+    eps = cfg.eps_inside
+    nf = grid.n_faces_per_cell
+    npc = grid.n_points_per_cell
+    b = r.shape[0]
+    k_max = grid.cand_ids.shape[1]
+    per = 4 * nf + 1
+
+    def tile(rt):
+        bt = rt.shape[0]
+        g = grid.cand_table[_cand_bin_index(grid, rt)]  # (bt, row_floats)
+        rows = g[:, : k_max * per].reshape(bt, k_max, per)
+        normals = rows[..., : nf * 3].reshape(bt, k_max, nf, 3)
+        offs = rows[..., nf * 3 : nf * 4]
+        ids = rows[..., per - 1].astype(jnp.int32)  # -1 in padding slots
+        # margin[b,k] = min over faces of (off - r.n); >= -eps means
+        # inside.  Elementwise multiply-reduce on the VPU (batched tiny
+        # matmuls are catastrophically slow; see ops/interp.py).
+        proj = (normals * rt[:, None, None, :]).sum(-1)  # (bt, K, nf)
+        margins = (offs - proj).min(-1)  # (bt, K); -huge in padding
+        k_best = jnp.argmax(margins, axis=1)
+        m_best = jnp.max(margins, axis=1)
+        onehot = (
+            lax.broadcasted_iota(jnp.int32, (bt, k_max), 1)
+            == k_best[:, None]
+        )
+        id_best = jnp.sum(jnp.where(onehot, ids, 0), axis=1, dtype=jnp.int32)
+        return m_best, id_best, g[:, k_max * per]
+
+    # The gathered rows + their (bt, K, per) reshape materialize ~2.3x
+    # row_bytes per query; tile big batches so peak HBM stays bounded
+    chunk = cfg.cand_chunk_queries
+    if b <= chunk:
+        m_best, id_best, count = tile(r)
+    else:
+        pad = (-b) % chunk
+        rp = jnp.pad(r, ((0, pad), (0, 0)))
+        m_best, id_best, count = lax.map(tile, rp.reshape(-1, chunk, 3))
+        m_best = m_best.reshape(-1)[:b]
+        id_best = id_best.reshape(-1)[:b]
+        count = count.reshape(-1)[:b]
+
+    found = (m_best >= -eps) & (id_best >= 0)
+    # Overflow bins store only the K best-covering candidates; a miss
+    # there is inconclusive and must walk. Non-overflow misses are exact.
+    need_walk = ~found & (count > k_max) & (id_best >= 0)
+    ic = jnp.where(found, id_best, -1)
+
+    def walk_from_best(idx):
+        """Walk the selected queries from their best candidate's center."""
+        starts = jnp.maximum(id_best[idx], 0)
+        gw = grid.walk_table[starts]
+        cp = gw[:, nf * 5 : nf * 5 + npc * 3]
+        r0 = cp.reshape(-1, npc, 3).mean(axis=1)
+        # Finished lanes walk degenerately (r0 == r1): no-ops
+        r0 = jnp.where(need_walk[idx][:, None], r0, r[idx])
+        return walk(grid, r0, r[idx], starts, max_steps=max_steps)
+
+    n_act = jnp.sum(need_walk.astype(jnp.int32))
+    m = -(-max(1024, b // cfg.walk_compact_divisor) // 8) * 8
+    if b <= m or b < cfg.walk_compact_min_batch:
+        ic_o, _, _, st_o = walk_from_best(jnp.arange(b, dtype=jnp.int32))
+        found_o = _found_of(ic_o, st_o)
+        ic = jnp.where(need_walk, jnp.where(found_o, ic_o, -1), ic)
+        return ic, found | (need_walk & found_o)
+
+    def small_path(args):
+        ic, found = args
+        pos = jnp.cumsum(need_walk.astype(jnp.int32)) - 1
+        scatter_pos = jnp.where(need_walk, pos, m)
+        idx = (
+            jnp.zeros(m, jnp.int32)
+            .at[scatter_pos]
+            .set(jnp.arange(b, dtype=jnp.int32), mode="drop")
+        )
+        ic_o, _, _, st_o = walk_from_best(idx)
+        found_o = _found_of(ic_o, st_o) & need_walk[idx]
+        ic_o = jnp.where(found_o, ic_o, ic[idx])
+        return ic.at[idx].set(ic_o), found.at[idx].set(
+            found[idx] | found_o
+        )
+
+    def full_path(args):
+        ic, found = args
+        ic_o, _, _, st_o = walk_from_best(jnp.arange(b, dtype=jnp.int32))
+        found_o = _found_of(ic_o, st_o) & need_walk
+        return (
+            jnp.where(found_o, ic_o, ic),
+            found | found_o,
+        )
+
+    return lax.cond(n_act <= m, small_path, full_path, (ic, found))
+
+
 def _resume_walk(grid, r_p, r1, ic, active, max_steps):
     """Continue interrupted walks from their current position.
 
@@ -350,6 +485,10 @@ def get_cell(grid, r, guess=None, max_steps=None):
     cfg = grid.config
     if max_steps is None:
         max_steps = cfg.max_walk_steps
+
+    if guess is None and grid.cand_table is not None:
+        # Pure cold batch: one-gather candidate containment
+        return locate_candidates(grid, r, max_steps=max_steps)
 
     nf = grid.n_faces_per_cell
     npc = grid.n_points_per_cell

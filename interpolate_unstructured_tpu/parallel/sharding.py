@@ -131,3 +131,76 @@ def sharded_trace(mesh: Mesh, axis_name: str = DATA_AXIS, **trace_kwargs):
         return f(grid, y0, i_field)
 
     return jax.jit(run)
+
+# ---------------------------------------------------------------------------
+# Multi-host input pipeline (SURVEY.md §5.8: "multi-host DCN only for
+# input distribution and result collection")
+# ---------------------------------------------------------------------------
+
+
+def distribute_queries(r_local, mesh: Mesh, axis_name: str = DATA_AXIS):
+    """Assemble a globally-sharded query batch from per-process blocks.
+
+    Each host process contributes the queries it read/generated locally
+    (``r_local``); the result is one global device array sharded over
+    the mesh's batch axis, with each block resident on its contributing
+    process's local devices — no host ever materializes the full batch,
+    and the only cross-host traffic is metadata.  In a single-process
+    run this degrades to :func:`shard_batch`.
+
+    Local blocks are padded (repeating the last row) to a multiple of
+    the per-process device count so every shard is equal-sized, as
+    ``jax.make_array_from_process_local_data`` requires.
+
+    Returns ``(r_global, local_b)`` where ``local_b`` is this process's
+    unpadded contribution (for :func:`collect_results` trimming).
+    """
+    import numpy as np
+
+    r_local = np.asarray(r_local)
+    b_local = r_local.shape[0]
+    n_local = max(
+        1, len([d for d in mesh.devices.flat if d.process_index
+                == jax.process_index()]),
+    )
+    pad = (-b_local) % n_local
+    if pad:
+        r_local = np.concatenate(
+            [r_local, np.repeat(r_local[-1:], pad, axis=0)], axis=0
+        )
+    spec = P(axis_name, *([None] * (r_local.ndim - 1)))
+    sharding = NamedSharding(mesh, spec)
+    r_global = jax.make_array_from_process_local_data(sharding, r_local)
+    return r_global, b_local
+
+
+def collect_results(x, local_b: int | None = None):
+    """Bring a sharded result back to every host (numpy).
+
+    Single-process: a plain device fetch.  Multi-host: an all-gather of
+    the addressable shards over DCN (``multihost_utils``), so every
+    process sees the full result — mirroring how the serial reference
+    returns results to its (single) caller.  ``local_b`` trims the
+    padding added by :func:`distribute_queries` /
+    :func:`shard_batch` once the global batch is reassembled.
+    """
+    import numpy as np
+
+    if jax.process_count() == 1:
+        out = np.asarray(x)
+        if local_b is not None:
+            out = out[:local_b]
+        return out
+
+    from jax.experimental import multihost_utils
+
+    out = np.asarray(multihost_utils.process_allgather(x, tiled=True))
+    if local_b is not None:
+        # Padding sits at the END of each process's block, so trim
+        # per block, not at the global tail
+        n_proc = jax.process_count()
+        padded = out.shape[0] // n_proc
+        out = out.reshape(n_proc, padded, *out.shape[1:])[
+            :, :local_b
+        ].reshape(n_proc * local_b, *out.shape[2:])
+    return out

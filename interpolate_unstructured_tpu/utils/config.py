@@ -51,6 +51,24 @@ class IUConfig:
     bins_per_cell: float = 4.0
     max_bins: int = 1 << 23
 
+    # Per-bin candidate tables (walk-mode grids): each bin of a regular
+    # grid stores the cells that intersect it, packed with their face
+    # planes into one wide row — a cold query resolves containment with
+    # a SINGLE row gather instead of a seeded multi-step walk (each walk
+    # step is itself a full gather round).  Bins whose complete list
+    # exceeds the row capacity fall back to a walk seeded at the best
+    # candidate.  Measured on v5e: a 1024-byte random row gather costs
+    # only ~1.3x a 512-byte one (benchmarks/micro_gather.py), so wide
+    # rows buy K=15 tet candidates nearly for free.
+    use_candidate_bins: bool = True
+    cand_bins_per_cell: float = 1.0
+    cand_max_bins: int = 1 << 21
+    cand_row_bytes: int = 1024
+    # Candidate-phase query tiling: the gathered rows and their
+    # (tile, K, per) view materialize ~2.3x row_bytes per query, so a
+    # 10M-query batch at 1KB rows would need >20 GB of HBM unchunked
+    cand_chunk_queries: int = 1 << 21
+
     # Two-phase walk: run phase1 steps on the full batch, then compact
     # the (few) still-walking queries into a batch//divisor buffer so
     # straggler rounds stop paying full-batch gather cost.

@@ -1,0 +1,197 @@
+"""Per-bin candidate-table cold locate: correctness vs brute force.
+
+The candidate path (ops/locate.py:locate_candidates) must agree exactly
+with the exact brute-force containment on found-ness, and every reported
+cell must contain its query — including points outside the mesh, points
+on lattice face planes, overflow bins (complete list > K), and the
+compacted straggler-walk fallback branches.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import interpolate_unstructured_tpu as iu
+from interpolate_unstructured_tpu import IUConfig
+from interpolate_unstructured_tpu.ops import locate
+from interpolate_unstructured_tpu.utils import meshgen
+
+
+def _mixed_queries(rng, n, lo, hi):
+    """Inside, outside, and face-plane-aligned query points."""
+    span = hi - lo
+    return np.concatenate(
+        [
+            lo + rng.random((n, 3)) * span,
+            lo - 0.2 * span + rng.random((n // 4, 3)) * 1.4 * span,
+            lo + np.round(rng.random((n // 4, 3)) * 6) / 6.0 * span,
+        ]
+    )
+
+
+def _check_parity(g_cand, g_brute, r):
+    ic_c, f_c = jax.jit(locate.locate_candidates)(g_cand, r)
+    ic_b, f_b = jax.jit(locate.locate_bruteforce)(g_brute, r)
+    np.testing.assert_array_equal(np.asarray(f_c), np.asarray(f_b))
+    inside = np.asarray(
+        locate.point_is_inside_cell(g_cand, r, jnp.asarray(ic_c))
+    )
+    assert bool(inside[np.asarray(f_c)].all())
+    return np.asarray(f_c)
+
+
+def test_candidates_match_bruteforce_tet():
+    pts, cells, nbrs = meshgen.tet_box_mesh(6, 6, 6)
+    kw = dict(point_data={"Polynomial": pts.sum(1) + 1.0})
+    g_cand = iu.build_grid(pts, cells, nbrs, "tetra", locate_mode="walk", **kw)
+    g_brute = iu.build_grid(
+        pts, cells, nbrs, "tetra", locate_mode="bruteforce", **kw
+    )
+    assert g_cand.cand_table is not None
+    # This mesh genuinely exercises the overflow fallback (bins near
+    # lattice vertices intersect up to 24 tets)
+    assert int(np.asarray(g_cand.cand_count).max()) > g_cand.cand_ids.shape[1]
+
+    rng = np.random.default_rng(31)
+    r = jnp.asarray(
+        _mixed_queries(rng, 4096, np.zeros(3), np.ones(3)), g_cand.dtype
+    )
+    found = _check_parity(g_cand, g_brute, r)
+
+    vals, _, f = jax.jit(lambda g, r: iu.interpolate_scalar_at(g, r, 0))(
+        g_cand, r
+    )
+    exact = np.asarray(r).sum(1) + 1.0
+    np.testing.assert_allclose(
+        np.asarray(vals)[found], exact[found], atol=1e-13
+    )
+
+
+def test_candidates_match_bruteforce_quad_planar():
+    pts, cells, nbrs = meshgen.quad_rect_mesh(9, 7)
+    kw = dict(point_data={"Polynomial": pts.sum(1) + 1.0})
+    g_cand = iu.build_grid(pts, cells, nbrs, "quad", locate_mode="walk", **kw)
+    g_brute = iu.build_grid(
+        pts, cells, nbrs, "quad", locate_mode="bruteforce", **kw
+    )
+    assert g_cand.cand_table is not None
+    rng = np.random.default_rng(32)
+    lo, hi = np.asarray(g_cand.rmin), np.asarray(g_cand.rmax)
+    r = np.ascontiguousarray(_mixed_queries(rng, 2048, lo, hi))
+    r[:, 2] = 0.0  # planar mesh: query in the mesh plane
+    _check_parity(g_cand, g_brute, jnp.asarray(r, g_cand.dtype))
+
+
+def test_candidate_compaction_branches():
+    """Both lax.cond branches of the straggler fallback (compacted and
+    full-batch) must agree with brute force."""
+    pts, cells, nbrs = meshgen.tet_box_mesh(5, 5, 5)
+    kw = dict(point_data={"Polynomial": pts.sum(1) + 1.0})
+    g_brute = iu.build_grid(
+        pts, cells, nbrs, "tetra", locate_mode="bruteforce", **kw
+    )
+    rng = np.random.default_rng(33)
+    r = jnp.asarray(_mixed_queries(rng, 8192, np.zeros(3), np.ones(3)))
+
+    for divisor in (4, 1 << 20):  # big buffer (small path) / tiny (full)
+        cfg = IUConfig(
+            walk_compact_min_batch=1,
+            walk_compact_divisor=divisor,
+            # coarse candidate bins force heavy overflow -> many walks
+            cand_bins_per_cell=0.02,
+        )
+        g = iu.build_grid(
+            pts, cells, nbrs, "tetra", locate_mode="walk", config=cfg, **kw
+        )
+        assert int(np.asarray(g.cand_count).max()) > g.cand_ids.shape[1]
+        _check_parity(g, g_brute, jnp.asarray(r, g.dtype))
+
+
+def test_candidate_lists_are_exact_where_complete():
+    """Where count <= K the list is complete: brute-force containment
+    can never find a cell the candidate row doesn't hold."""
+    pts, cells, nbrs = meshgen.tet_box_mesh(4, 4, 4)
+    g = iu.build_grid(
+        pts, cells, nbrs, "tetra",
+        point_data={"Polynomial": pts.sum(1) + 1.0}, locate_mode="walk",
+    )
+    cand_ids = np.asarray(g.cand_ids)
+    count = np.asarray(g.cand_count)
+    k = cand_ids.shape[1]
+    rng = np.random.default_rng(34)
+    r = rng.random((4096, 3))
+    ic_b, f_b = jax.jit(locate.locate_bruteforce)(
+        iu.build_grid(pts, cells, nbrs, "tetra", locate_mode="bruteforce"),
+        jnp.asarray(r, g.dtype),
+    )
+    bins = np.asarray(locate._cand_bin_index(g, jnp.asarray(r, g.dtype)))
+    ic_b, f_b = np.asarray(ic_b), np.asarray(f_b)
+    complete = count[bins] <= k
+    sel = f_b & complete
+    listed = (cand_ids[bins[sel]] == ic_b[sel][:, None]).any(axis=1)
+    assert bool(listed.all())
+
+
+def test_candidates_checkpoint_roundtrip(tmp_path):
+    from interpolate_unstructured_tpu.io.checkpoint import load_grid, save_grid
+
+    pts, cells, nbrs = meshgen.tet_box_mesh(4, 4, 4)
+    g = iu.build_grid(
+        pts, cells, nbrs, "tetra",
+        point_data={"Polynomial": pts.sum(1) + 1.0}, locate_mode="walk",
+    )
+    fn = tmp_path / "grid.binda"
+    save_grid(g, fn)
+    g2 = load_grid(fn)
+    assert g2.cand_shape == g.cand_shape
+    np.testing.assert_array_equal(np.asarray(g2.cand_ids), np.asarray(g.cand_ids))
+    np.testing.assert_array_equal(
+        np.asarray(g2.cand_table), np.asarray(g.cand_table)
+    )
+    rng = np.random.default_rng(35)
+    r = jnp.asarray(rng.random((512, 3)), g.dtype)
+    v1, _, f1 = iu.interpolate_scalar_at(g, r, 0)
+    v2, _, f2 = iu.interpolate_scalar_at(g2, r, 0)
+    np.testing.assert_array_equal(np.asarray(f1), np.asarray(f2))
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2))
+
+
+def test_candidates_checkpoint_downcast_rebuilds(tmp_path):
+    """An f64 checkpoint loaded as f32 rebuilds its candidate lists with
+    the wider f32 tolerance (the saved inflation no longer dominates)."""
+    from interpolate_unstructured_tpu.io.checkpoint import load_grid, save_grid
+
+    pts, cells, nbrs = meshgen.tet_box_mesh(4, 4, 4)
+    g = iu.build_grid(
+        pts, cells, nbrs, "tetra",
+        point_data={"Polynomial": pts.sum(1) + 1.0}, locate_mode="walk",
+    )
+    fn = tmp_path / "grid64.binda"
+    save_grid(g, fn)
+    g32 = load_grid(fn, dtype=jnp.float32)
+    assert g32.dtype == jnp.float32
+    assert g32.cand_table is not None
+    assert g32.cand_table.dtype == jnp.float32
+    # f32 rows hold more f32-sized candidates than the f64 original
+    assert g32.cand_ids.shape[1] >= g.cand_ids.shape[1]
+    rng = np.random.default_rng(36)
+    r = jnp.asarray(rng.random((1024, 3)), jnp.float32)
+    vals, _, found = iu.interpolate_scalar_at(g32, r, 0)
+    exact = np.asarray(r, np.float64).sum(1) + 1.0
+    f = np.asarray(found)
+    assert f.mean() > 0.99
+    np.testing.assert_allclose(
+        np.asarray(vals)[f], exact[f], atol=1e-4
+    )
+
+
+def test_kdtree_seed_mode_skips_candidates():
+    pts, cells, nbrs = meshgen.tet_box_mesh(3, 3, 3)
+    g = iu.build_grid(
+        pts, cells, nbrs, "tetra",
+        locate_mode="walk", config=IUConfig(seed_mode="kdtree"),
+    )
+    assert g.cand_table is None and g.kd_node_points is not None

@@ -18,6 +18,7 @@ def _grids():
         walk_compact_min_batch=1,
         walk_compact_divisor=4,
         bins_per_cell=0.25,  # coarse bins -> long walks -> stragglers
+        use_candidate_bins=False,  # this test targets the walk phases
     )
     g_two = iu.build_grid(
         points, cells, neighbors, "triangle",
@@ -25,7 +26,9 @@ def _grids():
     )
     # Single-phase reference (no compaction: max batch threshold huge)
     cfg1 = IUConfig(
-        walk_compact_min_batch=1 << 60, bins_per_cell=0.25
+        walk_compact_min_batch=1 << 60,
+        bins_per_cell=0.25,
+        use_candidate_bins=False,
     )
     g_one = iu.build_grid(
         points, cells, neighbors, "triangle",
@@ -67,6 +70,7 @@ def test_compacted_walk_overflow_fallback():
         walk_compact_min_batch=1,
         walk_compact_divisor=1 << 20,  # m tiny relative to active count
         bins_per_cell=0.1,
+        use_candidate_bins=False,  # this test targets the walk phases
     )
     grid = iu.build_grid(
         points, cells, neighbors, "triangle",

@@ -80,3 +80,28 @@ def test_sharded_trace(triangle_grid, mesh):
         np.testing.assert_allclose(
             r, np.linalg.norm(np.asarray(y0[i])), atol=6e-3
         )
+
+
+def test_distribute_and_collect_roundtrip(triangle_grid, mesh):
+    """Multi-host input pipeline, single-process-multi-device case:
+    per-process query blocks assemble into one sharded global array
+    and results collect back trimmed to the contribution size."""
+    grid = sharding.replicate_grid(triangle_grid, mesh)
+    ivar = iu.get_point_data_index(grid, "Polynomial")
+    rng = np.random.default_rng(12)
+    # 203 is deliberately NOT a multiple of 8: exercises padding
+    r = sample_points(rng, grid.rmin, grid.rmax, 203)
+
+    r_sh, local_b = sharding.distribute_queries(r, mesh)
+    assert local_b == 203
+    assert r_sh.shape[0] % 8 == 0
+    f = sharding.sharded_interpolate_at(mesh)
+    guess = jnp.full(r_sh.shape[0], -1, dtype=jnp.int32)
+    vals, ic, found = f(grid, r_sh, jnp.asarray([ivar]), guess)
+
+    out = sharding.collect_results(vals, local_b)
+    assert out.shape[0] == 203
+    exact = np.asarray(r).sum(axis=1) + 1
+    np.testing.assert_allclose(out[:, 0], exact, atol=1e-13)
+    got_found = sharding.collect_results(found, local_b)
+    assert bool(got_found.all())
