@@ -186,7 +186,9 @@ def load_grid(filename, config=None, dtype=None):
         from ..models.grid import candidate_row_capacity
         from ..ops.geometry import NDIM_OF_CELL_TYPE, build_candidate_bins
 
-        k_max = candidate_row_capacity(cell_type, target, config)
+        k_max, _ = candidate_row_capacity(
+            cell_type, target, config, n_point_data=grid.n_point_data
+        )
         cand_ids, cand_count, cand_shape, cand_rmin, cand_inv_h = (
             build_candidate_bins(
                 host_arrays["cell_points"].astype(np.float64),

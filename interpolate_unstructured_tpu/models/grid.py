@@ -348,7 +348,9 @@ def build_grid(
         and locate_mode == "walk"
         and config.seed_mode != "kdtree"
     ):
-        k_max = candidate_row_capacity(cell_type, dtype, config)
+        k_max, _nv = candidate_row_capacity(
+            cell_type, dtype, config, n_point_data=len(pd_names)
+        )
         if k_max >= 1:
             cand_ids, cand_count, cand_shape, cand_rmin, cand_inv_h = (
                 geometry.build_candidate_bins(
@@ -390,19 +392,59 @@ def build_grid(
     return grid
 
 
-def candidate_row_capacity(cell_type: str, dtype, config: IUConfig) -> int:
-    """Candidates per packed row: each needs nf normals (3), nf offsets
-    and its id; one trailing slot holds the bin's exact count."""
-    nf = geometry.N_POINTS_PER_CELL[cell_type]
-    per_cand = 4 * nf + 1
+def _cand_floats_per(cell_type: str, nv: int) -> int:
+    """Floats per candidate in a fused row (see _build_cand_table)."""
+    nf = npc = geometry.N_POINTS_PER_CELL[cell_type]
+    per = 5 * nf + 1 + npc * nv  # planes + inv-heights + id + data
+    if cell_type == "quad":
+        # inverse-bilinear weights need the vertices, not inv-heights
+        per = 4 * nf + 3 * npc + 1 + npc * nv
+    return per
+
+
+def candidate_row_capacity(cell_type, dtype, config, n_point_data=0):
+    """(K, nv): candidates per packed row and how many live point-data
+    variables are fused into it.
+
+    Fusing a variable costs ``npc`` floats per candidate; fewer
+    candidates means more fallback walks, so fusing stops before K
+    drops below ``config.cand_min_k``.
+    """
     row_floats = config.cand_row_bytes // jnp.dtype(dtype).itemsize
-    return (row_floats - 1) // per_cand
+    min_k = max(1, config.cand_min_k)
+    for nv in range(n_point_data, -1, -1):
+        k = (row_floats - 1) // _cand_floats_per(cell_type, nv)
+        if k >= min_k or nv == 0:
+            return k, nv
+    return 0, 0
 
 
 def _build_cand_table(grid: UGrid):
-    """Pack per-bin candidate rows ON DEVICE from resident face arrays:
-    for each candidate cell [face normals | face offsets | id], then the
-    bin's exact intersection count, zero-padded to ``cand_row_bytes``.
+    """Pack fused per-bin candidate rows ON DEVICE from resident arrays.
+
+    One row answers the whole cold query: containment (face planes),
+    interpolation weights (per-face inverse heights -> barycentric), and
+    the vertex data of the first ``nv`` live point-data variables.  The
+    row is a sequence of K-wide ROLES (column ``role*K + k`` belongs to
+    candidate ``k``), followed by one exact-count column:
+
+      tri/tet: [nx_f ... | ny_f ... | nz_f ... | off_f ... | invm_f ...
+                | id | data(var,vtx) ... | count]
+      quad:    [nx_f ... | ny_f ... | nz_f ... | off_f ...
+                | vtx(v,dim) ... | id | data(var,vtx) ... | count]
+
+    ``invm_f = 1 / (off_f - n_f . p_v(f))`` with ``v(f) = (f-1) % npc``
+    the vertex opposite face f, so the barycentric weight of vertex v is
+    ``(off - n . r) * invm`` of face ``(v+1) % npc`` — linear, 1 at the
+    vertex, 0 on the opposite face (simplices; quads instead carry their
+    vertices for the inverse-bilinear kernel, :588-641).
+
+    The K-wide-role layout matters for speed, not correctness: the
+    query side transposes each gathered tile once and then works on
+    (K, bt) sublane-shaped slices — (bt, K) lane-shaped arrays pad K to
+    128 lanes and cost ~10x their size in HBM traffic (measured 18.7 vs
+    6.7 ms/1M for the gather itself).
+
     Invalid (padding) slots get -huge offsets so their containment
     margin can never win."""
     from ..utils.config import huge_distance
@@ -410,23 +452,64 @@ def _build_cand_table(grid: UGrid):
     ids = grid.cand_ids  # (n_bins, K) int32
     n_bins, k_max = ids.shape
     nf = grid.n_faces_per_cell
+    npc = grid.n_points_per_cell
     dtype = grid.dtype
-    per_cand = 4 * nf + 1
+    row_floats = grid.config.cand_row_bytes // jnp.dtype(dtype).itemsize
+    # Fuse as many live variables as the row affords at this K
+    nv = cand_fused_nv(grid)
+
     safe = jnp.maximum(ids, 0)
-    normals = grid.face_normals[safe].reshape(n_bins, k_max, nf * 3)
+    normals = grid.face_normals[safe]  # (n_bins, K, nf, 3)
     offs = grid.face_offsets[safe]  # (n_bins, K, nf)
     offs = jnp.where(
         (ids >= 0)[..., None], offs, jnp.asarray(-huge_distance(dtype), dtype)
     )
-    rows = jnp.concatenate(
-        [normals, offs, ids.astype(dtype)[..., None]], axis=-1
-    ).reshape(n_bins, k_max * per_cand)
-    rows = jnp.concatenate(
-        [rows, grid.cand_count.astype(dtype)[:, None]], axis=1
-    )
-    row_floats = grid.config.cand_row_bytes // jnp.dtype(dtype).itemsize
+
+    def roles(x):  # (n_bins, K, m) -> (n_bins, m*K), column = j*K + k
+        return x.transpose(0, 2, 1).reshape(n_bins, -1)
+
+    parts = [
+        roles(normals[..., 0]),
+        roles(normals[..., 1]),
+        roles(normals[..., 2]),
+        roles(offs),
+    ]
+    cp = grid.cell_points[safe]  # (n_bins, K, npc, 3)
+    if grid.cell_type == "quad":
+        parts.append(roles(cp.reshape(n_bins, k_max, npc * 3)))
+    else:
+        # inverse height of the vertex opposite each face
+        opp = (jnp.arange(nf) - 1) % npc
+        p_opp = cp[:, :, opp]  # (n_bins, K, nf, 3)
+        m_opp = offs - (normals * p_opp).sum(-1)
+        parts.append(roles(1.0 / jnp.where(m_opp == 0, 1.0, m_opp)))
+    parts.append(ids.astype(dtype))
+    if nv:
+        pd = grid.point_data[:, :nv]  # (n_points, nv)
+        vtx_data = pd[grid.cells[safe]]  # (n_bins, K, npc, nv)
+        parts.append(
+            roles(vtx_data.transpose(0, 1, 3, 2).reshape(n_bins, k_max, -1))
+        )
+    parts.append(grid.cand_count.astype(dtype)[:, None])
+    rows = jnp.concatenate(parts, axis=1)
     pad = max(row_floats, rows.shape[1]) - rows.shape[1]
     return jnp.pad(rows, ((0, 0), (0, pad)))
+
+
+def cand_fused_nv(grid: UGrid) -> int:
+    """How many leading point-data variables are fused into the
+    candidate rows (derived, so checkpoints need no extra metadata)."""
+    if grid.cand_ids is None:
+        return 0
+    row_floats = grid.config.cand_row_bytes // jnp.dtype(grid.dtype).itemsize
+    k_max = grid.cand_ids.shape[1]
+    nv = 0
+    while (
+        nv < grid.n_point_data
+        and _cand_floats_per(grid.cell_type, nv + 1) * k_max + 1 <= row_floats
+    ):
+        nv += 1
+    return nv
 
 
 def _build_walk_table(grid: UGrid):
@@ -621,6 +704,14 @@ def _add_column(data, names, name, values, n_rows):
     return data, names + (name,), i_var
 
 
+def _refresh_cand_data(grid: UGrid) -> UGrid:
+    """Re-pack the candidate rows after a point-data mutation — they
+    carry fused copies of the leading variables' vertex values."""
+    if grid.cand_ids is None:
+        return grid
+    return dataclasses.replace(grid, cand_table=_build_cand_table(grid))
+
+
 def add_point_data(grid: UGrid, name: str, values=None):
     """Append a named point-data variable (iu_add_point_data, :149-161).
 
@@ -629,10 +720,10 @@ def add_point_data(grid: UGrid, name: str, values=None):
     data, names, i_var = _add_column(
         grid.point_data, grid.point_data_names, name, values, grid.n_points
     )
-    return (
-        dataclasses.replace(grid, point_data=data, point_data_names=names),
-        i_var,
+    grid = dataclasses.replace(
+        grid, point_data=data, point_data_names=names
     )
+    return _refresh_cand_data(grid), i_var
 
 
 def add_cell_data(grid: UGrid, name: str, values=None):
@@ -658,9 +749,10 @@ def add_icell_data(grid: UGrid, name: str, values=None):
 def set_point_data(grid: UGrid, i_var: int, values) -> UGrid:
     """Overwrite one point-data column (test_tetra.f90:37-40 pattern)."""
     values = jnp.asarray(values, dtype=grid.point_data.dtype)
-    return dataclasses.replace(
+    grid = dataclasses.replace(
         grid, point_data=grid.point_data.at[:, i_var].set(values)
     )
+    return _refresh_cand_data(grid)
 
 
 # ---------------------------------------------------------------------------

@@ -340,21 +340,135 @@ def _cand_bin_index(grid, r):
     return (ij[:, 0] * nby + ij[:, 1]) * nbz + ij[:, 2]
 
 
-def locate_candidates(grid, r, max_steps=None):
-    """Cold containment via per-bin candidate lists: ONE wide row gather
-    answers "which cell contains r" for every query whose bin's complete
-    candidate list fits the packed row (the overwhelming majority).
+def _cumsum_i32_mxu(x):
+    """Inclusive cumsum of small nonnegative int32 via MXU matmuls.
+
+    XLA's 1D cumsum at 10M elements lowers to ~log2(n) full passes in
+    awkward layouts; a (rows, L) reshape against a lower-triangular ones
+    matrix runs the inner scan on the MXU in one pass plus a tiny block
+    scan.  Values are exact in float32 while the total stays < 2^24.
+    """
+    b = x.shape[0]
+    L = 512
+    pad = (-b) % L
+    xp = jnp.pad(x, (0, pad)).astype(jnp.float32).reshape(-1, L)
+    tri = jnp.tril(jnp.ones((L, L), jnp.float32))  # tri[i,j]=1 for j<=i
+    inner = jax.lax.dot_general(
+        xp,
+        tri.T,
+        (((1,), (0,)), ((), ())),
+        precision=_PRECISION,
+        preferred_element_type=jnp.float32,
+    )  # (rows, L) inclusive scan per row
+    row_tot = inner[:, -1]
+    offs = jnp.cumsum(row_tot) - row_tot  # tiny (rows,) scan
+    return (inner + offs[:, None]).reshape(-1)[:b].astype(jnp.int32)
+
+
+def _compact_indices(mask, m):
+    """Stable indices of the first m set lanes of ``mask`` (B,) -> (m,).
+
+    Slots past the set count alias lane 0; callers must re-mask with
+    ``mask[idx]``.
+    """
+    b = mask.shape[0]
+    pos = _cumsum_i32_mxu(mask.astype(jnp.int32)) - 1
+    scatter_pos = jnp.where(mask, pos, m)
+    return (
+        jnp.zeros(m, jnp.int32)
+        .at[scatter_pos]
+        .set(jnp.arange(b, dtype=jnp.int32), mode="drop")
+    )
+
+
+def _quad_weights_c(px, py, pz, rx, ry, rz):
+    """Inverse-bilinear quad weights in component form.
+
+    Same arithmetic as interp.quad_weights (:588-641) but on twelve
+    (B,) vertex-component arrays instead of a (B, 4, 3) tensor — small
+    trailing dims pad to 128 lanes on TPU and cost ~10-40x their size
+    in HBM traffic.
+    """
+    qx, qy = rx - px[0], ry - py[0]
+    qz = rz - pz[0]
+    b1 = (px[1] - px[0], py[1] - py[0], pz[1] - pz[0])
+    b2 = (px[3] - px[0], py[3] - py[0], pz[3] - pz[0])
+    b3 = (
+        px[0] - px[1] - px[3] + px[2],
+        py[0] - py[1] - py[3] + py[2],
+        pz[0] - pz[1] - pz[3] + pz[2],
+    )
+
+    def cpz(ax, ay, bx, by):
+        return ax * by - ay * bx
+
+    qa = cpz(b2[0], b2[1], b3[0], b3[1])
+    qb = cpz(b3[0], b3[1], qx, qy) - cpz(b1[0], b1[1], b2[0], b2[1])
+    qc = cpz(b1[0], b1[1], qx, qy)
+    disc = qb * qb - 4.0 * qa * qc
+
+    tiny = jnp.asarray(1e-20, dtype=rx.dtype)
+    linear = jnp.abs(qa) < tiny
+    qa_safe = jnp.where(linear, 1.0, qa)
+    qb_safe = jnp.where(jnp.abs(qb) > 0, qb, 1.0)
+    mu = jnp.where(
+        linear,
+        -qc / qb_safe,
+        0.5 * (-qb - jnp.sqrt(jnp.maximum(disc, 0.0))) / qa_safe,
+    )
+
+    dx = b1[0] + mu * b3[0]
+    dy = b1[1] + mu * b3[1]
+    dz = b1[2] + mu * b3[2]
+    a0, a1, a2 = jnp.abs(dx), jnp.abs(dy), jnp.abs(dz)
+    use0 = a0 >= a1
+    d01 = jnp.where(use0, dx, dy)
+    q01 = jnp.where(use0, qx, qy)
+    b01 = jnp.where(use0, b2[0], b2[1])
+    use01 = jnp.maximum(a0, a1) >= a2
+    denom_d = jnp.where(use01, d01, dz)
+    q_d = jnp.where(use01, q01, qz)
+    b2_d = jnp.where(use01, b01, b2[2])
+    denom_d = jnp.where(denom_d == 0, 1.0, denom_d)
+    lam = (q_d - b2_d * mu) / denom_d
+    return (
+        (1 - lam) * (1 - mu),
+        lam * (1 - mu),
+        lam * mu,
+        (1 - lam) * mu,
+    )
+
+
+def _candidates_query(grid, r, var_slots=None, max_steps=None):
+    """Cold containment (+ optionally interpolation) via per-bin
+    candidate rows: ONE wide row gather answers "which cell contains r"
+    — and, when ``var_slots`` selects fused variables, the interpolated
+    values too — for every query whose bin's complete candidate list
+    fits the packed row (the overwhelming majority; measured ~98% on a
+    1M-cell tet mesh at K=15).
 
     This replaces seed-then-walk for cold batches: each walk step is a
     full gather round over the batch, while the candidate row carries
-    the face planes of every cell intersecting the query's bin, so
-    containment is a branch-free VPU reduction over K candidates.
-    Queries in overflow bins (complete list > K) that match no stored
-    candidate fall back to a compacted neighbor walk seeded at the most
-    interior candidate.  Where the bin is NOT overflowing, "no candidate
-    contains r" is exact: the point is outside the mesh.
+    the face planes (and interpolation payload) of every cell
+    intersecting the query's bin, so containment is a branch-free VPU
+    reduction over K candidates.  Queries in overflow bins (complete
+    list > K) that match no stored candidate fall back to a compacted
+    neighbor walk seeded at the most interior candidate (measured: the
+    stragglers finish in <= 4 hops).  Where the bin is NOT overflowing,
+    a miss is exact: the point is outside the mesh.
 
-    Returns (i_cell, found) with get_cell's contract.
+    Weights for simplices come from the fused per-face inverse heights
+    (barycentric: weight of vertex v = margin of face (v+1)%npc times
+    its inverse height — equal to the reference's area/volume ratios,
+    :529-586, for points inside the cell); quads carry their vertices
+    and run the inverse-bilinear kernel (:588-641) on the winner.
+
+    All per-tile math runs TRANSPOSED — (K, bt) sublane-shaped slices of
+    the gathered rows and (bt,) component arrays — because (bt, K)
+    lane-shaped intermediates pad K up to 128 lanes and cost ~10x their
+    size in HBM traffic (measured 18.7 vs 11 ms/1M).
+
+    Returns (ic, found, values) — values is None when var_slots is.
     """
     cfg = grid.config
     if max_steps is None:
@@ -364,92 +478,162 @@ def locate_candidates(grid, r, max_steps=None):
     npc = grid.n_points_per_cell
     b = r.shape[0]
     k_max = grid.cand_ids.shape[1]
-    per = 4 * nf + 1
+    is_quad = grid.cell_type == "quad"
+    from ..models.grid import cand_fused_nv
+
+    id_role = 4 * nf + (3 * npc if is_quad else nf)
+    data_role0 = id_role + 1
+    # The count column sits after the fused data columns whether or not
+    # this call reads them — derive it from the physical table layout.
+    nv = cand_fused_nv(grid)
+    count_col = k_max * (data_role0 + npc * nv)
+    if var_slots is not None and any(v >= nv for v in var_slots):
+        raise ValueError("var_slots outside the fused variable range")
 
     def tile(rt):
         bt = rt.shape[0]
-        g = grid.cand_table[_cand_bin_index(grid, rt)]  # (bt, row_floats)
-        rows = g[:, : k_max * per].reshape(bt, k_max, per)
-        normals = rows[..., : nf * 3].reshape(bt, k_max, nf, 3)
-        offs = rows[..., nf * 3 : nf * 4]
-        ids = rows[..., per - 1].astype(jnp.int32)  # -1 in padding slots
-        # margin[b,k] = min over faces of (off - r.n); >= -eps means
-        # inside.  Elementwise multiply-reduce on the VPU (batched tiny
-        # matmuls are catastrophically slow; see ops/interp.py).
-        proj = (normals * rt[:, None, None, :]).sum(-1)  # (bt, K, nf)
-        margins = (offs - proj).min(-1)  # (bt, K); -huge in padding
-        k_best = jnp.argmax(margins, axis=1)
-        m_best = jnp.max(margins, axis=1)
-        onehot = (
-            lax.broadcasted_iota(jnp.int32, (bt, k_max), 1)
-            == k_best[:, None]
-        )
-        id_best = jnp.sum(jnp.where(onehot, ids, 0), axis=1, dtype=jnp.int32)
-        return m_best, id_best, g[:, k_max * per]
+        g = grid.cand_table[_cand_bin_index(grid, rt)]  # (bt, W)
+        gT = g.T  # (W, bt): one transpose per tile, then sublane slices
 
-    # The gathered rows + their (bt, K, per) reshape materialize ~2.3x
-    # row_bytes per query; tile big batches so peak HBM stays bounded
+        def role(j):  # (K, bt) block of role j
+            return gT[j * k_max : (j + 1) * k_max]
+
+        rx, ry, rz = rt[:, 0], rt[:, 1], rt[:, 2]
+        m_faces = []
+        margins = None
+        for f in range(nf):
+            proj = role(f) * rx + role(nf + f) * ry + role(2 * nf + f) * rz
+            mf = role(3 * nf + f) - proj
+            m_faces.append(mf)
+            margins = mf if margins is None else jnp.minimum(margins, mf)
+        k_best = jnp.argmax(margins, axis=0)  # (bt,)
+        m_best = jnp.max(margins, axis=0)
+        onehot = (
+            lax.broadcasted_iota(jnp.int32, (k_max, bt), 0) == k_best[None, :]
+        )
+
+        def pick(x):  # winner extraction over the K sublanes
+            return jnp.sum(jnp.where(onehot, x, 0), axis=0)
+
+        id_best = pick(role(id_role)).astype(jnp.int32)
+        count = gT[count_col]
+        if var_slots is None:
+            return m_best, id_best, count, jnp.zeros((0, bt), rt.dtype)
+
+        if is_quad:
+            vrole = 4 * nf
+            px = [pick(role(vrole + v * 3 + 0)) for v in range(npc)]
+            py = [pick(role(vrole + v * 3 + 1)) for v in range(npc)]
+            pz = [pick(role(vrole + v * 3 + 2)) for v in range(npc)]
+            w = _quad_weights_c(px, py, pz, rx, ry, rz)
+            vals = []
+            for slot in var_slots:
+                dr = data_role0 + slot * npc
+                vals.append(
+                    sum(w[v] * pick(role(dr + v)) for v in range(npc))
+                )
+        else:
+            # barycentric weights for ALL candidates, winner picked last
+            lam = [
+                m_faces[(v + 1) % npc] * role(4 * nf + (v + 1) % npc)
+                for v in range(npc)
+            ]
+            vals = []
+            for slot in var_slots:
+                dr = data_role0 + slot * npc
+                acc = lam[0] * role(dr)
+                for v in range(1, npc):
+                    acc = acc + lam[v] * role(dr + v)
+                vals.append(pick(acc))
+        return m_best, id_best, count, jnp.stack(vals, axis=0)
+
+    # Tile big batches so the gathered rows + transpose stay bounded
     chunk = cfg.cand_chunk_queries
     if b <= chunk:
-        m_best, id_best, count = tile(r)
+        m_best, id_best, count, valsT = tile(r)
     else:
         pad = (-b) % chunk
         rp = jnp.pad(r, ((0, pad), (0, 0)))
-        m_best, id_best, count = lax.map(tile, rp.reshape(-1, chunk, 3))
+        m_best, id_best, count, valsT = lax.map(tile, rp.reshape(-1, chunk, 3))
         m_best = m_best.reshape(-1)[:b]
         id_best = id_best.reshape(-1)[:b]
         count = count.reshape(-1)[:b]
+        # explicit target shape: reshape(-1) breaks on the 0-wide
+        # no-values case (var_slots is None)
+        valsT = jnp.moveaxis(valsT, 1, 0).reshape(
+            valsT.shape[1], rp.shape[0]
+        )[:, :b]
 
     found = (m_best >= -eps) & (id_best >= 0)
     # Overflow bins store only the K best-covering candidates; a miss
     # there is inconclusive and must walk. Non-overflow misses are exact.
     need_walk = ~found & (count > k_max) & (id_best >= 0)
     ic = jnp.where(found, id_best, -1)
+    values = valsT.T if var_slots is not None else None
 
-    def walk_from_best(idx):
-        """Walk the selected queries from their best candidate's center."""
+    def walk_and_interp(idx, active):
+        """Walk the selected queries from their best candidate's center
+        (finished lanes walk degenerately: r0 == r1)."""
         starts = jnp.maximum(id_best[idx], 0)
         gw = grid.walk_table[starts]
         cp = gw[:, nf * 5 : nf * 5 + npc * 3]
         r0 = cp.reshape(-1, npc, 3).mean(axis=1)
-        # Finished lanes walk degenerately (r0 == r1): no-ops
-        r0 = jnp.where(need_walk[idx][:, None], r0, r[idx])
-        return walk(grid, r0, r[idx], starts, max_steps=max_steps)
+        r0 = jnp.where(active[:, None], r0, r[idx])
+        ic_o, _, _, st_o = walk(grid, r0, r[idx], starts, max_steps=max_steps)
+        found_o = _found_of(ic_o, st_o) & active
+        vals_o = None
+        if var_slots is not None:
+            from . import interp as interp_mod
+
+            vals_o = interp_mod.interpolate_at_icell(
+                grid, r[idx], jnp.asarray(list(var_slots)),
+                jnp.maximum(ic_o, 0),
+            )
+        return ic_o, found_o, vals_o
+
+    def merge(args, idx, ic_o, found_o, vals_o):
+        ic, found, values = args
+        ic_o = jnp.where(found_o, ic_o, ic[idx])
+        ic = ic.at[idx].set(ic_o)
+        found = found.at[idx].set(found[idx] | found_o)
+        if values is not None:
+            vals_o = jnp.where(found_o[:, None], vals_o, values[idx])
+            values = values.at[idx].set(vals_o)
+        return ic, found, values
 
     n_act = jnp.sum(need_walk.astype(jnp.int32))
-    m = -(-max(1024, b // cfg.walk_compact_divisor) // 8) * 8
+    m = -(-max(1024, b // cfg.cand_fallback_divisor) // 8) * 8
     if b <= m or b < cfg.walk_compact_min_batch:
-        ic_o, _, _, st_o = walk_from_best(jnp.arange(b, dtype=jnp.int32))
-        found_o = _found_of(ic_o, st_o)
+        idx = jnp.arange(b, dtype=jnp.int32)
+        ic_o, found_o, vals_o = walk_and_interp(idx, need_walk)
         ic = jnp.where(need_walk, jnp.where(found_o, ic_o, -1), ic)
-        return ic, found | (need_walk & found_o)
+        found = found | found_o
+        if values is not None:
+            values = jnp.where(found_o[:, None], vals_o, values)
+        return ic, found, values
 
     def small_path(args):
-        ic, found = args
-        pos = jnp.cumsum(need_walk.astype(jnp.int32)) - 1
-        scatter_pos = jnp.where(need_walk, pos, m)
-        idx = (
-            jnp.zeros(m, jnp.int32)
-            .at[scatter_pos]
-            .set(jnp.arange(b, dtype=jnp.int32), mode="drop")
-        )
-        ic_o, _, _, st_o = walk_from_best(idx)
-        found_o = _found_of(ic_o, st_o) & need_walk[idx]
-        ic_o = jnp.where(found_o, ic_o, ic[idx])
-        return ic.at[idx].set(ic_o), found.at[idx].set(
-            found[idx] | found_o
-        )
+        idx = _compact_indices(need_walk, m)
+        ic_o, found_o, vals_o = walk_and_interp(idx, need_walk[idx])
+        return merge(args, idx, ic_o, found_o, vals_o)
 
     def full_path(args):
-        ic, found = args
-        ic_o, _, _, st_o = walk_from_best(jnp.arange(b, dtype=jnp.int32))
-        found_o = _found_of(ic_o, st_o) & need_walk
-        return (
-            jnp.where(found_o, ic_o, ic),
-            found | found_o,
-        )
+        idx = jnp.arange(b, dtype=jnp.int32)
+        ic_o, found_o, vals_o = walk_and_interp(idx, need_walk)
+        return merge(args, idx, ic_o, found_o, vals_o)
 
-    return lax.cond(n_act <= m, small_path, full_path, (ic, found))
+    out = lax.cond(n_act <= m, small_path, full_path, (ic, found, values))
+    if var_slots is None:
+        return out[0], out[1], None
+    return out
+
+
+def locate_candidates(grid, r, max_steps=None):
+    """Cold containment via per-bin candidate rows (see
+    _candidates_query).  Returns (i_cell, found) with get_cell's
+    contract."""
+    ic, found, _ = _candidates_query(grid, r, None, max_steps)
+    return ic, found
 
 
 def _resume_walk(grid, r_p, r1, ic, active, max_steps):

@@ -64,6 +64,18 @@ class IUConfig:
     cand_bins_per_cell: float = 1.0
     cand_max_bins: int = 1 << 21
     cand_row_bytes: int = 1024
+    # Candidate rows also carry interpolation payload (per-face inverse
+    # heights for barycentric weights + vertex data of the first live
+    # point-data variables), so a cold scalar interpolation resolves in
+    # ONE gather.  Fusing variables costs candidate slots; stop fusing
+    # before K drops below this floor (more candidates = fewer
+    # fallback walks).
+    cand_min_k: int = 8
+    # Fallback-walk buffer: unresolved queries compact into
+    # b / cand_fallback_divisor slots (measured miss rate ~2% at K=15
+    # on a 1M-cell tet mesh; walks gather per-slot per-round, so a
+    # tight buffer matters)
+    cand_fallback_divisor: int = 16
     # Candidate-phase query tiling: the gathered rows and their
     # (tile, K, per) view materialize ~2.3x row_bytes per query, so a
     # 10M-query batch at 1KB rows would need >20 GB of HBM unchunked
