@@ -1,0 +1,145 @@
+"""Phase breakdown of the large-mesh cold candidate path on TPU.
+
+Times each stage of ``_candidates_query`` separately with the
+chained-dependent-iteration protocol (see bench.py): row gather alone,
+phase-0 containment math, the compaction machinery, the full locate,
+and the fused interpolation.  Run on the real TPU:
+
+    python benchmarks/prof_cand.py [n_queries]
+"""
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def chain(fn, *args, n0=1, n1=11):
+    import jax
+
+    jfn = jax.jit(fn, static_argnums=())
+    float(jfn(*args, n0))
+
+    def timed(n):
+        best = float("inf")
+        for _ in range(5):
+            t0 = time.perf_counter()
+            float(jfn(*args, n))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    return max((timed(n1) - timed(n0)) / (n1 - n0), 1e-9)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from interpolate_unstructured_tpu.io.checkpoint import load_grid
+    from interpolate_unstructured_tpu.ops import locate
+    from interpolate_unstructured_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
+    b = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "cache", "tet55_f32.binda")
+    grid = load_grid(cache)
+    print(f"# grid: {grid.n_cells} cells, K={grid.cand_ids.shape[1]}, "
+          f"row={grid.cand_table.shape[1] * 4}B, "
+          f"table={grid.cand_table.nbytes / 1e9:.2f} GB", file=sys.stderr)
+
+    rng = np.random.default_rng(2)
+    r = jnp.asarray(rng.random((b, 3)), grid.dtype)
+
+    def dep(r, x):
+        return r + 1e-12 * x.astype(r.dtype)[:1, None]
+
+    # -- A: bin index + row gather only ------------------------------
+    def gather_only(grid, r, n):
+        def body(i, carry):
+            r, acc = carry
+            g = grid.cand_table[locate._cand_bin_index(grid, r)]
+            s = g[:, 0]
+            return (dep(r, s), acc + s[0])
+        _, acc = lax.fori_loop(0, n, body, (r, jnp.zeros((), grid.dtype)))
+        return acc
+
+    # -- B: phase-0 containment math (no fallback) -------------------
+    nf = grid.n_faces_per_cell
+    k_max = grid.cand_ids.shape[1]
+    id_role = 4 * nf + nf
+
+    def phase0(grid, r, n):
+        def body(i, carry):
+            r, acc = carry
+            g = grid.cand_table[locate._cand_bin_index(grid, r)]
+            gT = g.T
+
+            def role(j):
+                return gT[j * k_max:(j + 1) * k_max]
+
+            rx, ry, rz = r[:, 0], r[:, 1], r[:, 2]
+            margins = None
+            for f in range(nf):
+                proj = role(f) * rx + role(nf + f) * ry + role(2 * nf + f) * rz
+                mf = role(3 * nf + f) - proj
+                margins = mf if margins is None else jnp.minimum(margins, mf)
+            k_best = jnp.argmax(margins, axis=0)
+            onehot = (lax.broadcasted_iota(jnp.int32, (k_max, r.shape[0]), 0)
+                      == k_best[None, :])
+            id_best = jnp.sum(
+                jnp.where(onehot, role(id_role), 0), axis=0).astype(jnp.int32)
+            return (dep(r, id_best), acc + id_best[0])
+        _, acc = lax.fori_loop(0, n, body, (r, jnp.zeros((), jnp.int32)))
+        return acc
+
+    # -- C: full locate ----------------------------------------------
+    def locate_full(grid, r, n):
+        def body(i, carry):
+            r, acc = carry
+            ic, found = locate.locate_candidates(grid, r)
+            return (dep(r, ic), acc + ic[0])
+        _, acc = lax.fori_loop(0, n, body, (r, jnp.zeros((), jnp.int32)))
+        return acc
+
+    # -- D: fused interpolation --------------------------------------
+    def interp_fused(grid, r, n):
+        def body(i, carry):
+            r, acc = carry
+            ic, found, vals = locate._candidates_query(grid, r, (0,))
+            return (dep(r, vals[:, 0]), acc + vals[0, 0])
+        _, acc = lax.fori_loop(0, n, body, (r, jnp.zeros((), grid.dtype)))
+        return acc
+
+    # -- E: compaction machinery on a 2% mask ------------------------
+    mask = jnp.asarray(rng.random(b) < 0.02)
+    m = -(-max(1024, b // grid.config.cand_fallback_divisor) // 8) * 8
+
+    def compact_only(mask, r, n):
+        def body(i, carry):
+            mask, acc = carry
+            idx = locate._compact_indices(mask, m)
+            return (mask ^ (jnp.zeros_like(mask).at[0].set(acc % 2 == 0)),
+                    acc + idx[0])
+        _, acc = lax.fori_loop(0, n, body, (mask, jnp.zeros((), jnp.int32)))
+        return acc
+
+    for name, fn, args in [
+        ("A gather-only", gather_only, (grid, r)),
+        ("B phase-0", phase0, (grid, r)),
+        ("C locate_full", locate_full, (grid, r)),
+        ("D interp_fused", interp_fused, (grid, r)),
+        ("E compaction", compact_only, (mask, r)),
+    ]:
+        t = chain(fn, *args)
+        print(f"{name:16s} {t * 1e3:8.2f} ms/pass  "
+              f"{b / t:.3e} q/s", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

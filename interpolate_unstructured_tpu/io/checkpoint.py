@@ -177,18 +177,23 @@ def load_grid(filename, config=None, dtype=None):
         locate_mode=locate_mode,
         config=config,
     )
-    if target != saved_dtype and grid.cand_ids is not None:
-        # The candidate lists were inflated by the SAVE-time dtype's
-        # inside tolerance; a coarser load dtype widens the query-side
-        # tolerance past that inflation, which could admit points into
-        # cells filtered out of their bin. Rebuild the lists from the
-        # (exact, float64) host geometry with the resolved tolerance.
+    if grid.cand_ids is not None:
         from ..models.grid import candidate_row_capacity
-        from ..ops.geometry import NDIM_OF_CELL_TYPE, build_candidate_bins
 
         k_max, _ = candidate_row_capacity(
             cell_type, target, config, n_point_data=grid.n_point_data
         )
+    if grid.cand_ids is not None and (
+        target != saved_dtype or grid.cand_ids.shape[1] != k_max
+    ):
+        # Rebuild when the stored lists no longer match this session:
+        # (a) a coarser load dtype widens the query-side inside
+        # tolerance past the save-time inflation, which could admit
+        # points into cells filtered out of their bin, and (b) a K
+        # mismatch (row layout/capacity changed since the save) would
+        # silently overflow or underfill the packed rows.
+        from ..ops.geometry import NDIM_OF_CELL_TYPE, build_candidate_bins
+
         cand_ids, cand_count, cand_shape, cand_rmin, cand_inv_h = (
             build_candidate_bins(
                 host_arrays["cell_points"].astype(np.float64),

@@ -20,6 +20,7 @@ values default to the provided fill (or NaN) where not found.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 from jax import lax
 
@@ -331,6 +332,29 @@ def interpolate_at(grid, r, i_vars, guess=None, fill_value=jnp.nan):
         values = jnp.where(found[:, None], values, fill)
         return values, i_cell, found
 
+    # Fused cold path: walk-mode grids with candidate tables answer
+    # locate AND interpolate from the SAME gathered row when every
+    # requested variable is fused into it — the separate
+    # interpolate_at_icell gather round disappears.
+    slots = _static_slots(i_vars)
+    if (
+        guess is None
+        and grid.cand_table is not None
+        and slots is not None
+    ):
+        from ..models.grid import cand_fused_nv
+
+        if all(s < cand_fused_nv(grid) for s in slots):
+            i_cell, found, values = locate._candidates_query(grid, r, slots)
+            if isinstance(fill_value, (int, float)):
+                fill = jnp.full_like(values, fill_value)
+            else:
+                fill = jnp.broadcast_to(
+                    jnp.asarray(fill_value, values.dtype), values.shape
+                )
+            values = jnp.where(found[:, None], values, fill)
+            return values, i_cell, found
+
     i_cell, found = locate.get_cell(grid, r, guess)
     values = interpolate_at_icell(grid, r, i_vars, i_cell)
     if isinstance(fill_value, (int, float)):
@@ -339,6 +363,16 @@ def interpolate_at(grid, r, i_vars, guess=None, fill_value=jnp.nan):
         fill = jnp.broadcast_to(jnp.asarray(fill_value, values.dtype), values.shape)
     values = jnp.where(found[:, None], values, fill)
     return values, i_cell, found
+
+
+def _static_slots(i_vars):
+    """Concrete variable indices as a tuple, or None under tracing."""
+    import numpy as np
+
+    try:
+        return tuple(int(v) for v in np.asarray(i_vars))
+    except (jax.errors.TracerArrayConversionError, TypeError):
+        return None
 
 
 def interpolate_scalar_at(grid, r, i_var, guess=None, fill_value=jnp.nan):

@@ -340,45 +340,23 @@ def _cand_bin_index(grid, r):
     return (ij[:, 0] * nby + ij[:, 1]) * nbz + ij[:, 2]
 
 
-def _cumsum_i32_mxu(x):
-    """Inclusive cumsum of small nonnegative int32 via MXU matmuls.
-
-    XLA's 1D cumsum at 10M elements lowers to ~log2(n) full passes in
-    awkward layouts; a (rows, L) reshape against a lower-triangular ones
-    matrix runs the inner scan on the MXU in one pass plus a tiny block
-    scan.  Values are exact in float32 while the total stays < 2^24.
-    """
-    b = x.shape[0]
-    L = 512
-    pad = (-b) % L
-    xp = jnp.pad(x, (0, pad)).astype(jnp.float32).reshape(-1, L)
-    tri = jnp.tril(jnp.ones((L, L), jnp.float32))  # tri[i,j]=1 for j<=i
-    inner = jax.lax.dot_general(
-        xp,
-        tri.T,
-        (((1,), (0,)), ((), ())),
-        precision=_PRECISION,
-        preferred_element_type=jnp.float32,
-    )  # (rows, L) inclusive scan per row
-    row_tot = inner[:, -1]
-    offs = jnp.cumsum(row_tot) - row_tot  # tiny (rows,) scan
-    return (inner + offs[:, None]).reshape(-1)[:b].astype(jnp.int32)
-
-
 def _compact_indices(mask, m):
     """Stable indices of the first m set lanes of ``mask`` (B,) -> (m,).
 
-    Slots past the set count alias lane 0; callers must re-mask with
-    ``mask[idx]``.
+    top_k on descending-index keys: set lanes get distinct positive
+    keys, the m largest are the m lowest set indices.  Measured 5x
+    faster than cumsum+scatter on v5e (1M lanes: 1.1 vs 6.1 ms — TPU
+    scatters serialize per update).  Slots past the set count alias
+    lane B-1; callers must re-mask with ``mask[idx]`` (a duplicated SET
+    lane is harmless — its merge writes are idempotent).
     """
     b = mask.shape[0]
-    pos = _cumsum_i32_mxu(mask.astype(jnp.int32)) - 1
-    scatter_pos = jnp.where(mask, pos, m)
-    return (
-        jnp.zeros(m, jnp.int32)
-        .at[scatter_pos]
-        .set(jnp.arange(b, dtype=jnp.int32), mode="drop")
-    )
+    keys = jnp.where(mask, b - jnp.arange(b, dtype=jnp.int32), 0)
+    top, _ = lax.top_k(keys, min(m, b))
+    idx = jnp.minimum(b - top, b - 1)
+    if m > b:
+        idx = jnp.pad(idx, (0, m - b), constant_values=b - 1)
+    return idx
 
 
 def _quad_weights_c(px, py, pz, rx, ry, rz):
@@ -547,14 +525,33 @@ def _candidates_query(grid, r, var_slots=None, max_steps=None):
                 vals.append(pick(acc))
         return m_best, id_best, count, jnp.stack(vals, axis=0)
 
+    from . import pallas_cand
+
+    if pallas_cand.supported(grid) and jax.default_backend() == "tpu":
+        # One streaming Pallas pass over the gathered rows: the XLA
+        # tile path above costs 2-4x more (per-consumer re-streams of
+        # the gather + lane-padded small-K ops; benchmarks/prof_cand.py)
+        def tile_fn(rt):
+            g = grid.cand_table[_cand_bin_index(grid, rt)]
+            m_b, id_b, cnt, vals = pallas_cand.cand_rows_query(
+                grid, g, rt, var_slots or (), count_col
+            )
+            if var_slots is None:
+                return m_b, id_b, cnt, jnp.zeros((0, rt.shape[0]), rt.dtype)
+            return m_b, id_b, cnt, vals.T
+    else:
+        tile_fn = tile
+
     # Tile big batches so the gathered rows + transpose stay bounded
     chunk = cfg.cand_chunk_queries
     if b <= chunk:
-        m_best, id_best, count, valsT = tile(r)
+        m_best, id_best, count, valsT = tile_fn(r)
     else:
         pad = (-b) % chunk
         rp = jnp.pad(r, ((0, pad), (0, 0)))
-        m_best, id_best, count, valsT = lax.map(tile, rp.reshape(-1, chunk, 3))
+        m_best, id_best, count, valsT = lax.map(
+            tile_fn, rp.reshape(-1, chunk, 3)
+        )
         m_best = m_best.reshape(-1)[:b]
         id_best = id_best.reshape(-1)[:b]
         count = count.reshape(-1)[:b]
@@ -719,20 +716,14 @@ def get_cell(grid, r, guess=None, max_steps=None):
     def small_path(args):
         ic1, rp1, active, found1 = args
         # Stable compaction of active query ids into m slots
-        pos = jnp.cumsum(active.astype(jnp.int32)) - 1
-        scatter_pos = jnp.where(active, pos, m)
-        idx = (
-            jnp.zeros(m, jnp.int32)
-            .at[scatter_pos]
-            .set(jnp.arange(b, dtype=jnp.int32), mode="drop")
-        )
+        idx = _compact_indices(active, m)
         act_s = active[idx]
         ic_o, _, st_o = _resume_walk(
             grid, rp1[idx], r[idx], ic1[idx], act_s, remaining
         )
         found_o = _found_of(ic_o, st_o)
         # Duplicate idx entries (slots past the active count alias
-        # query 0) scatter identical values — deterministic
+        # lane B-1) scatter identical values — deterministic
         return (
             ic1.at[idx].set(ic_o),
             found1.at[idx].set(found_o),

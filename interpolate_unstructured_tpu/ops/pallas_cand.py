@@ -1,0 +1,240 @@
+"""Pallas TPU kernel: consume gathered candidate rows in one pass.
+
+The cold-locate candidate path gathers one packed row per query (XLA's
+row gather runs at HBM bandwidth) and then answers containment — and,
+for fused variables, interpolation — from that row.  Doing the row math
+in XLA costs 3-8x the gather itself: every (B, K) intermediate with
+K ~ 10 lane-pads to (B, 128), and the role slices of the (B, W) gather
+re-stream the buffer per consumer (measured on v5e:
+benchmarks/prof_cand.py — gather 5.7 ms/1M, XLA phase-0 11-22 ms/1M,
+fused values 30-48 ms/1M).
+
+This kernel streams (TILE, W) blocks of the gathered rows through VMEM,
+TRANSPOSES each block once on-chip (one MXU-backed relayout instead of
+per-op lane padding), and runs all the small-K reductions — face
+margins, argmax, one-hot picks, barycentric / inverse-bilinear values —
+as (K, TILE) sublane-sliced ops at full lane utilization.  Only
+~16 B/query of results go back to HBM.
+
+Row layout (models/grid._build_cand_table; cols role-major, K wide):
+  simplex: [nx_f | ny_f | nz_f | off_f | invm_f | id | data | count]
+  quad:    [nx_f | ny_f | nz_f | off_f | vtx(v,dim) | id | data | count]
+Column of role j, candidate k is ``j*K + k``.
+
+Semantics match ops.locate._candidates_query's XLA tile path exactly
+(m_interp_unstructured.f90:766-786 containment, :529-641 weights).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _round_up(x, m):
+    return -(-x // m) * m
+
+
+def _quad_weights_rows(p, q):
+    """Inverse-bilinear quad weights on (1, T) row vectors.
+
+    ``p[v]`` = (x, y, z) rows of vertex v, ``q`` = query rows.  Same
+    arithmetic as ops.interp.quad_weights (:588-641)."""
+    qx, qy, qz = q[0] - p[0][0], q[1] - p[0][1], q[2] - p[0][2]
+    b1 = [p[1][d] - p[0][d] for d in range(3)]
+    b2 = [p[3][d] - p[0][d] for d in range(3)]
+    b3 = [p[0][d] - p[1][d] - p[3][d] + p[2][d] for d in range(3)]
+
+    def cpz(ax, ay, bx, by):
+        return ax * by - ay * bx
+
+    qa = cpz(b2[0], b2[1], b3[0], b3[1])
+    qb = cpz(b3[0], b3[1], qx, qy) - cpz(b1[0], b1[1], b2[0], b2[1])
+    qc = cpz(b1[0], b1[1], qx, qy)
+    disc = qb * qb - 4.0 * qa * qc
+
+    linear = jnp.abs(qa) < 1e-20
+    qa_safe = jnp.where(linear, 1.0, qa)
+    qb_safe = jnp.where(jnp.abs(qb) > 0, qb, 1.0)
+    mu = jnp.where(
+        linear,
+        -qc / qb_safe,
+        0.5 * (-qb - jnp.sqrt(jnp.maximum(disc, 0.0))) / qa_safe,
+    )
+
+    dx, dy, dz = (b1[d] + mu * b3[d] for d in range(3))
+    a0, a1, a2 = jnp.abs(dx), jnp.abs(dy), jnp.abs(dz)
+    # First-occurrence maxloc over the 3 components (:628-632)
+    use0 = a0 >= a1
+    d01 = jnp.where(use0, dx, dy)
+    q01 = jnp.where(use0, qx, qy)
+    b01 = jnp.where(use0, b2[0], b2[1])
+    use01 = jnp.maximum(a0, a1) >= a2
+    dd = jnp.where(use01, d01, dz)
+    qq = jnp.where(use01, q01, qz)
+    bb = jnp.where(use01, b01, b2[2])
+    dd = jnp.where(dd == 0, 1.0, dd)
+    lam = (qq - bb * mu) / dd
+    return [
+        (1 - lam) * (1 - mu),
+        lam * (1 - mu),
+        lam * mu,
+        (1 - lam) * mu,
+    ]
+
+
+def _kernel(
+    g_ref, r_ref, ic_ref, mbest_ref, count_ref, vals_ref,
+    *, cell_type, nf, npc, k_max, var_slots, count_col
+):
+    K = k_max
+    nfK = nf * K
+    is_quad = cell_type == "quad"
+    id_role = 4 * nf + (3 * npc if is_quad else nf)
+
+    # One on-chip transpose instead of lane-padding every small-K op
+    GT = jnp.transpose(g_ref[:])  # (W, T)
+
+    def role(j):  # (K, T) sublane slice of role j
+        return GT[j * K:(j + 1) * K]
+
+    rx = r_ref[0:1, :]
+    ry = r_ref[1:2, :]
+    rz = r_ref[2:3, :]
+
+    m_faces = []
+    margins = None
+    for f in range(nf):
+        mf = role(3 * nf + f) - (
+            role(f) * rx + role(nf + f) * ry + role(2 * nf + f) * rz
+        )
+        m_faces.append(mf)
+        margins = mf if margins is None else jnp.minimum(margins, mf)
+
+    k_best = jnp.argmax(margins, axis=0, keepdims=True).astype(jnp.int32)
+    mbest_ref[:] = jnp.max(margins, axis=0, keepdims=True)
+
+    t = GT.shape[1]
+    onehot = lax.broadcasted_iota(jnp.int32, (K, t), 0) == k_best
+
+    def pick(x):  # winner's value, (K, T) -> (1, T)
+        return jnp.sum(jnp.where(onehot, x, 0.0), axis=0, keepdims=True)
+
+    ic_ref[:] = pick(role(id_role)).astype(jnp.int32)
+    count_ref[:] = GT[count_col:count_col + 1]
+
+    if not var_slots:
+        vals_ref[:] = jnp.zeros_like(vals_ref)
+        return
+
+    if is_quad:
+        v0 = 4 * nf  # first vertex role
+        p = [
+            [pick(role(v0 + v * 3 + d)) for d in range(3)]
+            for v in range(npc)
+        ]
+        w = _quad_weights_rows(p, (rx, ry, rz))
+    else:
+        # barycentric: weight of vertex v = margin of face (v+1)%npc
+        # times that face's fused inverse height
+        w = [
+            pick(m_faces[(v + 1) % npc] * role(4 * nf + (v + 1) % npc))
+            for v in range(npc)
+        ]
+
+    data_role0 = id_role + 1
+    rows = []
+    for slot in var_slots:
+        acc = w[0] * pick(role(data_role0 + slot * npc))
+        for v in range(1, npc):
+            acc = acc + w[v] * pick(role(data_role0 + slot * npc + v))
+        rows.append(acc)
+    vals_ref[:] = jnp.concatenate(rows, axis=0)
+
+
+def supported(grid) -> bool:
+    return (
+        grid.dtype == jnp.float32
+        and grid.cell_type in ("triangle", "tetra", "quad")
+    )
+
+
+def cand_rows_query(grid, g, rt, var_slots, count_col,
+                    tile: int = 1024, interpret: bool | None = None):
+    """Run the candidate-row kernel on pre-gathered rows.
+
+    Args:
+      g: (B, W) float32 gathered candidate rows
+      rt: (B, 3) float32 queries
+      var_slots: tuple of fused variable slots to interpolate (or ())
+      count_col: column of the bin's exact count in the row layout
+
+    Returns (m_best (B,), id_best (B,) int32, count (B,), vals (B, V)
+    or None).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    b, w = g.shape
+    nf = grid.n_faces_per_cell
+    npc = grid.n_points_per_cell
+    k_max = grid.cand_ids.shape[1]
+    n_out = max(len(var_slots), 1)
+
+    b_pad = _round_up(max(b, tile), tile)
+    if b_pad != b:
+        g = jnp.pad(g, ((0, b_pad - b), (0, 0)))
+    r_t = jnp.zeros((3, b_pad), jnp.float32).at[:, :b].set(
+        rt.astype(jnp.float32).T
+    )
+
+    kernel = functools.partial(
+        _kernel,
+        cell_type=grid.cell_type,
+        nf=nf,
+        npc=npc,
+        k_max=k_max,
+        var_slots=tuple(var_slots),
+        count_col=count_col,
+    )
+
+    n_tiles = b_pad // tile
+    f32 = jnp.float32
+    ic, m_best, count, vals = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((tile, w), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_out, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((1, b_pad), jnp.int32),
+            jax.ShapeDtypeStruct((1, b_pad), f32),
+            jax.ShapeDtypeStruct((1, b_pad), f32),
+            jax.ShapeDtypeStruct((n_out, b_pad), f32),
+        ],
+        interpret=interpret,
+    )(g, r_t)
+
+    return (
+        m_best[0, :b],
+        ic[0, :b],
+        count[0, :b],
+        vals[:, :b].T if var_slots else None,
+    )

@@ -69,8 +69,9 @@ class IUConfig:
     # point-data variables), so a cold scalar interpolation resolves in
     # ONE gather.  Fusing variables costs candidate slots; stop fusing
     # before K drops below this floor (more candidates = fewer
-    # fallback walks).
-    cand_min_k: int = 8
+    # fallback walks).  7 lets f32 quads (29+4*nv floats/candidate)
+    # keep one fused variable; 2D bins rarely exceed 4-5 cells anyway.
+    cand_min_k: int = 7
     # Fallback-walk buffer: unresolved queries compact into
     # b / cand_fallback_divisor slots (measured miss rate ~2% at K=15
     # on a 1M-cell tet mesh; walks gather per-slot per-round, so a
