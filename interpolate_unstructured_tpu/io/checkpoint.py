@@ -22,7 +22,7 @@ import numpy as np
 
 from .binda import BindaWriter, read_binda
 
-_FORMAT_VERSION = "3"  # v3 adds optional per-bin candidate tables
+_FORMAT_VERSION = "4"  # v4 adds overflow-extension candidate lists
 
 # UGrid array leaves stored verbatim (name -> attribute)
 _ARRAY_FIELDS = [
@@ -58,6 +58,8 @@ _OPTIONAL_FIELDS = [
     "cand_count",
     "cand_rmin",
     "cand_inv_h",
+    "cand_ext_ids",
+    "cand_ext_slot",
 ]
 
 
@@ -73,6 +75,7 @@ def save_grid(grid, filename) -> None:
             "x".join(str(s) for s in grid.bin_shape),
             str(grid.kd_max_depth),
             "x".join(str(s) for s in grid.cand_shape),
+            "1" if grid.cand_ext_covers else "0",
         ]
     )
     w.add_entry("ugrid_header", np.zeros(1, dtype=np.int32), meta)
@@ -115,7 +118,7 @@ def load_grid(filename, config=None, dtype=None):
         raise ValueError(f"{filename} is not a saved UGrid container")
     parts = bf.entries[ix].metadata.split(",")
     version, cell_type, locate_mode, bin_shape_s = parts[:4]
-    if version not in ("1", "2", "3"):
+    if version not in ("1", "2", "3", "4"):
         raise ValueError(f"Unsupported grid checkpoint version {version}")
     kd_max_depth = int(parts[4]) if len(parts) > 4 else 0
     bin_shape = tuple(int(s) for s in bin_shape_s.split("x"))
@@ -124,6 +127,7 @@ def load_grid(filename, config=None, dtype=None):
         if len(parts) > 5
         else (1, 1, 1)
     )
+    ext_covers = parts[6] == "1" if len(parts) > 6 else True
 
     host_arrays = {}
     for i, e in enumerate(bf.entries):
@@ -170,6 +174,7 @@ def load_grid(filename, config=None, dtype=None):
         cell_type=cell_type,
         bin_shape=bin_shape,
         cand_shape=cand_shape,
+        cand_ext_covers=ext_covers,
         kd_max_depth=kd_max_depth,
         point_data_names=names_of("point_data"),
         cell_data_names=names_of("cell_data"),
@@ -184,29 +189,34 @@ def load_grid(filename, config=None, dtype=None):
             cell_type, target, config, n_point_data=grid.n_point_data
         )
     if grid.cand_ids is not None and (
-        target != saved_dtype or grid.cand_ids.shape[1] != k_max
+        target != saved_dtype
+        or grid.cand_ids.shape[1] != k_max
+        or (grid.cand_ext_slot is None and config.cand_ext_max_k > 0)
     ):
         # Rebuild when the stored lists no longer match this session:
         # (a) a coarser load dtype widens the query-side inside
         # tolerance past the save-time inflation, which could admit
-        # points into cells filtered out of their bin, and (b) a K
+        # points into cells filtered out of their bin, (b) a K
         # mismatch (row layout/capacity changed since the save) would
-        # silently overflow or underfill the packed rows.
+        # silently overflow or underfill the packed rows, (c) a pre-v4
+        # checkpoint lacks the overflow-extension lists.
         from ..ops.geometry import NDIM_OF_CELL_TYPE, build_candidate_bins
 
-        cand_ids, cand_count, cand_shape, cand_rmin, cand_inv_h = (
-            build_candidate_bins(
-                host_arrays["cell_points"].astype(np.float64),
-                host_arrays["face_normals"].astype(np.float64),
-                host_arrays["face_offsets"].astype(np.float64),
-                host_arrays["rmin"].astype(np.float64),
-                host_arrays["rmax"].astype(np.float64),
-                NDIM_OF_CELL_TYPE[cell_type],
-                k_max,
-                bins_per_cell=config.cand_bins_per_cell,
-                max_bins=config.cand_max_bins,
-                eps=2.0 * config.eps_inside,
-            )
+        (
+            cand_ids, cand_count, cand_shape, cand_rmin, cand_inv_h,
+            ext_ids, ext_slot,
+        ) = build_candidate_bins(
+            host_arrays["cell_points"].astype(np.float64),
+            host_arrays["face_normals"].astype(np.float64),
+            host_arrays["face_offsets"].astype(np.float64),
+            host_arrays["rmin"].astype(np.float64),
+            host_arrays["rmax"].astype(np.float64),
+            NDIM_OF_CELL_TYPE[cell_type],
+            k_max,
+            bins_per_cell=config.cand_bins_per_cell,
+            max_bins=config.cand_max_bins,
+            eps=2.0 * config.eps_inside,
+            ext_max_k=config.cand_ext_max_k,
         )
         grid = dataclasses.replace(
             grid,
@@ -215,13 +225,20 @@ def load_grid(filename, config=None, dtype=None):
             cand_shape=cand_shape,
             cand_rmin=jnp.asarray(cand_rmin, dtype=target),
             cand_inv_h=jnp.asarray(cand_inv_h, dtype=target),
+            cand_ext_ids=(
+                jnp.asarray(ext_ids) if ext_ids.shape[1] else None
+            ),
+            cand_ext_slot=jnp.asarray(ext_slot),
+            cand_ext_covers=bool(
+                cand_count.max(initial=0) <= k_max + ext_ids.shape[1]
+            ),
         )
     if grid.walk_table is None:  # build_grid always carries one
         from ..models.grid import _build_walk_table
 
         grid = dataclasses.replace(grid, walk_table=_build_walk_table(grid))
     if grid.cand_ids is not None:
-        from ..models.grid import _build_cand_table
+        from ..models.grid import _build_cand_tables
 
-        grid = dataclasses.replace(grid, cand_table=_build_cand_table(grid))
+        grid = dataclasses.replace(grid, **_build_cand_tables(grid))
     return grid

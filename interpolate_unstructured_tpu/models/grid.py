@@ -57,11 +57,15 @@ UNDEFINED_NAME = "UNDEFINED_NAME"
         "cand_table",
         "cand_rmin",
         "cand_inv_h",
+        "cand_ext_ids",
+        "cand_ext_slot",
+        "cand_ext_table",
     ],
     meta_fields=[
         "cell_type",
         "bin_shape",
         "cand_shape",
+        "cand_ext_covers",
         "kd_max_depth",
         "point_data_names",
         "cell_data_names",
@@ -114,10 +118,19 @@ class UGrid:
     cand_table: Any = None  # (n_cand_bins, row_floats) packed rows
     cand_rmin: Any = None  # (3,)
     cand_inv_h: Any = None  # (3,)
+    # Overflow-bin extension lists (candidates ranked K..K+k_ext): one
+    # more row gather resolves overflow-bin misses exactly, replacing
+    # the old compacted-walk fallback
+    cand_ext_ids: Any = None  # (n_overflow_bins, k_ext) int32
+    cand_ext_slot: Any = None  # (n_cand_bins,) int32, -1 = not overflow
+    cand_ext_table: Any = None  # (n_overflow_bins, ext_row_floats)
     # --- static metadata -----------------------------------------------------
     cell_type: str = "triangle"
     bin_shape: tuple = (1, 1, 1)
     cand_shape: tuple = (1, 1, 1)
+    # True when every bin's candidate count fits K + k_ext, i.e. the
+    # extension probe is exhaustive and no residual walk can be needed
+    cand_ext_covers: bool = True
     kd_max_depth: int = 0  # static traversal stack bound
     point_data_names: tuple = ()
     cell_data_names: tuple = ()
@@ -352,23 +365,25 @@ def build_grid(
             cell_type, dtype, config, n_point_data=len(pd_names)
         )
         if k_max >= 1:
-            cand_ids, cand_count, cand_shape, cand_rmin, cand_inv_h = (
-                geometry.build_candidate_bins(
-                    cell_points,
-                    normals,
-                    face_offsets,
-                    rmin,
-                    rmax,
-                    ndim,
-                    k_max,
-                    bins_per_cell=config.cand_bins_per_cell,
-                    max_bins=config.cand_max_bins,
-                    # Build-side inflation strictly dominates the
-                    # query-side inside tolerance plus device rounding,
-                    # so no containing cell can be filtered out of its
-                    # bin's candidate list
-                    eps=2.0 * config.eps_inside,
-                )
+            (
+                cand_ids, cand_count, cand_shape, cand_rmin, cand_inv_h,
+                ext_ids, ext_slot,
+            ) = geometry.build_candidate_bins(
+                cell_points,
+                normals,
+                face_offsets,
+                rmin,
+                rmax,
+                ndim,
+                k_max,
+                bins_per_cell=config.cand_bins_per_cell,
+                max_bins=config.cand_max_bins,
+                # Build-side inflation strictly dominates the
+                # query-side inside tolerance plus device rounding,
+                # so no containing cell can be filtered out of its
+                # bin's candidate list
+                eps=2.0 * config.eps_inside,
+                ext_max_k=config.cand_ext_max_k,
             )
             grid = dataclasses.replace(
                 grid,
@@ -377,8 +392,15 @@ def build_grid(
                 cand_shape=cand_shape,
                 cand_rmin=jnp.asarray(cand_rmin, dtype=dtype),
                 cand_inv_h=jnp.asarray(cand_inv_h, dtype=dtype),
+                cand_ext_ids=(
+                    jnp.asarray(ext_ids) if ext_ids.shape[1] else None
+                ),
+                cand_ext_slot=jnp.asarray(ext_slot),
+                cand_ext_covers=bool(
+                    cand_count.max(initial=0) <= k_max + ext_ids.shape[1]
+                ),
             )
-            grid = dataclasses.replace(grid, cand_table=_build_cand_table(grid))
+            grid = dataclasses.replace(grid, **_build_cand_tables(grid))
     if (
         config.refine_bin_seeds
         and locate_mode == "walk"
@@ -419,14 +441,36 @@ def candidate_row_capacity(cell_type, dtype, config, n_point_data=0):
     return 0, 0
 
 
-def _build_cand_table(grid: UGrid):
-    """Pack fused per-bin candidate rows ON DEVICE from resident arrays.
+def _pack_cand_rows(grid: UGrid, ids, count_vals, row_floats, nv):
+    """Memory-bounded wrapper: pack in row chunks (the unchunked body
+    materializes ~6 vertex/plane gathers of the whole table at once —
+    a ~7 GB transient on a 2M-bin table that OOMs the device during
+    load_grid)."""
+    chunk = 1 << 18
+    n = ids.shape[0]
+    if n <= chunk:
+        return _pack_cand_rows_chunk(grid, ids, count_vals, row_floats, nv)
+    # Eager python loop (not lax.map): closing the grid arrays into a
+    # traced computation would ship them through the remote-compile
+    # tunnel (CLAUDE.md: HTTP 413)
+    parts = [
+        _pack_cand_rows_chunk(
+            grid, ids[i : i + chunk], count_vals[i : i + chunk],
+            row_floats, nv,
+        )
+        for i in range(0, n, chunk)
+    ]
+    return jnp.concatenate(parts, axis=0)
+
+
+def _pack_cand_rows_chunk(grid: UGrid, ids, count_vals, row_floats, nv):
+    """Pack fused candidate rows ON DEVICE from resident arrays.
 
     One row answers the whole cold query: containment (face planes),
     interpolation weights (per-face inverse heights -> barycentric), and
     the vertex data of the first ``nv`` live point-data variables.  The
     row is a sequence of K-wide ROLES (column ``role*K + k`` belongs to
-    candidate ``k``), followed by one exact-count column:
+    candidate ``k``), followed by one count column (``count_vals``):
 
       tri/tet: [nx_f ... | ny_f ... | nz_f ... | off_f ... | invm_f ...
                 | id | data(var,vtx) ... | count]
@@ -440,33 +484,29 @@ def _build_cand_table(grid: UGrid):
     vertices for the inverse-bilinear kernel, :588-641).
 
     The K-wide-role layout matters for speed, not correctness: the
-    query side transposes each gathered tile once and then works on
-    (K, bt) sublane-shaped slices — (bt, K) lane-shaped arrays pad K to
-    128 lanes and cost ~10x their size in HBM traffic (measured 18.7 vs
-    6.7 ms/1M for the gather itself).
+    query side (ops/pallas_cand.py) transposes each gathered tile once
+    on-chip and then works on (K, bt) sublane-shaped slices — (bt, K)
+    lane-shaped intermediates pad K to 128 lanes and cost ~10x their
+    size in HBM traffic.
 
     Invalid (padding) slots get -huge offsets so their containment
     margin can never win."""
     from ..utils.config import huge_distance
 
-    ids = grid.cand_ids  # (n_bins, K) int32
-    n_bins, k_max = ids.shape
+    n_rows, k_max = ids.shape
     nf = grid.n_faces_per_cell
     npc = grid.n_points_per_cell
     dtype = grid.dtype
-    row_floats = grid.config.cand_row_bytes // jnp.dtype(dtype).itemsize
-    # Fuse as many live variables as the row affords at this K
-    nv = cand_fused_nv(grid)
 
     safe = jnp.maximum(ids, 0)
-    normals = grid.face_normals[safe]  # (n_bins, K, nf, 3)
-    offs = grid.face_offsets[safe]  # (n_bins, K, nf)
+    normals = grid.face_normals[safe]  # (n_rows, K, nf, 3)
+    offs = grid.face_offsets[safe]  # (n_rows, K, nf)
     offs = jnp.where(
         (ids >= 0)[..., None], offs, jnp.asarray(-huge_distance(dtype), dtype)
     )
 
-    def roles(x):  # (n_bins, K, m) -> (n_bins, m*K), column = j*K + k
-        return x.transpose(0, 2, 1).reshape(n_bins, -1)
+    def roles(x):  # (n_rows, K, m) -> (n_rows, m*K), column = j*K + k
+        return x.transpose(0, 2, 1).reshape(n_rows, -1)
 
     parts = [
         roles(normals[..., 0]),
@@ -474,26 +514,74 @@ def _build_cand_table(grid: UGrid):
         roles(normals[..., 2]),
         roles(offs),
     ]
-    cp = grid.cell_points[safe]  # (n_bins, K, npc, 3)
+    cp = grid.cell_points[safe]  # (n_rows, K, npc, 3)
     if grid.cell_type == "quad":
-        parts.append(roles(cp.reshape(n_bins, k_max, npc * 3)))
+        parts.append(roles(cp.reshape(n_rows, k_max, npc * 3)))
     else:
         # inverse height of the vertex opposite each face
         opp = (jnp.arange(nf) - 1) % npc
-        p_opp = cp[:, :, opp]  # (n_bins, K, nf, 3)
+        p_opp = cp[:, :, opp]  # (n_rows, K, nf, 3)
         m_opp = offs - (normals * p_opp).sum(-1)
         parts.append(roles(1.0 / jnp.where(m_opp == 0, 1.0, m_opp)))
     parts.append(ids.astype(dtype))
     if nv:
         pd = grid.point_data[:, :nv]  # (n_points, nv)
-        vtx_data = pd[grid.cells[safe]]  # (n_bins, K, npc, nv)
+        vtx_data = pd[grid.cells[safe]]  # (n_rows, K, npc, nv)
         parts.append(
-            roles(vtx_data.transpose(0, 1, 3, 2).reshape(n_bins, k_max, -1))
+            roles(vtx_data.transpose(0, 1, 3, 2).reshape(n_rows, k_max, -1))
         )
-    parts.append(grid.cand_count.astype(dtype)[:, None])
+    parts.append(count_vals.astype(dtype)[:, None])
     rows = jnp.concatenate(parts, axis=1)
     pad = max(row_floats, rows.shape[1]) - rows.shape[1]
     return jnp.pad(rows, ((0, 0), (0, pad)))
+
+
+def _build_cand_tables(grid: UGrid) -> dict:
+    """Main + overflow-extension candidate tables (see _pack_cand_rows).
+
+    The main table's count column encodes overflow redirection: the
+    exact count where it fits K, else ``K + 1 + ext_slot`` — the query
+    side recovers both the overflow flag and the extension row from the
+    value it already reads.  The extension rows' count column carries
+    the bin's exact total count (drives the residual-walk decision on
+    grids where a bin exceeds K + k_ext)."""
+    k_max = grid.cand_ids.shape[1]
+    row_floats = grid.config.cand_row_bytes // jnp.dtype(grid.dtype).itemsize
+    nv = cand_fused_nv(grid)
+
+    if grid.cand_ext_ids is not None:
+        count_enc = jnp.where(
+            grid.cand_count > k_max,
+            k_max + 1 + jnp.maximum(grid.cand_ext_slot, 0),
+            grid.cand_count,
+        )
+    else:
+        count_enc = grid.cand_count
+    out = {
+        "cand_table": _pack_cand_rows(
+            grid, grid.cand_ids, count_enc, row_floats, nv
+        )
+    }
+    if grid.cand_ext_ids is not None:
+        k_ext = grid.cand_ext_ids.shape[1]
+        per = _cand_floats_per(grid.cell_type, nv)
+        # pad extension rows to a 512-byte multiple (fast gather DMA)
+        step = 512 // jnp.dtype(grid.dtype).itemsize
+        ext_floats = -(-(k_ext * per + 1) // step) * step
+        over_count = grid.cand_count[
+            jnp.argsort(grid.cand_ext_slot < 0, stable=True)
+        ][: grid.cand_ext_ids.shape[0]]
+        # ^ counts of the overflow bins in ext-slot order: ext_slot is
+        # assigned in ascending bin order, and stable argsort of the
+        # "not overflow" flag lists those bins first in that same order
+        out["cand_ext_table"] = _pack_cand_rows(
+            grid, grid.cand_ext_ids, over_count, ext_floats, nv
+        )
+    else:
+        out["cand_ext_table"] = None
+    return out
+
+
 
 
 def cand_fused_nv(grid: UGrid) -> int:
@@ -709,7 +797,7 @@ def _refresh_cand_data(grid: UGrid) -> UGrid:
     carry fused copies of the leading variables' vertex values."""
     if grid.cand_ids is None:
         return grid
-    return dataclasses.replace(grid, cand_table=_build_cand_table(grid))
+    return dataclasses.replace(grid, **_build_cand_tables(grid))
 
 
 def add_point_data(grid: UGrid, name: str, values=None):

@@ -201,6 +201,7 @@ def build_candidate_bins(
     max_bins: int = 1 << 21,
     eps: float = 0.0,
     pair_chunk: int = 1 << 23,
+    ext_max_k: int = 0,
 ):
     """Per-bin candidate-cell lists: which cells intersect each bin of a
     regular grid over the bounding box.
@@ -225,11 +226,22 @@ def build_candidate_bins(
     inflated by ``eps`` so the query-time inside tolerance can never
     admit a point into a cell that was filtered out of its bin.
 
+    Overflow bins additionally get an EXTENSION list holding their
+    candidates ranked ``k_max..k_max+k_ext`` (k_ext sized to the worst
+    bin, capped by ``ext_max_k``), so the query side can resolve even
+    overflow-bin misses with one more row gather instead of a neighbor
+    walk — and "no candidate anywhere" stays an exact not-found
+    wherever ``count <= k_max + k_ext``.
+
     Returns:
       cand_ids:  (n_bins, k_max) int32, -1 padded
       cand_count: (n_bins,) int32 — the EXACT intersection count
         (may exceed k_max; that flags overflow bins)
       bin_shape, bin_rmin, bin_inv_h: grid params (as the seed table)
+      ext_ids: (n_overflow_bins, k_ext) int32, -1 padded (k_ext may be
+        0 -> shape (0, 0))
+      ext_slot: (n_bins,) int32 — overflow bins' row in ext_ids, -1
+        elsewhere
     """
     n_cells = len(cell_points)
     rmin = np.asarray(rmin, dtype=np.float64)
@@ -334,10 +346,25 @@ def build_candidate_bins(
 
     cand_ids = np.full((n_bins, k_max), -1, dtype=np.int32)
     cand_ids[pbin[keep], rank_in_bin[keep]] = pcell[keep]
+
+    over = np.where(cand_count > k_max)[0]
+    k_ext = 0
+    if len(over) and ext_max_k > 0:
+        k_ext = min(int(cand_count.max()) - k_max, ext_max_k)
+    ext_slot = np.full(n_bins, -1, dtype=np.int32)
+    ext_slot[over] = np.arange(len(over), dtype=np.int32)
+    ext_ids = np.full((len(over) if k_ext else 0, k_ext), -1, np.int32)
+    if k_ext:
+        keep2 = (rank_in_bin >= k_max) & (rank_in_bin < k_max + k_ext)
+        ext_ids[
+            ext_slot[pbin[keep2]], rank_in_bin[keep2] - k_max
+        ] = pcell[keep2]
     return (
         cand_ids,
         cand_count,
         (nbx, nby, nbz),
         rmin,
         inv_h,
+        ext_ids,
+        ext_slot,
     )

@@ -341,22 +341,48 @@ def _cand_bin_index(grid, r):
 
 
 def _compact_indices(mask, m):
-    """Stable indices of the first m set lanes of ``mask`` (B,) -> (m,).
+    """Indices of set lanes of ``mask`` (B,) -> (m,), all included when
+    the set count fits m.
 
     top_k on descending-index keys: set lanes get distinct positive
-    keys, the m largest are the m lowest set indices.  Measured 5x
-    faster than cumsum+scatter on v5e (1M lanes: 1.1 vs 6.1 ms — TPU
-    scatters serialize per update).  Slots past the set count alias
-    lane B-1; callers must re-mask with ``mask[idx]`` (a duplicated SET
-    lane is harmless — its merge writes are idempotent).
+    keys, the largest are the lowest set indices.  Measured 5x faster
+    than cumsum+scatter on v5e (1M lanes: 1.1 vs 6.1 ms — TPU scatters
+    serialize per update).  Large batches split into ~1M-lane chunks
+    with a per-chunk quota (a single 10M-lane top_k costs 25 ms, ten
+    1M-lane ones 3.5 ms); if any chunk's set count exceeds its quota —
+    pathologically clustered misses — a guard falls back to the exact
+    global top_k.  Padding slots alias lane B-1; callers must re-mask
+    with ``mask[idx]`` (a duplicated SET lane is harmless — its merge
+    writes are idempotent).
     """
     b = mask.shape[0]
     keys = jnp.where(mask, b - jnp.arange(b, dtype=jnp.int32), 0)
-    top, _ = lax.top_k(keys, min(m, b))
-    idx = jnp.minimum(b - top, b - 1)
-    if m > b:
-        idx = jnp.pad(idx, (0, m - b), constant_values=b - 1)
-    return idx
+
+    def global_topk(_):
+        top, _t = lax.top_k(keys, min(m, b))
+        idx = jnp.minimum(b - top, b - 1)
+        if m > b:
+            idx = jnp.pad(idx, (0, m - b), constant_values=b - 1)
+        return idx
+
+    ch = 1 << 20
+    n_ch = -(-b // ch)
+    q = (m // n_ch) // 8 * 8
+    if n_ch < 2 or m >= b or q < 8:
+        return global_topk(None)
+
+    keys2 = jnp.pad(keys, (0, n_ch * ch - b)).reshape(n_ch, ch)
+    counts = jnp.sum((keys2 > 0).astype(jnp.int32), axis=1)
+
+    def chunked(_):
+        outs = []
+        for c in range(n_ch):
+            top, _t = lax.top_k(keys2[c], q)
+            outs.append(top)
+        idx = jnp.minimum(b - jnp.concatenate(outs), b - 1)
+        return jnp.pad(idx, (0, m - n_ch * q), constant_values=b - 1)
+
+    return lax.cond(jnp.all(counts <= q), chunked, global_topk, None)
 
 
 def _quad_weights_c(px, py, pz, rx, ry, rz):
@@ -417,6 +443,76 @@ def _quad_weights_c(px, py, pz, rx, ry, rz):
     )
 
 
+def _probe_rows_xla(grid, g, rt, k, count_col, var_slots):
+    """XLA fallback for the candidate-row probe (f64 grids / non-TPU
+    backends; the TPU path is ops/pallas_cand.py with identical
+    semantics).  All per-tile math runs TRANSPOSED — (k, bt)
+    sublane-shaped slices — because (bt, k) lane-shaped intermediates
+    pad k up to 128 lanes and cost ~10x their size in HBM traffic.
+
+    Returns (m_best (bt,), id_best (bt,), count_val (bt,),
+    valsT (n_vals, bt))."""
+    nf = grid.n_faces_per_cell
+    npc = grid.n_points_per_cell
+    is_quad = grid.cell_type == "quad"
+    id_role = 4 * nf + (3 * npc if is_quad else nf)
+    data_role0 = id_role + 1
+    bt = rt.shape[0]
+    gT = g.T  # (W, bt): one transpose per tile, then sublane slices
+
+    def role(j):  # (k, bt) block of role j
+        return gT[j * k : (j + 1) * k]
+
+    rx, ry, rz = rt[:, 0], rt[:, 1], rt[:, 2]
+    m_faces = []
+    margins = None
+    for f in range(nf):
+        proj = role(f) * rx + role(nf + f) * ry + role(2 * nf + f) * rz
+        mf = role(3 * nf + f) - proj
+        m_faces.append(mf)
+        margins = mf if margins is None else jnp.minimum(margins, mf)
+    k_best = jnp.argmax(margins, axis=0)  # (bt,)
+    m_best = jnp.max(margins, axis=0)
+    onehot = (
+        lax.broadcasted_iota(jnp.int32, (k, bt), 0) == k_best[None, :]
+    )
+
+    def pick(x):  # winner extraction over the k sublanes
+        return jnp.sum(jnp.where(onehot, x, 0), axis=0)
+
+    id_best = pick(role(id_role)).astype(jnp.int32)
+    count = gT[count_col]
+    if var_slots is None:
+        return m_best, id_best, count, jnp.zeros((0, bt), rt.dtype)
+
+    if is_quad:
+        vrole = 4 * nf
+        px = [pick(role(vrole + v * 3 + 0)) for v in range(npc)]
+        py = [pick(role(vrole + v * 3 + 1)) for v in range(npc)]
+        pz = [pick(role(vrole + v * 3 + 2)) for v in range(npc)]
+        w = _quad_weights_c(px, py, pz, rx, ry, rz)
+        vals = []
+        for slot in var_slots:
+            dr = data_role0 + slot * npc
+            vals.append(
+                sum(w[v] * pick(role(dr + v)) for v in range(npc))
+            )
+    else:
+        # barycentric weights for ALL candidates, winner picked last
+        lam = [
+            m_faces[(v + 1) % npc] * role(4 * nf + (v + 1) % npc)
+            for v in range(npc)
+        ]
+        vals = []
+        for slot in var_slots:
+            dr = data_role0 + slot * npc
+            acc = lam[0] * role(dr)
+            for v in range(1, npc):
+                acc = acc + lam[v] * role(dr + v)
+            vals.append(pick(acc))
+    return m_best, id_best, count, jnp.stack(vals, axis=0)
+
+
 def _candidates_query(grid, r, var_slots=None, max_steps=None):
     """Cold containment (+ optionally interpolation) via per-bin
     candidate rows: ONE wide row gather answers "which cell contains r"
@@ -430,10 +526,13 @@ def _candidates_query(grid, r, var_slots=None, max_steps=None):
     the face planes (and interpolation payload) of every cell
     intersecting the query's bin, so containment is a branch-free VPU
     reduction over K candidates.  Queries in overflow bins (complete
-    list > K) that match no stored candidate fall back to a compacted
-    neighbor walk seeded at the most interior candidate (measured: the
-    stragglers finish in <= 4 hops).  Where the bin is NOT overflowing,
-    a miss is exact: the point is outside the mesh.
+    list > K) that match no stored candidate compact into a small
+    buffer and probe the bin's EXTENSION row (candidates K..K+k_ext,
+    same layout, same kernel) — so where the extension covers the worst
+    bin, every miss is exact: the point is outside the mesh.  Only
+    grids whose worst bin exceeds K + k_ext (or grids built without
+    extension lists) ever fall back to a compacted neighbor walk
+    seeded at the most interior candidate.
 
     Weights for simplices come from the fused per-face inverse heights
     (barycentric: weight of vertex v = margin of face (v+1)%npc times
@@ -468,81 +567,31 @@ def _candidates_query(grid, r, var_slots=None, max_steps=None):
     if var_slots is not None and any(v >= nv for v in var_slots):
         raise ValueError("var_slots outside the fused variable range")
 
-    def tile(rt):
-        bt = rt.shape[0]
-        g = grid.cand_table[_cand_bin_index(grid, rt)]  # (bt, W)
-        gT = g.T  # (W, bt): one transpose per tile, then sublane slices
-
-        def role(j):  # (K, bt) block of role j
-            return gT[j * k_max : (j + 1) * k_max]
-
-        rx, ry, rz = rt[:, 0], rt[:, 1], rt[:, 2]
-        m_faces = []
-        margins = None
-        for f in range(nf):
-            proj = role(f) * rx + role(nf + f) * ry + role(2 * nf + f) * rz
-            mf = role(3 * nf + f) - proj
-            m_faces.append(mf)
-            margins = mf if margins is None else jnp.minimum(margins, mf)
-        k_best = jnp.argmax(margins, axis=0)  # (bt,)
-        m_best = jnp.max(margins, axis=0)
-        onehot = (
-            lax.broadcasted_iota(jnp.int32, (k_max, bt), 0) == k_best[None, :]
-        )
-
-        def pick(x):  # winner extraction over the K sublanes
-            return jnp.sum(jnp.where(onehot, x, 0), axis=0)
-
-        id_best = pick(role(id_role)).astype(jnp.int32)
-        count = gT[count_col]
-        if var_slots is None:
-            return m_best, id_best, count, jnp.zeros((0, bt), rt.dtype)
-
-        if is_quad:
-            vrole = 4 * nf
-            px = [pick(role(vrole + v * 3 + 0)) for v in range(npc)]
-            py = [pick(role(vrole + v * 3 + 1)) for v in range(npc)]
-            pz = [pick(role(vrole + v * 3 + 2)) for v in range(npc)]
-            w = _quad_weights_c(px, py, pz, rx, ry, rz)
-            vals = []
-            for slot in var_slots:
-                dr = data_role0 + slot * npc
-                vals.append(
-                    sum(w[v] * pick(role(dr + v)) for v in range(npc))
-                )
-        else:
-            # barycentric weights for ALL candidates, winner picked last
-            lam = [
-                m_faces[(v + 1) % npc] * role(4 * nf + (v + 1) % npc)
-                for v in range(npc)
-            ]
-            vals = []
-            for slot in var_slots:
-                dr = data_role0 + slot * npc
-                acc = lam[0] * role(dr)
-                for v in range(1, npc):
-                    acc = acc + lam[v] * role(dr + v)
-                vals.append(pick(acc))
-        return m_best, id_best, count, jnp.stack(vals, axis=0)
-
     from . import pallas_cand
 
-    if pallas_cand.supported(grid) and jax.default_backend() == "tpu":
-        # One streaming Pallas pass over the gathered rows: the XLA
-        # tile path above costs 2-4x more (per-consumer re-streams of
-        # the gather + lane-padded small-K ops; benchmarks/prof_cand.py)
-        def tile_fn(rt):
-            g = grid.cand_table[_cand_bin_index(grid, rt)]
+    use_pallas = (
+        pallas_cand.supported(grid) and jax.default_backend() == "tpu"
+    )
+
+    def probe(g, rt, k, ccol):
+        """Containment + fused values over gathered rows g (bt, W)."""
+        if use_pallas:
+            # One streaming Pallas pass: the XLA math costs 2-4x more
+            # (per-consumer re-streams of the gather + lane-padded
+            # small-K intermediates; benchmarks/prof_cand.py)
             m_b, id_b, cnt, vals = pallas_cand.cand_rows_query(
-                grid, g, rt, var_slots or (), count_col
+                grid, g, rt, var_slots or (), ccol, k_max=k
             )
             if var_slots is None:
                 return m_b, id_b, cnt, jnp.zeros((0, rt.shape[0]), rt.dtype)
             return m_b, id_b, cnt, vals.T
-    else:
-        tile_fn = tile
+        return _probe_rows_xla(grid, g, rt, k, ccol, var_slots)
 
-    # Tile big batches so the gathered rows + transpose stay bounded
+    def tile_fn(rt):
+        g = grid.cand_table[_cand_bin_index(grid, rt)]
+        return probe(g, rt, k_max, count_col)
+
+    # Tile big batches so the gathered rows stay bounded in HBM
     chunk = cfg.cand_chunk_queries
     if b <= chunk:
         m_best, id_best, count, valsT = tile_fn(r)
@@ -562,9 +611,11 @@ def _candidates_query(grid, r, var_slots=None, max_steps=None):
         )[:, :b]
 
     found = (m_best >= -eps) & (id_best >= 0)
-    # Overflow bins store only the K best-covering candidates; a miss
-    # there is inconclusive and must walk. Non-overflow misses are exact.
-    need_walk = ~found & (count > k_max) & (id_best >= 0)
+    # The main row's count column encodes overflow redirection: exact
+    # count where it fits K, else K + 1 + extension-table slot.  A miss
+    # in a NON-overflow bin is exact: the point is outside the mesh.
+    cc = count.astype(jnp.int32)
+    need_fb = ~found & (cc > k_max) & (id_best >= 0)
     ic = jnp.where(found, id_best, -1)
     values = valsT.T if var_slots is not None else None
 
@@ -588,6 +639,35 @@ def _candidates_query(grid, r, var_slots=None, max_steps=None):
             )
         return ic_o, found_o, vals_o
 
+    def ext_probe(idx, active):
+        """Probe the overflow-extension rows: candidates K..K+k_ext of
+        the query's bin, same row layout, same kernel.  Where the
+        extension covers the worst bin (cand_ext_covers) a miss here is
+        exact; otherwise the rare count > K + k_ext stragglers resume
+        with a walk."""
+        k_ext = grid.cand_ext_ids.shape[1]
+        ext_ccol = k_ext * (data_role0 + npc * nv)
+        slots = jnp.where(active, cc[idx] - (k_max + 1), 0)
+        g2 = grid.cand_ext_table[slots]
+        m2, id2, cnt2, vals2T = probe(g2, r[idx], k_ext, ext_ccol)
+        found2 = (m2 >= -eps) & (id2 >= 0) & active
+        ic2 = jnp.where(found2, id2, -1)
+        vals2 = vals2T.T if var_slots is not None else None
+        if not grid.cand_ext_covers:
+            resid = active & ~found2 & (
+                cnt2.astype(jnp.int32) > k_max + k_ext
+            )
+            ic_w, found_w, vals_w = walk_and_interp(idx, resid)
+            ic2 = jnp.where(found_w, ic_w, ic2)
+            found2 = found2 | found_w
+            if vals2 is not None:
+                vals2 = jnp.where(found_w[:, None], vals_w, vals2)
+        return ic2, found2, vals2
+
+    fallback = ext_probe if grid.cand_ext_table is not None else (
+        walk_and_interp
+    )
+
     def merge(args, idx, ic_o, found_o, vals_o):
         ic, found, values = args
         ic_o = jnp.where(found_o, ic_o, ic[idx])
@@ -598,26 +678,44 @@ def _candidates_query(grid, r, var_slots=None, max_steps=None):
             values = values.at[idx].set(vals_o)
         return ic, found, values
 
-    n_act = jnp.sum(need_walk.astype(jnp.int32))
+    n_act = jnp.sum(need_fb.astype(jnp.int32))
     m = -(-max(1024, b // cfg.cand_fallback_divisor) // 8) * 8
     if b <= m or b < cfg.walk_compact_min_batch:
         idx = jnp.arange(b, dtype=jnp.int32)
-        ic_o, found_o, vals_o = walk_and_interp(idx, need_walk)
-        ic = jnp.where(need_walk, jnp.where(found_o, ic_o, -1), ic)
+        ic_o, found_o, vals_o = fallback(idx, need_fb)
+        ic = jnp.where(need_fb, jnp.where(found_o, ic_o, -1), ic)
         found = found | found_o
         if values is not None:
             values = jnp.where(found_o[:, None], vals_o, values)
         return ic, found, values
 
     def small_path(args):
-        idx = _compact_indices(need_walk, m)
-        ic_o, found_o, vals_o = walk_and_interp(idx, need_walk[idx])
+        idx = _compact_indices(need_fb, m)
+        ic_o, found_o, vals_o = fallback(idx, need_fb[idx])
         return merge(args, idx, ic_o, found_o, vals_o)
 
     def full_path(args):
-        idx = jnp.arange(b, dtype=jnp.int32)
-        ic_o, found_o, vals_o = walk_and_interp(idx, need_walk)
-        return merge(args, idx, ic_o, found_o, vals_o)
+        # More misses than the compact buffer (clustered/adversarial
+        # batches): run the fallback over contiguous m-wide slices so
+        # the extension gather never materializes b-wide rows
+        ic, found, values = args
+        pad_b = -(-b // m) * m
+        idxs = jnp.arange(pad_b, dtype=jnp.int32).reshape(-1, m)
+        act_p = jnp.pad(need_fb, (0, pad_b - b))
+
+        def body(idx):
+            safe = jnp.minimum(idx, b - 1)
+            return fallback(safe, act_p[idx])
+
+        ic_o, found_o, vals_o = lax.map(body, idxs)
+        ic_o = ic_o.reshape(-1)[:b]
+        found_o = found_o.reshape(-1)[:b]
+        ic = jnp.where(found_o, ic_o, ic)
+        found = found | found_o
+        if values is not None:
+            vals_o = vals_o.reshape(-1, values.shape[1])[:b]
+            values = jnp.where(found_o[:, None], vals_o, values)
+        return ic, found, values
 
     out = lax.cond(n_act <= m, small_path, full_path, (ic, found, values))
     if var_slots is None:

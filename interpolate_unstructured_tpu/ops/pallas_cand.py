@@ -164,7 +164,7 @@ def supported(grid) -> bool:
     )
 
 
-def cand_rows_query(grid, g, rt, var_slots, count_col,
+def cand_rows_query(grid, g, rt, var_slots, count_col, k_max=None,
                     tile: int = 1024, interpret: bool | None = None):
     """Run the candidate-row kernel on pre-gathered rows.
 
@@ -172,7 +172,9 @@ def cand_rows_query(grid, g, rt, var_slots, count_col,
       g: (B, W) float32 gathered candidate rows
       rt: (B, 3) float32 queries
       var_slots: tuple of fused variable slots to interpolate (or ())
-      count_col: column of the bin's exact count in the row layout
+      count_col: column of the count slot in the row layout
+      k_max: candidates per row (defaults to the main table's K; pass
+        the extension width when probing extension rows)
 
     Returns (m_best (B,), id_best (B,) int32, count (B,), vals (B, V)
     or None).
@@ -182,7 +184,8 @@ def cand_rows_query(grid, g, rt, var_slots, count_col,
     b, w = g.shape
     nf = grid.n_faces_per_cell
     npc = grid.n_points_per_cell
-    k_max = grid.cand_ids.shape[1]
+    if k_max is None:
+        k_max = grid.cand_ids.shape[1]
     n_out = max(len(var_slots), 1)
 
     b_pad = _round_up(max(b, tile), tile)

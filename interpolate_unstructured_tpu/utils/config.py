@@ -61,9 +61,17 @@ class IUConfig:
     # only ~1.3x a 512-byte one (benchmarks/micro_gather.py), so wide
     # rows buy K=15 tet candidates nearly for free.
     use_candidate_bins: bool = True
-    cand_bins_per_cell: float = 1.0
-    cand_max_bins: int = 1 << 21
+    # 2 bins/cell (vs 1) cuts the mean per-bin candidate count 14 -> 9
+    # and the overflow-probe rate 4.8% -> 2.2% on a ~1M-cell tet mesh,
+    # at 2x candidate-table memory. Gather traffic per query is
+    # unchanged (row size is set by K, not the bin count).
+    cand_bins_per_cell: float = 2.0
+    cand_max_bins: int = 1 << 22
     cand_row_bytes: int = 1024
+    # Overflow bins store their remaining candidates (rank K..K+k_ext)
+    # in an extension table probed by the same kernel — the cold path
+    # never walks unless a bin exceeds K + cand_ext_max_k candidates.
+    cand_ext_max_k: int = 32
     # Candidate rows also carry interpolation payload (per-face inverse
     # heights for barycentric weights + vertex data of the first live
     # point-data variables), so a cold scalar interpolation resolves in
@@ -77,10 +85,10 @@ class IUConfig:
     # on a 1M-cell tet mesh; walks gather per-slot per-round, so a
     # tight buffer matters)
     cand_fallback_divisor: int = 16
-    # Candidate-phase query tiling: the gathered rows and their
-    # (tile, K, per) view materialize ~2.3x row_bytes per query, so a
-    # 10M-query batch at 1KB rows would need >20 GB of HBM unchunked
-    cand_chunk_queries: int = 1 << 21
+    # Candidate-phase query tiling: the gathered rows materialize
+    # row_bytes per query, so a 10M-query batch at 1KB rows would need
+    # 10 GB of HBM unchunked
+    cand_chunk_queries: int = 1 << 20
 
     # Two-phase walk: run phase1 steps on the full batch, then compact
     # the (few) still-walking queries into a batch//divisor buffer so

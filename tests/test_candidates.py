@@ -195,3 +195,61 @@ def test_kdtree_seed_mode_skips_candidates():
         locate_mode="walk", config=IUConfig(seed_mode="kdtree"),
     )
     assert g.cand_table is None and g.kd_node_points is not None
+
+
+def test_extension_probe_covers_and_values():
+    """With heavy overflow but a covering extension, the fallback never
+    walks: found-ness matches brute force and fused values stay
+    linear-exact through the extension path."""
+    pts, cells, nbrs = meshgen.tet_box_mesh(5, 5, 5)
+    kw = dict(point_data={"Polynomial": pts.sum(1) + 1.0})
+    g_brute = iu.build_grid(
+        pts, cells, nbrs, "tetra", locate_mode="bruteforce", **kw
+    )
+    cfg = IUConfig(
+        walk_compact_min_batch=1,
+        cand_bins_per_cell=0.3,  # coarse bins: most bins overflow K
+        cand_ext_max_k=256,
+    )
+    g = iu.build_grid(
+        pts, cells, nbrs, "tetra", locate_mode="walk", config=cfg, **kw
+    )
+    assert g.cand_ext_table is not None
+    assert g.cand_ext_covers
+    assert int(np.asarray(g.cand_count).max()) > g.cand_ids.shape[1]
+
+    rng = np.random.default_rng(44)
+    r = jnp.asarray(
+        _mixed_queries(rng, 4096, np.zeros(3), np.ones(3)), g.dtype
+    )
+    found = _check_parity(g, g_brute, r)
+    vals, _, f = jax.jit(lambda g, r: iu.interpolate_scalar_at(g, r, 0))(g, r)
+    exact = np.asarray(r).sum(1) + 1.0
+    np.testing.assert_allclose(
+        np.asarray(vals)[found], exact[found], atol=1e-12
+    )
+
+
+def test_extension_residual_walk():
+    """A too-small ext cap (covers=False) routes the over-capacity
+    stragglers into the residual walk — parity must still hold."""
+    pts, cells, nbrs = meshgen.tet_box_mesh(5, 5, 5)
+    kw = dict(point_data={"Polynomial": pts.sum(1) + 1.0})
+    g_brute = iu.build_grid(
+        pts, cells, nbrs, "tetra", locate_mode="bruteforce", **kw
+    )
+    cfg = IUConfig(
+        walk_compact_min_batch=1,
+        cand_bins_per_cell=0.3,
+        cand_ext_max_k=2,  # far below the worst bin
+    )
+    g = iu.build_grid(
+        pts, cells, nbrs, "tetra", locate_mode="walk", config=cfg, **kw
+    )
+    assert g.cand_ext_table is not None
+    assert not g.cand_ext_covers
+    rng = np.random.default_rng(45)
+    r = jnp.asarray(
+        _mixed_queries(rng, 4096, np.zeros(3), np.ones(3)), g.dtype
+    )
+    _check_parity(g, g_brute, r)

@@ -59,11 +59,17 @@ def test_pallas_cand_parity(cell_type):
         grid, g, r, (0,), _count_col(grid), interpret=True
     )
 
-    # Bin count passthrough
+    # Count-column passthrough: exact count where it fits K, else the
+    # overflow-extension redirection K + 1 + ext_slot
     bins = np.asarray(locate._cand_bin_index(grid, r))
-    np.testing.assert_array_equal(
-        np.asarray(count).astype(np.int32), np.asarray(grid.cand_count)[bins]
-    )
+    cnt = np.asarray(count).astype(np.int32)
+    true_cnt = np.asarray(grid.cand_count)[bins]
+    K = grid.cand_ids.shape[1]
+    over = true_cnt > K
+    np.testing.assert_array_equal(cnt[~over], true_cnt[~over])
+    if over.any():
+        slots = np.asarray(grid.cand_ext_slot)[bins[over]]
+        np.testing.assert_array_equal(cnt[over], K + 1 + slots)
 
     eps = grid.config.eps_inside
     found = np.asarray(m_best >= -eps) & (np.asarray(id_best) >= 0)
