@@ -311,6 +311,10 @@ def interpolate_at(grid, r, i_vars, guess=None, fill_value=jnp.nan):
       i_cell: (B,) containing cell, negative if not found
       found: (B,) bool
     """
+    # Capture concrete variable indices BEFORE the jnp conversion: under
+    # jit tracing jnp.asarray yields a Tracer and the fused-row fast
+    # path would silently never engage
+    slots = _static_slots(i_vars)
     i_vars = jnp.asarray(i_vars)
     if grid.locate_mode == "bruteforce":
         # Fused gather-free pipeline (the guess is irrelevant here:
@@ -336,7 +340,6 @@ def interpolate_at(grid, r, i_vars, guess=None, fill_value=jnp.nan):
     # locate AND interpolate from the SAME gathered row when every
     # requested variable is fused into it — the separate
     # interpolate_at_icell gather round disappears.
-    slots = _static_slots(i_vars)
     if (
         guess is None
         and grid.cand_table is not None
@@ -370,8 +373,13 @@ def _static_slots(i_vars):
     import numpy as np
 
     try:
-        return tuple(int(v) for v in np.asarray(i_vars))
-    except (jax.errors.TracerArrayConversionError, TypeError):
+        return tuple(int(v) for v in np.asarray(i_vars).reshape(-1))
+    except (
+        jax.errors.TracerArrayConversionError,
+        jax.errors.ConcretizationTypeError,
+        TypeError,
+        ValueError,
+    ):
         return None
 
 
@@ -380,8 +388,10 @@ def interpolate_scalar_at(grid, r, i_var, guess=None, fill_value=jnp.nan):
     fv = fill_value
     if not isinstance(fv, (int, float)):
         fv = jnp.asarray(fv)[:, None]
+    # Pass the raw index: a jnp conversion here would hide the
+    # concrete value from interpolate_at's fused-row fast path
     values, i_cell, found = interpolate_at(
-        grid, r, jnp.asarray([i_var]), guess, fill_value=fv
+        grid, r, [i_var], guess, fill_value=fv
     )
     return values[:, 0], i_cell, found
 
