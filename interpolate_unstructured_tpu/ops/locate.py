@@ -598,17 +598,31 @@ def _candidates_query(grid, r, var_slots=None, max_steps=None):
     else:
         pad = (-b) % chunk
         rp = jnp.pad(r, ((0, pad), (0, 0)))
-        m_best, id_best, count, valsT = lax.map(
-            tile_fn, rp.reshape(-1, chunk, 3)
-        )
-        m_best = m_best.reshape(-1)[:b]
-        id_best = id_best.reshape(-1)[:b]
-        count = count.reshape(-1)[:b]
-        # explicit target shape: reshape(-1) breaks on the 0-wide
-        # no-values case (var_slots is None)
-        valsT = jnp.moveaxis(valsT, 1, 0).reshape(
-            valsT.shape[1], rp.shape[0]
-        )[:, :b]
+        n_ch = rp.shape[0] // chunk
+        if n_ch <= 32:
+            # Unrolled: XLA's scheduler can overlap chunk i+1's row
+            # gather with chunk i's kernel (lax.map iterations are
+            # strictly sequential)
+            outs = [
+                tile_fn(rp[i * chunk : (i + 1) * chunk])
+                for i in range(n_ch)
+            ]
+            m_best = jnp.concatenate([o[0] for o in outs])[:b]
+            id_best = jnp.concatenate([o[1] for o in outs])[:b]
+            count = jnp.concatenate([o[2] for o in outs])[:b]
+            valsT = jnp.concatenate([o[3] for o in outs], axis=1)[:, :b]
+        else:
+            m_best, id_best, count, valsT = lax.map(
+                tile_fn, rp.reshape(-1, chunk, 3)
+            )
+            m_best = m_best.reshape(-1)[:b]
+            id_best = id_best.reshape(-1)[:b]
+            count = count.reshape(-1)[:b]
+            # explicit target shape: reshape(-1) breaks on the 0-wide
+            # no-values case (var_slots is None)
+            valsT = jnp.moveaxis(valsT, 1, 0).reshape(
+                valsT.shape[1], rp.shape[0]
+            )[:, :b]
 
     found = (m_best >= -eps) & (id_best >= 0)
     # The main row's count column encodes overflow redirection: exact
@@ -668,15 +682,17 @@ def _candidates_query(grid, r, var_slots=None, max_steps=None):
         walk_and_interp
     )
 
+    # After the fallback merges, ``found`` is exactly ``ic >= 0`` (ic
+    # is -1 wherever nothing contained the point), so the mask is
+    # derived at the end instead of scattered alongside ic.
     def merge(args, idx, ic_o, found_o, vals_o):
-        ic, found, values = args
+        ic, values = args
         ic_o = jnp.where(found_o, ic_o, ic[idx])
         ic = ic.at[idx].set(ic_o)
-        found = found.at[idx].set(found[idx] | found_o)
         if values is not None:
             vals_o = jnp.where(found_o[:, None], vals_o, values[idx])
             values = values.at[idx].set(vals_o)
-        return ic, found, values
+        return ic, values
 
     n_act = jnp.sum(need_fb.astype(jnp.int32))
     m = -(-max(1024, b // cfg.cand_fallback_divisor) // 8) * 8
@@ -684,10 +700,9 @@ def _candidates_query(grid, r, var_slots=None, max_steps=None):
         idx = jnp.arange(b, dtype=jnp.int32)
         ic_o, found_o, vals_o = fallback(idx, need_fb)
         ic = jnp.where(need_fb, jnp.where(found_o, ic_o, -1), ic)
-        found = found | found_o
         if values is not None:
             values = jnp.where(found_o[:, None], vals_o, values)
-        return ic, found, values
+        return ic, ic >= 0, values
 
     def small_path(args):
         idx = _compact_indices(need_fb, m)
@@ -698,7 +713,7 @@ def _candidates_query(grid, r, var_slots=None, max_steps=None):
         # More misses than the compact buffer (clustered/adversarial
         # batches): run the fallback over contiguous m-wide slices so
         # the extension gather never materializes b-wide rows
-        ic, found, values = args
+        ic, values = args
         pad_b = -(-b // m) * m
         idxs = jnp.arange(pad_b, dtype=jnp.int32).reshape(-1, m)
         act_p = jnp.pad(need_fb, (0, pad_b - b))
@@ -711,16 +726,15 @@ def _candidates_query(grid, r, var_slots=None, max_steps=None):
         ic_o = ic_o.reshape(-1)[:b]
         found_o = found_o.reshape(-1)[:b]
         ic = jnp.where(found_o, ic_o, ic)
-        found = found | found_o
         if values is not None:
             vals_o = vals_o.reshape(-1, values.shape[1])[:b]
             values = jnp.where(found_o[:, None], vals_o, values)
-        return ic, found, values
+        return ic, values
 
-    out = lax.cond(n_act <= m, small_path, full_path, (ic, found, values))
+    ic, values = lax.cond(n_act <= m, small_path, full_path, (ic, values))
     if var_slots is None:
-        return out[0], out[1], None
-    return out
+        return ic, ic >= 0, None
+    return ic, ic >= 0, values
 
 
 def locate_candidates(grid, r, max_steps=None):

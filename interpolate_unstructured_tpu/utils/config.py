@@ -80,15 +80,17 @@ class IUConfig:
     # fallback walks).  7 lets f32 quads (29+4*nv floats/candidate)
     # keep one fused variable; 2D bins rarely exceed 4-5 cells anyway.
     cand_min_k: int = 7
-    # Fallback-walk buffer: unresolved queries compact into
-    # b / cand_fallback_divisor slots (measured miss rate ~2% at K=15
-    # on a 1M-cell tet mesh; walks gather per-slot per-round, so a
-    # tight buffer matters)
-    cand_fallback_divisor: int = 16
+    # Fallback buffer: unresolved queries compact into
+    # b / cand_fallback_divisor slots before the extension probe.  The
+    # probe/merge cost is width-driven (measured 26 ms/10M saved going
+    # 16 -> 32), so the buffer sits just above the measured ~2.2%
+    # overflow-miss rate; batches that overflow it take the chunked
+    # full-width path (slower, still correct).
+    cand_fallback_divisor: int = 32
     # Candidate-phase query tiling: the gathered rows materialize
     # row_bytes per query, so a 10M-query batch at 1KB rows would need
     # 10 GB of HBM unchunked
-    cand_chunk_queries: int = 1 << 20
+    cand_chunk_queries: int = 1 << 21
 
     # Two-phase walk: run phase1 steps on the full batch, then compact
     # the (few) still-walking queries into a batch//divisor buffer so
