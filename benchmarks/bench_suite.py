@@ -63,6 +63,10 @@ def emit(name, value, unit, **extra):
     print(json.dumps({"config": name, "value": value, "unit": unit, **extra}))
 
 
+DTYPE = None  # set by main(); None = default (float32)
+CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "cache")
+
+
 def load_fixture_grid(name, tmpdir, **kw):
     import shutil
 
@@ -71,7 +75,7 @@ def load_fixture_grid(name, tmpdir, **kw):
     src = os.path.join(REFERENCE_DATA, name)
     dst = os.path.join(tmpdir, name)
     shutil.copy(src, dst)
-    return read_grid(dst, **kw)
+    return read_grid(dst, dtype=DTYPE, **kw)
 
 
 def bench_fixture_interpolation(name, n_queries, tmpdir, multi=False):
@@ -137,19 +141,35 @@ def bench_quad_cell_data(n_queries, tmpdir):
     emit("quad.vtu cell-data lookup", n_queries / dt, "queries/s", seconds=dt)
 
 
-def make_tet_grid(n_side):
+def make_tet_grid(n_side, cache=True):
+    """Build (or reload) the synthetic tet grid; large grids round-trip
+    through save_grid/load_grid so repeated suite runs skip the
+    minutes-long host preprocessing (and prove the checkpoint path)."""
+    import jax
+    import jax.numpy as jnp
+
     from interpolate_unstructured_tpu import build_grid
+    from interpolate_unstructured_tpu.io.checkpoint import load_grid, save_grid
     from interpolate_unstructured_tpu.utils import meshgen
 
+    tag = "f64" if DTYPE == jnp.float64 else "f32"
+    fn = os.path.join(CACHE_DIR, f"tet{n_side}_{tag}.binda")
+    if cache and os.path.exists(fn):
+        return load_grid(fn)
     points, cells, neighbors = meshgen.tet_box_mesh(n_side, n_side, n_side)
-    return build_grid(
+    grid = build_grid(
         points,
         cells,
         neighbors,
         "tetra",
         point_data={"Polynomial": points.sum(axis=1) + 1.0},
         locate_mode="walk",
+        dtype=DTYPE,
     )
+    if cache and n_side >= 24:
+        os.makedirs(CACHE_DIR, exist_ok=True)
+        save_grid(grid, fn)
+    return grid
 
 
 def bench_large_tet(n_side, n_queries):
@@ -227,9 +247,23 @@ def bench_trace_tet(n_side, n_traj):
 
 
 def main():
+    global DTYPE
     ap = argparse.ArgumentParser()
     ap.add_argument("--small", action="store_true", help="quick shapes")
+    ap.add_argument(
+        "--f64", action="store_true",
+        help="run every config in float64 (enables jax x64; the large "
+        "config shrinks to bound the doubled table memory)",
+    )
     args = ap.parse_args()
+
+    if args.f64:
+        import jax
+
+        jax.config.update("jax_enable_x64", True)
+        import jax.numpy as jnp
+
+        DTYPE = jnp.float64
 
     from interpolate_unstructured_tpu.utils.cache import enable_compile_cache
 
@@ -247,6 +281,11 @@ def main():
     if args.small:
         bench_large_tet(12, 100_000)
         bench_trace_tet(8, 64)
+    elif args.f64:
+        # f64 doubles every table: a smaller mesh keeps the working set
+        # on one chip (labels carry the true sizes)
+        bench_large_tet(35, 4_000_000)
+        bench_trace_tet(16, 1024)
     else:
         bench_large_tet(55, 10_000_000)  # ~1M cells, 10M queries
         bench_trace_tet(16, 1024)
