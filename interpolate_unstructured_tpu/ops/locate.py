@@ -204,9 +204,25 @@ def walk(grid, r0, r1, ic0, max_steps=None, i_icell_mask=None, table=None):
     eps_arrive = 4.0 * nudge
 
     delta = r1 - r0
-    total = jnp.linalg.norm(delta, axis=-1)
+    # Explicit component math: jnp.linalg.norm's overflow-safe
+    # rescaling is several extra full passes over a lane-padded (B, 3)
+    # array (measured ~10 ms/1M on v5e — it dominated degenerate walks)
+    total = jnp.sqrt(
+        delta[:, 0] ** 2 + delta[:, 1] ** 2 + delta[:, 2] ** 2
+    )
     degenerate = total < tiny
     u = delta / jnp.where(degenerate, 1.0, total)[:, None]
+
+    from . import pallas_walk
+
+    if pallas_walk.supported(grid, dtype, i_icell_mask):
+        # Per-round face math on-chip: the XLA body's (B, nf, 3) and
+        # (B, nf) intermediates pad their minor dims to 128 lanes
+        # (measured ~15 ms/round at 625k lanes vs ~0.3 ms of gather)
+        return _walk_pallas(
+            grid, table, r0, u, total, degenerate, ic0, max_steps,
+            nudge, eps_arrive,
+        )
 
     if i_icell_mask is not None:
         mask0 = grid.icell_data[jnp.maximum(ic0, 0), i_icell_mask]
@@ -326,6 +342,59 @@ def walk(grid, r0, r1, ic0, max_steps=None, i_icell_mask=None, table=None):
     )
     status = jnp.where(still_active, STATUS_STEP_CAP, status)
     return ic, r_p, n_steps, status
+
+
+def _walk_pallas(grid, table, r0, u, total, degenerate, ic0, max_steps,
+                 nudge, eps_arrive):
+    """walk()'s loop with the round body in ops/pallas_walk.py.
+
+    State lives TRANSPOSED across rounds (queries on lanes) so the
+    kernel never re-lays it out; only the per-round row gather and the
+    loop condition stay in XLA."""
+    from . import pallas_walk
+
+    b = r0.shape[0]
+    tile = 1024
+    bp = -(-max(b, tile) // tile) * tile
+
+    def row(x, dt):
+        out = jnp.zeros((1, bp), dt)
+        return out.at[0, :b].set(x.astype(dt))
+
+    def rows3(x):
+        out = jnp.zeros((3, bp), x.dtype)
+        return out.at[:, :b].set(x.T)
+
+    state = (
+        rows3(r0),
+        row(total, r0.dtype),
+        row(ic0, jnp.int32),
+        row(jnp.full(b, -1, jnp.int32), jnp.int32),  # prev
+        row(jnp.zeros(b, jnp.int32), jnp.int32),  # status
+        row(~degenerate, jnp.int32),  # active (padding lanes stay 0)
+        row(jnp.zeros(b, jnp.int32), jnp.int32),  # steps
+    )
+    u_t = rows3(u)
+
+    def cond(carry):
+        state, n = carry
+        return jnp.any(state[5] != 0) & (n < max_steps)
+
+    def body(carry):
+        state, n = carry
+        return (
+            pallas_walk.walk_round(
+                grid, table, u_t, state,
+                nudge=nudge, eps_arrive=eps_arrive, tile=tile,
+            ),
+            n + 1,
+        )
+
+    (rp_t, _, ic, _, status, active, steps), _ = lax.while_loop(
+        cond, body, (state, jnp.array(0, jnp.int32))
+    )
+    status = jnp.where(active[0, :b] != 0, STATUS_STEP_CAP, status[0, :b])
+    return ic[0, :b], rp_t[:, :b].T, steps[0, :b], status
 
 
 def _found_of(ic, status):
@@ -745,6 +814,80 @@ def locate_candidates(grid, r, max_steps=None):
     return ic, found
 
 
+def _get_cell_warm(grid, r, guess, max_steps):
+    """Warm-start location on candidate-table grids.
+
+    The one-gather candidate path answers every query ~4x cheaper per
+    lane than even a short guess-seeded walk (measured on v5e: the
+    bench's advected warm batch still crosses a face for ~65% of lanes
+    on a 1M-cell mesh, so a "did it stay put" pretest round loses
+    money).  The guess still buys reference parity where it matters:
+    candidate MISSES with a guess replay the reference walk from the
+    guess cell (iu_get_cell_through_neighbors, :664-725) on a small
+    compacted buffer, so off-domain queries report the boundary code
+    of the face that walk exits through (:712-719) instead of a bare
+    "not found".
+    """
+    cfg = grid.config
+    b = r.shape[0]
+    nf = grid.n_faces_per_cell
+    npc = grid.n_points_per_cell
+    guess = jnp.asarray(guess, jnp.int32)
+    # Out-of-range guesses fall back to a cold start (the reference
+    # error-stops on guess > n_cells, :490)
+    guess = jnp.where(guess >= grid.n_cells, -1, guess)
+
+    ic, found, _ = _candidates_query(grid, r, None, max_steps)
+    miss = ~found & (guess >= 0)
+
+    def recover(idx, active):
+        starts = jnp.maximum(guess[idx], 0)
+        gw = grid.walk_table[starts]
+        cp = gw[:, nf * 5 : nf * 5 + npc * 3]
+        r0 = cp.reshape(-1, npc, 3).mean(axis=1)
+        r0 = jnp.where(active[:, None], r0, r[idx])
+        ic_w, _, _, st_w = walk(
+            grid, r0, r[idx], starts, max_steps=max_steps
+        )
+        found_w = _found_of(ic_w, st_w) & active
+        code = jnp.where(found_w, ic_w, jnp.minimum(ic_w, -1))
+        return code, found_w
+
+    n_act = jnp.sum(miss.astype(jnp.int32))
+    m = -(-max(1024, b // cfg.cand_fallback_divisor) // 8) * 8
+    if b <= m or b < cfg.walk_compact_min_batch:
+        idx = jnp.arange(b, dtype=jnp.int32)
+        code, found_w = recover(idx, miss)
+        ic = jnp.where(miss, code, ic)
+        return ic, found | found_w
+
+    def small_path(args):
+        ic, found = args
+        idx = _compact_indices(miss, m)
+        keep = miss[idx]
+        code, found_w = recover(idx, keep)
+        ic = ic.at[idx].set(jnp.where(keep, code, ic[idx]))
+        found = found.at[idx].set(found[idx] | found_w)
+        return ic, found
+
+    def full_path(args):
+        ic, found = args
+        pad_b = -(-b // m) * m
+        idxs = jnp.arange(pad_b, dtype=jnp.int32).reshape(-1, m)
+        act_p = jnp.pad(miss, (0, pad_b - b))
+
+        def body(idx):
+            safe = jnp.minimum(idx, b - 1)
+            return recover(safe, act_p[idx])
+
+        code, found_w = lax.map(body, idxs)
+        code = code.reshape(-1)[:b]
+        found_w = found_w.reshape(-1)[:b]
+        return jnp.where(miss, code, ic), found | found_w
+
+    return lax.cond(n_act <= m, small_path, full_path, (ic, found))
+
+
 def _resume_walk(grid, r_p, r1, ic, active, max_steps):
     """Continue interrupted walks from their current position.
 
@@ -782,6 +925,9 @@ def get_cell(grid, r, guess=None, max_steps=None):
     if guess is None and grid.cand_table is not None:
         # Pure cold batch: one-gather candidate containment
         return locate_candidates(grid, r, max_steps=max_steps)
+
+    if guess is not None and grid.cand_table is not None:
+        return _get_cell_warm(grid, r, guess, max_steps)
 
     nf = grid.n_faces_per_cell
     npc = grid.n_points_per_cell
