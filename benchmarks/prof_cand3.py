@@ -63,10 +63,11 @@ def main():
     def run_pallas(grid, rt, slots):
         g = grid.cand_table[locate._cand_bin_index(grid, rt)]
         return pallas_cand.cand_rows_query(
-            grid, g, rt, slots, count_col, tile=tile)
+            grid, g, rt.T, slots, count_col, tile=tile)
 
     m, ic, cnt, vals = jax.jit(
         lambda g, r: run_pallas(g, r, (0,)))(grid, rs)
+    vals = vals.T
     eps = grid.config.eps_inside
     f_new = np.asarray(m >= -eps) & (np.asarray(ic) >= 0)
     ok = np.asarray(found_ref) & f_new
@@ -92,7 +93,7 @@ def main():
         def body(i, carry):
             r, acc = carry
             m, ic, c, v = run_pallas(grid, r, (0,))
-            return (dep(r, v[:, 0]), acc + v[0, 0])
+            return (dep(r, v[0]), acc + v[0, 0])
         _, acc = lax.fori_loop(0, n, body, (r, jnp.zeros((), grid.dtype)))
         return acc
 
@@ -139,7 +140,7 @@ def main2():
         def body(i, carry):
             r, acc = carry
             m, ic, c, _ = pallas_cand.cand_rows_query(
-                grid, g, r, (), count_col, tile=tile)
+                grid, g, r.T, (), count_col, tile=tile)
             return (dep(r, ic), acc + ic[0])
         _, acc = lax.fori_loop(0, n, body, (r, jnp.zeros((), jnp.int32)))
         return acc
@@ -148,8 +149,8 @@ def main2():
         def body(i, carry):
             r, acc = carry
             m, ic, c, v = pallas_cand.cand_rows_query(
-                grid, g, r, (0,), count_col, tile=tile)
-            return (dep(r, v[:, 0]), acc + v[0, 0])
+                grid, g, r.T, (0,), count_col, tile=tile)
+            return (dep(r, v[0]), acc + v[0, 0])
         _, acc = lax.fori_loop(0, n, body, (r, jnp.zeros((), grid.dtype)))
         return acc
 

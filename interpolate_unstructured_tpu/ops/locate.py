@@ -402,11 +402,25 @@ def _found_of(ic, status):
 
 
 def _cand_bin_index(grid, r):
+    return _cand_bin_index_t(grid, r.T)
+
+
+def _cand_bin_index_t(grid, r_t):
+    """Candidate-bin index from TRANSPOSED queries (3, B): three (B,)
+    component computations instead of lane-padded (B, 3) ops."""
     nbx, nby, nbz = grid.cand_shape
-    rel = (r - grid.cand_rmin) * grid.cand_inv_h
-    ij = jnp.floor(rel).astype(jnp.int32)
-    ij = jnp.clip(ij, 0, jnp.array([nbx - 1, nby - 1, nbz - 1]))
-    return (ij[:, 0] * nby + ij[:, 1]) * nbz + ij[:, 2]
+    shape = (nbx, nby, nbz)
+    ijk = [
+        jnp.clip(
+            jnp.floor(
+                (r_t[d] - grid.cand_rmin[d]) * grid.cand_inv_h[d]
+            ).astype(jnp.int32),
+            0,
+            shape[d] - 1,
+        )
+        for d in range(3)
+    ]
+    return (ijk[0] * nby + ijk[1]) * nbz + ijk[2]
 
 
 def _compact_indices(mask, m):
@@ -512,12 +526,13 @@ def _quad_weights_c(px, py, pz, rx, ry, rz):
     )
 
 
-def _probe_rows_xla(grid, g, rt, k, count_col, var_slots):
+def _probe_rows_xla(grid, g, rt_t, k, count_col, var_slots):
     """XLA fallback for the candidate-row probe (f64 grids / non-TPU
     backends; the TPU path is ops/pallas_cand.py with identical
     semantics).  All per-tile math runs TRANSPOSED — (k, bt)
-    sublane-shaped slices — because (bt, k) lane-shaped intermediates
-    pad k up to 128 lanes and cost ~10x their size in HBM traffic.
+    sublane-shaped slices, queries as (3, bt) — because (bt, k)
+    lane-shaped intermediates pad k up to 128 lanes and cost ~10x
+    their size in HBM traffic.
 
     Returns (m_best (bt,), id_best (bt,), count_val (bt,),
     valsT (n_vals, bt))."""
@@ -526,13 +541,13 @@ def _probe_rows_xla(grid, g, rt, k, count_col, var_slots):
     is_quad = grid.cell_type == "quad"
     id_role = 4 * nf + (3 * npc if is_quad else nf)
     data_role0 = id_role + 1
-    bt = rt.shape[0]
+    bt = rt_t.shape[1]
     gT = g.T  # (W, bt): one transpose per tile, then sublane slices
 
     def role(j):  # (k, bt) block of role j
         return gT[j * k : (j + 1) * k]
 
-    rx, ry, rz = rt[:, 0], rt[:, 1], rt[:, 2]
+    rx, ry, rz = rt_t[0], rt_t[1], rt_t[2]
     m_faces = []
     margins = None
     for f in range(nf):
@@ -552,7 +567,7 @@ def _probe_rows_xla(grid, g, rt, k, count_col, var_slots):
     id_best = pick(role(id_role)).astype(jnp.int32)
     count = gT[count_col]
     if var_slots is None:
-        return m_best, id_best, count, jnp.zeros((0, bt), rt.dtype)
+        return m_best, id_best, count, jnp.zeros((0, bt), rt_t.dtype)
 
     if is_quad:
         vrole = 4 * nf
@@ -642,38 +657,44 @@ def _candidates_query(grid, r, var_slots=None, max_steps=None):
         pallas_cand.supported(grid) and jax.default_backend() == "tpu"
     )
 
-    def probe(g, rt, k, ccol):
-        """Containment + fused values over gathered rows g (bt, W)."""
+    def probe(g, rt_t, k, ccol):
+        """Containment + fused values over gathered rows g (bt, W);
+        queries arrive TRANSPOSED (3, bt)."""
         if use_pallas:
             # One streaming Pallas pass: the XLA math costs 2-4x more
             # (per-consumer re-streams of the gather + lane-padded
             # small-K intermediates; benchmarks/prof_cand.py)
             m_b, id_b, cnt, vals = pallas_cand.cand_rows_query(
-                grid, g, rt, var_slots or (), ccol, k_max=k
+                grid, g, rt_t, var_slots or (), ccol, k_max=k
             )
             if var_slots is None:
-                return m_b, id_b, cnt, jnp.zeros((0, rt.shape[0]), rt.dtype)
-            return m_b, id_b, cnt, vals.T
-        return _probe_rows_xla(grid, g, rt, k, ccol, var_slots)
+                return m_b, id_b, cnt, jnp.zeros(
+                    (0, rt_t.shape[1]), rt_t.dtype
+                )
+            return m_b, id_b, cnt, vals
+        return _probe_rows_xla(grid, g, rt_t, k, ccol, var_slots)
 
-    def tile_fn(rt):
-        g = grid.cand_table[_cand_bin_index(grid, rt)]
-        return probe(g, rt, k_max, count_col)
+    def tile_fn(rt_t):
+        g = grid.cand_table[_cand_bin_index_t(grid, rt_t)]
+        return probe(g, rt_t, k_max, count_col)
 
+    # ONE (B, 3) -> (3, B) transpose up front; per-chunk column slices
+    # are contiguous (a per-chunk transpose costs ~1-2 ms each on TPU)
+    r_t = r.T
     # Tile big batches so the gathered rows stay bounded in HBM
     chunk = cfg.cand_chunk_queries
     if b <= chunk:
-        m_best, id_best, count, valsT = tile_fn(r)
+        m_best, id_best, count, valsT = tile_fn(r_t)
     else:
         pad = (-b) % chunk
-        rp = jnp.pad(r, ((0, pad), (0, 0)))
-        n_ch = rp.shape[0] // chunk
+        rp_t = jnp.pad(r_t, ((0, 0), (0, pad)))
+        n_ch = rp_t.shape[1] // chunk
         if n_ch <= 32:
             # Unrolled: XLA's scheduler can overlap chunk i+1's row
             # gather with chunk i's kernel (lax.map iterations are
             # strictly sequential)
             outs = [
-                tile_fn(rp[i * chunk : (i + 1) * chunk])
+                tile_fn(rp_t[:, i * chunk : (i + 1) * chunk])
                 for i in range(n_ch)
             ]
             m_best = jnp.concatenate([o[0] for o in outs])[:b]
@@ -682,7 +703,8 @@ def _candidates_query(grid, r, var_slots=None, max_steps=None):
             valsT = jnp.concatenate([o[3] for o in outs], axis=1)[:, :b]
         else:
             m_best, id_best, count, valsT = lax.map(
-                tile_fn, rp.reshape(-1, chunk, 3)
+                tile_fn,
+                jnp.moveaxis(rp_t.reshape(3, -1, chunk), 1, 0),
             )
             m_best = m_best.reshape(-1)[:b]
             id_best = id_best.reshape(-1)[:b]
@@ -690,7 +712,7 @@ def _candidates_query(grid, r, var_slots=None, max_steps=None):
             # explicit target shape: reshape(-1) breaks on the 0-wide
             # no-values case (var_slots is None)
             valsT = jnp.moveaxis(valsT, 1, 0).reshape(
-                valsT.shape[1], rp.shape[0]
+                valsT.shape[1], rp_t.shape[1]
             )[:, :b]
 
     found = (m_best >= -eps) & (id_best >= 0)
@@ -732,7 +754,10 @@ def _candidates_query(grid, r, var_slots=None, max_steps=None):
         ext_ccol = k_ext * (data_role0 + npc * nv)
         slots = jnp.where(active, cc[idx] - (k_max + 1), 0)
         g2 = grid.cand_ext_table[slots]
-        m2, id2, cnt2, vals2T = probe(g2, r[idx], k_ext, ext_ccol)
+        # (3, m) subset via three 1-D gathers (cheap; a (m, 3) gather
+        # + transpose is not)
+        rt_t = jnp.stack([r_t[0][idx], r_t[1][idx], r_t[2][idx]])
+        m2, id2, cnt2, vals2T = probe(g2, rt_t, k_ext, ext_ccol)
         found2 = (m2 >= -eps) & (id2 >= 0) & active
         ic2 = jnp.where(found2, id2, -1)
         vals2 = vals2T.T if var_slots is not None else None

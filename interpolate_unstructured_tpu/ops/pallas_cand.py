@@ -164,20 +164,22 @@ def supported(grid) -> bool:
     )
 
 
-def cand_rows_query(grid, g, rt, var_slots, count_col, k_max=None,
+def cand_rows_query(grid, g, rt_t, var_slots, count_col, k_max=None,
                     tile: int = 1024, interpret: bool | None = None):
     """Run the candidate-row kernel on pre-gathered rows.
 
     Args:
       g: (B, W) float32 gathered candidate rows
-      rt: (B, 3) float32 queries
+      rt_t: (3, B) float32 TRANSPOSED queries (the hot path keeps
+        queries lane-major throughout — per-call (B, 3) transposes
+        cost ~1-2 ms each at 1M on TPU)
       var_slots: tuple of fused variable slots to interpolate (or ())
       count_col: column of the count slot in the row layout
       k_max: candidates per row (defaults to the main table's K; pass
         the extension width when probing extension rows)
 
-    Returns (m_best (B,), id_best (B,) int32, count (B,), vals (B, V)
-    or None).
+    Returns (m_best (B,), id_best (B,) int32, count (B,),
+    valsT (V, B) or None).
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -191,9 +193,8 @@ def cand_rows_query(grid, g, rt, var_slots, count_col, k_max=None,
     b_pad = _round_up(max(b, tile), tile)
     if b_pad != b:
         g = jnp.pad(g, ((0, b_pad - b), (0, 0)))
-    r_t = jnp.zeros((3, b_pad), jnp.float32).at[:, :b].set(
-        rt.astype(jnp.float32).T
-    )
+        rt_t = jnp.pad(rt_t, ((0, 0), (0, b_pad - b)))
+    r_t = rt_t.astype(jnp.float32)
 
     kernel = functools.partial(
         _kernel,
@@ -239,5 +240,5 @@ def cand_rows_query(grid, g, rt, var_slots, count_col, k_max=None,
         m_best[0, :b],
         ic[0, :b],
         count[0, :b],
-        vals[:, :b].T if var_slots else None,
+        vals[:, :b] if var_slots else None,
     )

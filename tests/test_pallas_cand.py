@@ -55,9 +55,10 @@ def test_pallas_cand_parity(cell_type):
     r = jnp.asarray(r, jnp.float32)
 
     g = grid.cand_table[locate._cand_bin_index(grid, r)]
-    m_best, id_best, count, vals = pallas_cand.cand_rows_query(
-        grid, g, r, (0,), _count_col(grid), interpret=True
+    m_best, id_best, count, vals_t = pallas_cand.cand_rows_query(
+        grid, g, r.T, (0,), _count_col(grid), interpret=True
     )
+    vals = vals_t.T
 
     # Count-column passthrough: exact count where it fits K, else the
     # overflow-extension redirection K + 1 + ext_slot
