@@ -792,10 +792,15 @@ def _add_column(data, names, name, values, n_rows):
     return data, names + (name,), i_var
 
 
-def _refresh_cand_data(grid: UGrid) -> UGrid:
+def _refresh_cand_data(grid: UGrid, i_var: int | None = None) -> UGrid:
     """Re-pack the candidate rows after a point-data mutation — they
-    carry fused copies of the leading variables' vertex values."""
+    carry fused copies of the leading variables' vertex values.
+
+    Pass the mutated column as ``i_var`` to skip the (multi-GB on big
+    grids) repack when that column is not fused into the rows."""
     if grid.cand_ids is None:
+        return grid
+    if i_var is not None and i_var >= cand_fused_nv(grid):
         return grid
     return dataclasses.replace(grid, **_build_cand_tables(grid))
 
@@ -811,7 +816,7 @@ def add_point_data(grid: UGrid, name: str, values=None):
     grid = dataclasses.replace(
         grid, point_data=data, point_data_names=names
     )
-    return _refresh_cand_data(grid), i_var
+    return _refresh_cand_data(grid, i_var), i_var
 
 
 def add_cell_data(grid: UGrid, name: str, values=None):
@@ -840,7 +845,7 @@ def set_point_data(grid: UGrid, i_var: int, values) -> UGrid:
     grid = dataclasses.replace(
         grid, point_data=grid.point_data.at[:, i_var].set(values)
     )
-    return _refresh_cand_data(grid)
+    return _refresh_cand_data(grid, i_var)
 
 
 # ---------------------------------------------------------------------------

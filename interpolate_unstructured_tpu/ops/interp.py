@@ -117,7 +117,11 @@ def quad_weights(cell_points, r):
     mu = jnp.where(
         linear,
         -qc / qb_safe,
-        0.5 * (-qb - jnp.sqrt(disc)) / qa_safe,
+        # disc >= 0 analytically for points inside the quad; the clamp
+        # absorbs float rounding at tangency (all four copies of this
+        # kernel — here, locate._quad_weights_c, pallas_cand/_interp —
+        # must agree, or the same point NaNs on one path only)
+        0.5 * (-qb - jnp.sqrt(jnp.maximum(disc, 0.0))) / qa_safe,
     )
 
     denom = b1 + mu[:, None] * b3  # (B, 3)
@@ -315,7 +319,8 @@ def interpolate_at(grid, r, i_vars, guess=None, fill_value=jnp.nan):
     # jit tracing jnp.asarray yields a Tracer and the fused-row fast
     # path would silently never engage
     slots = _static_slots(i_vars)
-    i_vars = jnp.asarray(i_vars)
+    # int32 keeps an empty list a valid indexer (asarray([]) is float)
+    i_vars = jnp.asarray(i_vars, jnp.int32)
     if grid.locate_mode == "bruteforce":
         # Fused gather-free pipeline (the guess is irrelevant here:
         # containment is exact in one shot)
@@ -343,7 +348,7 @@ def interpolate_at(grid, r, i_vars, guess=None, fill_value=jnp.nan):
     if (
         guess is None
         and grid.cand_table is not None
-        and slots is not None
+        and slots  # non-empty: the generic path handles i_vars == []
     ):
         from ..models.grid import cand_fused_nv
 

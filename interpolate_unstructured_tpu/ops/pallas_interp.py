@@ -123,7 +123,10 @@ def _quad_weights_rows(g, rb):
     mu = jnp.where(
         linear,
         -qc / jnp.where(jnp.abs(qb) > 0, qb, 1.0),
-        0.5 * (-qb - jnp.sqrt(disc)) / jnp.where(linear, 1.0, qa),
+        # clamp rounding-negative discriminants (all copies of this
+        # kernel must agree; see ops.interp.quad_weights)
+        0.5 * (-qb - jnp.sqrt(jnp.maximum(disc, 0.0)))
+        / jnp.where(linear, 1.0, qa),
     )
 
     denom = b1 + mu * b3  # (3, TILE) via broadcast of (1, TILE)

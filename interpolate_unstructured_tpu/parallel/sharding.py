@@ -196,11 +196,27 @@ def collect_results(x, local_b: int | None = None):
 
     out = np.asarray(multihost_utils.process_allgather(x, tiled=True))
     if local_b is not None:
-        # Padding sits at the END of each process's block, so trim
-        # per block, not at the global tail
-        n_proc = jax.process_count()
-        padded = out.shape[0] // n_proc
-        out = out.reshape(n_proc, padded, *out.shape[1:])[
-            :, :local_b
-        ].reshape(n_proc * local_b, *out.shape[2:])
+        # Padding sits at the END of each process's block, and both
+        # the padded and the valid sizes are PER PROCESS (processes
+        # may contribute unequal query counts and hold unequal device
+        # counts) — gather every process's (padded, valid) pair and
+        # trim each block with its own sizes.  Assumes the mesh lays
+        # process blocks out contiguously along the batch axis (true
+        # for meshes built from jax.devices() order).
+        import jax.numpy as jnp
+
+        padded_local = sum(
+            s.data.shape[0] for s in x.addressable_shards
+        )
+        sizes = np.asarray(
+            multihost_utils.process_allgather(
+                jnp.asarray([padded_local, local_b]), tiled=False
+            )
+        ).reshape(jax.process_count(), 2)
+        parts = []
+        off = 0
+        for padded, valid in sizes:
+            parts.append(out[off : off + valid])
+            off += padded
+        out = np.concatenate(parts, axis=0)
     return out

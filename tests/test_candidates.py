@@ -253,3 +253,44 @@ def test_extension_residual_walk():
         _mixed_queries(rng, 4096, np.zeros(3), np.ones(3)), g.dtype
     )
     _check_parity(g, g_brute, r)
+
+
+def test_empty_ivars_and_unfused_set_point_data():
+    """interpolate_at with i_vars=[] returns a (B, 0) result on every
+    locate mode, and mutating a NON-fused point-data column must not
+    repack the candidate tables (review findings, round 2)."""
+    pts, cells, nbrs = meshgen.tet_box_mesh(4, 4, 4)
+    g = iu.build_grid(
+        pts, cells, nbrs, "tetra",
+        point_data={"Polynomial": pts.sum(1) + 1.0}, locate_mode="walk",
+    )
+    rng = np.random.default_rng(46)
+    r = jnp.asarray(rng.random((64, 3)), g.dtype)
+    vals, ic, found = iu.interpolate_at(g, r, [])
+    assert vals.shape == (64, 0)
+    assert bool(np.asarray(found).all())
+
+    from interpolate_unstructured_tpu.models.grid import cand_fused_nv
+
+    # f32 rows fuse the leading variable (f64 rows are too narrow)
+    gf = iu.build_grid(
+        pts, cells, nbrs, "tetra",
+        point_data={"Polynomial": pts.sum(1) + 1.0}, locate_mode="walk",
+        dtype=jnp.float32,
+    )
+    assert cand_fused_nv(gf) >= 1
+    g2, i_v = iu.add_point_data(gf, "extra", np.zeros(gf.n_points))
+    assert i_v >= cand_fused_nv(g2)
+    table_before = g2.cand_table
+    g3 = iu.set_point_data(g2, i_v, np.ones(g2.n_points))
+    assert g3.cand_table is table_before  # no repack for unfused column
+    # fused column DOES repack (values ride in the rows)
+    g4 = iu.set_point_data(g3, 0, np.asarray(pts.sum(1) * 2.0))
+    assert g4.cand_table is not table_before
+    rf = jnp.asarray(np.asarray(r), jnp.float32)
+    v, _, f = iu.interpolate_scalar_at(g4, rf, 0)
+    np.testing.assert_allclose(
+        np.asarray(v)[np.asarray(f)],
+        2.0 * np.asarray(rf.sum(1))[np.asarray(f)],
+        atol=1e-4,
+    )
