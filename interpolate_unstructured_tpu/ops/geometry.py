@@ -243,6 +243,13 @@ def build_candidate_bins(
       ext_slot: (n_bins,) int32 — overflow bins' row in ext_ids, -1
         elsewhere
     """
+    import time as _time
+    _t0 = _time.time()
+    def _tick(tag):
+        nonlocal _t0
+        import os as _os
+        if _os.environ.get("IU_BUILD_PROFILE"):
+            now = _time.time(); print(f"  [cand-build] {tag}: {now-_t0:.1f}s", flush=True); _t0 = now
     n_cells = len(cell_points)
     rmin = np.asarray(rmin, dtype=np.float64)
     n_target = min(max(int(bins_per_cell * n_cells), 1), max_bins)
@@ -295,22 +302,20 @@ def build_candidate_bins(
         bz = b0[pc, 2] + iz
         pbin = (bx * nby + by) * nbz + bz
 
-        # Bin centers of each pair
-        cb = np.stack(
-            [
-                rmin[0] + (bx + 0.5) * h[0] * active[0],
-                rmin[1] + (by + 0.5) * h[1] * active[1],
-                rmin[2] + (bz + 0.5) * h[2] * active[2],
-            ],
-            axis=1,
-        )
+        # Bin centers of each pair (preallocated: np.stack measures
+        # ~5 s per 8M-pair chunk on this throttled core)
+        cb = np.empty((p, 3), np.float64)
+        cb[:, 0] = rmin[0] + (bx + 0.5) * (h[0] * active[0])
+        cb[:, 1] = rmin[1] + (by + 0.5) * (h[1] * active[1])
+        cb[:, 2] = rmin[2] + (bz + 0.5) * (h[2] * active[2])
         if not active[2] and ndim == 2:
             # planar meshes: probe in the mesh plane
             cb[:, 2] = cell_points[:, :, 2].mean() if n_cells else 0.0
 
         nrm = face_normals[pc]  # (P, nf, 3)
         off = face_offsets[pc]  # (P, nf)
-        proj = np.einsum("pki,pi->pk", nrm, cb)  # n . bin_center
+        # multiply-reduce: numpy's c_einsum runs ~3x slower here
+        proj = (nrm * cb[:, None, :]).sum(-1)  # n . bin_center
         reach = np.abs(nrm) @ half  # (P, nf) max |n . (x - cb)| over bin
         # Face-plane separation: whole bin strictly outside face k
         separated = (proj - reach > off + eps).any(axis=1)
@@ -321,6 +326,7 @@ def build_candidate_bins(
         out_score.append(
             (off - proj).min(axis=1)[keep].astype(np.float32)
         )
+        _tick(f"chunk {c_lo}-{c_hi}")
         c_lo = c_hi
 
     if total_pairs:
@@ -332,7 +338,9 @@ def build_candidate_bins(
         pcell = np.zeros(0, np.int32)
         score = np.zeros(0, np.float32)
 
+    _tick("concat")
     order = np.lexsort((-score, pbin))
+    _tick("lexsort")
     pbin = pbin[order]
     pcell = pcell[order]
 
@@ -344,8 +352,10 @@ def build_candidate_bins(
     rank_in_bin = np.arange(len(pbin), dtype=np.int64) - first[pbin]
     keep = rank_in_bin < k_max
 
+    _tick("rank")
     cand_ids = np.full((n_bins, k_max), -1, dtype=np.int32)
     cand_ids[pbin[keep], rank_in_bin[keep]] = pcell[keep]
+    _tick("fill main")
 
     over = np.where(cand_count > k_max)[0]
     k_ext = 0
@@ -359,6 +369,7 @@ def build_candidate_bins(
         ext_ids[
             ext_slot[pbin[keep2]], rank_in_bin[keep2] - k_max
         ] = pcell[keep2]
+    _tick("ext")
     return (
         cand_ids,
         cand_count,
