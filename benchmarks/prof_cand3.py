@@ -61,9 +61,9 @@ def main():
     ic_ref, found_ref, vals_ref = locate._candidates_query(grid, rs, (0,))
 
     def run_pallas(grid, rt, slots):
-        g = grid.cand_table[locate._cand_bin_index(grid, rt)]
+        idx = locate._cand_bin_index(grid, rt)
         return pallas_cand.cand_rows_query(
-            grid, g, rt.T, slots, count_col, tile=tile)
+            grid, grid.cand_table, idx, rt.T, slots, count_col, tile=tile)
 
     m, ic, cnt, vals = jax.jit(
         lambda g, r: run_pallas(g, r, (0,)))(grid, rs)
@@ -130,8 +130,9 @@ def main2():
     rng = np.random.default_rng(2)
     r = jnp.asarray(rng.random((b, 3)), grid.dtype)
     import jax as _jax
-    g = _jax.jit(lambda grid, r: grid.cand_table[locate._cand_bin_index(grid, r)])(grid, r)
-    g.block_until_ready()
+    g = grid.cand_table
+    idx0 = _jax.jit(lambda grid, r: locate._cand_bin_index(grid, r))(grid, r)
+    idx0.block_until_ready()
 
     def dep(r, x):
         return r + 1e-12 * x.astype(r.dtype)[:1, None]
@@ -140,7 +141,7 @@ def main2():
         def body(i, carry):
             r, acc = carry
             m, ic, c, _ = pallas_cand.cand_rows_query(
-                grid, g, r.T, (), count_col, tile=tile)
+                grid, g, idx0, r.T, (), count_col, tile=tile)
             return (dep(r, ic), acc + ic[0])
         _, acc = lax.fori_loop(0, n, body, (r, jnp.zeros((), jnp.int32)))
         return acc
@@ -149,7 +150,7 @@ def main2():
         def body(i, carry):
             r, acc = carry
             m, ic, c, v = pallas_cand.cand_rows_query(
-                grid, g, r.T, (0,), count_col, tile=tile)
+                grid, g, idx0, r.T, (0,), count_col, tile=tile)
             return (dep(r, v[0]), acc + v[0, 0])
         _, acc = lax.fori_loop(0, n, body, (r, jnp.zeros((), grid.dtype)))
         return acc

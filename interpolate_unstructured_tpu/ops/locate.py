@@ -657,26 +657,30 @@ def _candidates_query(grid, r, var_slots=None, max_steps=None):
         pallas_cand.supported(grid) and jax.default_backend() == "tpu"
     )
 
-    def probe(g, rt_t, k, ccol):
-        """Containment + fused values over gathered rows g (bt, W);
+    def probe(tab, idx, rt_t, k, ccol):
+        """Gather rows ``tab[idx]`` + containment + fused values;
         queries arrive TRANSPOSED (3, bt)."""
         if use_pallas:
-            # One streaming Pallas pass: the XLA math costs 2-4x more
-            # (per-consumer re-streams of the gather + lane-padded
-            # small-K intermediates; benchmarks/prof_cand.py)
+            # One streaming Pallas pass over the rows gathered inside
+            # (tile-alignment pads the indices, not the rows): the XLA
+            # math costs 2-4x more (per-consumer re-streams of the
+            # gather + lane-padded small-K intermediates;
+            # benchmarks/prof_cand.py)
             m_b, id_b, cnt, vals = pallas_cand.cand_rows_query(
-                grid, g, rt_t, var_slots or (), ccol, k_max=k
+                grid, tab, idx, rt_t, var_slots or (), ccol, k_max=k
             )
             if var_slots is None:
                 return m_b, id_b, cnt, jnp.zeros(
                     (0, rt_t.shape[1]), rt_t.dtype
                 )
             return m_b, id_b, cnt, vals
-        return _probe_rows_xla(grid, g, rt_t, k, ccol, var_slots)
+        return _probe_rows_xla(grid, tab[idx], rt_t, k, ccol, var_slots)
 
     def tile_fn(rt_t):
-        g = grid.cand_table[_cand_bin_index_t(grid, rt_t)]
-        return probe(g, rt_t, k_max, count_col)
+        return probe(
+            grid.cand_table, _cand_bin_index_t(grid, rt_t), rt_t,
+            k_max, count_col,
+        )
 
     # ONE (B, 3) -> (3, B) transpose up front; per-chunk column slices
     # are contiguous (a per-chunk transpose costs ~1-2 ms each on TPU)
@@ -753,11 +757,12 @@ def _candidates_query(grid, r, var_slots=None, max_steps=None):
         k_ext = grid.cand_ext_ids.shape[1]
         ext_ccol = k_ext * (data_role0 + npc * nv)
         slots = jnp.where(active, cc[idx] - (k_max + 1), 0)
-        g2 = grid.cand_ext_table[slots]
         # (3, m) subset via three 1-D gathers (cheap; a (m, 3) gather
         # + transpose is not)
         rt_t = jnp.stack([r_t[0][idx], r_t[1][idx], r_t[2][idx]])
-        m2, id2, cnt2, vals2T = probe(g2, rt_t, k_ext, ext_ccol)
+        m2, id2, cnt2, vals2T = probe(
+            grid.cand_ext_table, slots, rt_t, k_ext, ext_ccol
+        )
         found2 = (m2 >= -eps) & (id2 >= 0) & active
         ic2 = jnp.where(found2, id2, -1)
         vals2 = vals2T.T if var_slots is not None else None

@@ -164,12 +164,20 @@ def supported(grid) -> bool:
     )
 
 
-def cand_rows_query(grid, g, rt_t, var_slots, count_col, k_max=None,
-                    tile: int = 1024, interpret: bool | None = None):
-    """Run the candidate-row kernel on pre-gathered rows.
+def cand_rows_query(grid, table, idx, rt_t, var_slots, count_col,
+                    k_max=None, tile: int = 1024,
+                    interpret: bool | None = None):
+    """Gather candidate rows and run the kernel over them.
+
+    The gather happens HERE so tile-alignment padding applies to the
+    4-byte indices, not the kilobyte rows (padding a gathered (B, W)
+    buffer is a full extra HBM copy — visible as a 1 GB `pad` op in
+    the compiled HLO for non-tile-multiple batches).
 
     Args:
-      g: (B, W) float32 gathered candidate rows
+      table: (n_rows, W) float32 packed candidate rows (main or
+        extension table)
+      idx: (B,) int32 row index per query
       rt_t: (3, B) float32 TRANSPOSED queries (the hot path keeps
         queries lane-major throughout — per-call (B, 3) transposes
         cost ~1-2 ms each at 1M on TPU)
@@ -183,7 +191,8 @@ def cand_rows_query(grid, g, rt_t, var_slots, count_col, k_max=None,
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    b, w = g.shape
+    b = idx.shape[0]
+    w = table.shape[1]
     nf = grid.n_faces_per_cell
     npc = grid.n_points_per_cell
     if k_max is None:
@@ -192,8 +201,9 @@ def cand_rows_query(grid, g, rt_t, var_slots, count_col, k_max=None,
 
     b_pad = _round_up(max(b, tile), tile)
     if b_pad != b:
-        g = jnp.pad(g, ((0, b_pad - b), (0, 0)))
+        idx = jnp.pad(idx, (0, b_pad - b))
         rt_t = jnp.pad(rt_t, ((0, 0), (0, b_pad - b)))
+    g = table[idx]
     r_t = rt_t.astype(jnp.float32)
 
     kernel = functools.partial(

@@ -54,9 +54,10 @@ def test_pallas_cand_parity(cell_type):
         r[:, 2] = 0.0
     r = jnp.asarray(r, jnp.float32)
 
-    g = grid.cand_table[locate._cand_bin_index(grid, r)]
+    idx = locate._cand_bin_index(grid, r)
     m_best, id_best, count, vals_t = pallas_cand.cand_rows_query(
-        grid, g, r.T, (0,), _count_col(grid), interpret=True
+        grid, grid.cand_table, idx, r.T, (0,), _count_col(grid),
+        interpret=True
     )
     vals = vals_t.T
 
