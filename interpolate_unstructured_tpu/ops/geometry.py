@@ -130,23 +130,11 @@ def build_bin_seed_table(
     from scipy.spatial import cKDTree
 
     n_cells = len(cell_centers)
-    extent = np.asarray(rmax, dtype=np.float64) - np.asarray(rmin, np.float64)
-    active = np.zeros(3, dtype=bool)
-    active[:ndim] = extent[:ndim] > 0
-
     n_bins_target = min(max(int(bins_per_cell * n_cells), 1), max_bins)
-    n_active = int(active.sum())
-    bin_shape = np.ones(3, dtype=np.int64)
-    if n_active > 0:
-        # Distribute bins across active dims proportionally to extent
-        geo_mean = np.exp(np.log(extent[active]).mean())
-        per_unit = (n_bins_target ** (1.0 / n_active)) / geo_mean
-        bin_shape[active] = np.maximum(
-            1, np.round(extent[active] * per_unit).astype(np.int64)
-        )
-
-    h = np.where(active, extent / bin_shape, 1.0)
-    inv_h = np.where(active, 1.0 / h, 0.0)
+    bin_shape, h, inv_h, active = _bin_grid_shape(
+        rmin, rmax, ndim, n_bins_target
+    )
+    rmin = np.asarray(rmin, dtype=np.float64)
 
     # Bin centers (flat, C-order)
     axes = [
@@ -172,6 +160,8 @@ def _bin_grid_shape(rmin, rmax, ndim, n_bins_target):
 
     Bins are distributed across active dims proportionally to extent
     (geometric-mean normalization); unused dims collapse to one bin.
+    ``n_bins_target`` is a hard cap: prod(bin_shape) <= n_bins_target,
+    so table memory is strictly bounded by the sizing knobs.
     """
     extent = np.asarray(rmax, dtype=np.float64) - np.asarray(rmin, np.float64)
     active = np.zeros(3, dtype=bool)
@@ -184,6 +174,20 @@ def _bin_grid_shape(rmin, rmax, ndim, n_bins_target):
         bin_shape[active] = np.maximum(
             1, np.round(extent[active] * per_unit).astype(np.int64)
         )
+        # Per-dim rounding can overshoot the product by ~1.5x/dim; keep
+        # the knob a hard cap. floor(s*scale) per dim brings the product
+        # under target; the decrement loop mops up +1s from the >=1 clamp.
+        prod = int(bin_shape.prod())
+        if prod > n_bins_target:
+            scale = (n_bins_target / prod) ** (1.0 / n_active)
+            bin_shape[active] = np.maximum(
+                1, np.floor(bin_shape[active] * scale).astype(np.int64)
+            )
+        while int(bin_shape.prod()) > n_bins_target:
+            d = int(np.argmax(bin_shape))
+            if bin_shape[d] <= 1:
+                break
+            bin_shape[d] -= 1
     h = np.where(active, extent / bin_shape, 1.0)
     inv_h = np.where(active, 1.0 / h, 0.0)
     return bin_shape, h, inv_h, active
@@ -243,13 +247,9 @@ def build_candidate_bins(
       ext_slot: (n_bins,) int32 — overflow bins' row in ext_ids, -1
         elsewhere
     """
-    import time as _time
-    _t0 = _time.time()
-    def _tick(tag):
-        nonlocal _t0
-        import os as _os
-        if _os.environ.get("IU_BUILD_PROFILE"):
-            now = _time.time(); print(f"  [cand-build] {tag}: {now-_t0:.1f}s", flush=True); _t0 = now
+    from ..utils.timing import env_ticker
+
+    _tick = env_ticker("IU_BUILD_PROFILE", "cand-build")
     n_cells = len(cell_points)
     rmin = np.asarray(rmin, dtype=np.float64)
     n_target = min(max(int(bins_per_cell * n_cells), 1), max_bins)

@@ -136,6 +136,12 @@ def quad_weights(cell_points, r):
     denom_d = jnp.where(use01, d01, denom[:, 2])
     q_d = jnp.where(use01, q01, q[:, 2])
     b2_d = jnp.where(use01, b01, b2[:, 2])
+    # Fully degenerate quads (all denom components zero; the reference
+    # divides by zero here, :632) return finite values instead of NaN —
+    # the guard must match in ALL four kernel copies (here,
+    # locate._quad_weights_c, pallas_cand, pallas_interp) or the same
+    # point NaNs on one path only.
+    denom_d = jnp.where(denom_d == 0, 1.0, denom_d)
     lam = (q_d - b2_d * mu) / denom_d
 
     # Vertex order (1,2)-(4,3): tmp1 = p1 (1-lam) + p2 lam,
@@ -352,7 +358,10 @@ def interpolate_at(grid, r, i_vars, guess=None, fill_value=jnp.nan):
     ):
         from ..models.grid import cand_fused_nv
 
-        if all(s < cand_fused_nv(grid) for s in slots):
+        # Negative indices are valid in the generic path (python-style
+        # wrap into point_data) but would slice packed-row role columns
+        # at bogus offsets here — they must fall through.
+        if all(0 <= s < cand_fused_nv(grid) for s in slots):
             i_cell, found, values = locate._candidates_query(grid, r, slots)
             if isinstance(fill_value, (int, float)):
                 fill = jnp.full_like(values, fill_value)

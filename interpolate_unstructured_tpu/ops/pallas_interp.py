@@ -140,6 +140,8 @@ def _quad_weights_rows(g, rb):
     dd = jnp.where(use01, d01, _row(denom, 2))
     qq = jnp.where(use01, q01, _row(q, 2))
     bb = jnp.where(use01, b01, _row(b2, 2))
+    # degenerate-quad guard: keep all four kernel copies in agreement
+    dd = jnp.where(dd == 0, 1.0, dd)
     lam = (qq - bb * mu) / dd
     return [
         (1 - lam) * (1 - mu),

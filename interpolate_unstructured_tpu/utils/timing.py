@@ -61,6 +61,27 @@ class Metrics:
 metrics = Metrics()
 
 
+def env_ticker(env_var: str, label: str):
+    """Opt-in section timer for host-side build phases.
+
+    Returns ``tick(tag)`` printing per-section wall-clock when
+    ``env_var`` is set in the environment, else a no-op — used by the
+    grid/candidate-table builders (enable with e.g.
+    ``IU_BUILD_PROFILE=1``)."""
+    import os
+
+    if not os.environ.get(env_var):
+        return lambda tag: None
+    state = {"t": time.perf_counter()}
+
+    def tick(tag: str):
+        now = time.perf_counter()
+        print(f"  [{label}] {tag}: {now - state['t']:.1f}s", flush=True)
+        state["t"] = now
+
+    return tick
+
+
 def timed(name: str):
     """Decorator: accumulate wall-clock of a function into ``metrics``."""
 

@@ -68,6 +68,53 @@ def test_trace_axisymmetric_clamps_radius(test_data_dir):
     assert (ys[:, 0] >= 1e-12 - 1e-18).all()  # first coord clamped
 
 
+def test_negative_i_var_wraps_on_candidate_grid():
+    """A negative i_var wraps python-style to the last variable in the
+    generic path; the fused candidate fast path must not slice packed
+    rows at negative role offsets (ADVICE r2)."""
+    points, cells, neighbors = meshgen.tet_box_mesh(5, 5, 5)
+    pd = {"Polynomial": points.sum(1) + 1, "X": points[:, 0]}
+    g = iu.build_grid(points, cells, neighbors, "tetra",
+                      point_data=pd, locate_mode="walk")
+    assert g.cand_table is not None
+    rng = np.random.default_rng(7)
+    r = jnp.asarray(rng.random((256, 3)))
+    v_neg, _, f = iu.interpolate_scalar_at(g, r, -1)
+    v_pos, _, _ = iu.interpolate_scalar_at(g, r, 1)
+    assert bool(f.all())
+    np.testing.assert_allclose(np.asarray(v_neg), np.asarray(v_pos))
+
+
+def test_degenerate_quad_finite_on_all_paths():
+    """A fully collapsed quad must return finite weights from every
+    kernel copy (the denom==0 guard must agree everywhere)."""
+    p = jnp.zeros((1, 4, 3))
+    r = jnp.zeros((1, 3))
+    w = interp.quad_weights(p, r)
+    assert np.isfinite(np.asarray(w)).all()
+    from interpolate_unstructured_tpu.ops.locate import _quad_weights_c
+
+    px = [p[:, v, 0] for v in range(4)]
+    py = [p[:, v, 1] for v in range(4)]
+    pz = [p[:, v, 2] for v in range(4)]
+    wc = _quad_weights_c(px, py, pz, r[:, 0], r[:, 1], r[:, 2])
+    assert all(np.isfinite(np.asarray(x)).all() for x in wc)
+
+
+def test_bin_grid_shape_product_capped():
+    """n_bins_target is a hard cap on prod(bin_shape) (ADVICE r2)."""
+    from interpolate_unstructured_tpu.ops.geometry import _bin_grid_shape
+
+    rng = np.random.default_rng(11)
+    for _ in range(50):
+        rmin = rng.uniform(-10, 0, 3)
+        rmax = rmin + rng.uniform(1e-3, 100, 3)
+        ndim = int(rng.integers(2, 4))
+        target = int(rng.integers(1, 10**6))
+        shape, _, _, _ = _bin_grid_shape(rmin, rmax, ndim, target)
+        assert int(np.prod(shape)) <= target, (shape, target)
+
+
 def test_walk_mode_multivar_matches_bruteforce():
     points, cells, neighbors = meshgen.tet_box_mesh(5, 5, 5)
     pd = {
