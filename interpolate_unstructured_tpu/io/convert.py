@@ -106,11 +106,16 @@ def get_cell_neighbors(
 
 
 def read_mesh(filename) -> Mesh:
-    """Read a mesh file. Uses the built-in VTU/Gmsh readers; falls back
-    to meshio for other formats if it happens to be installed."""
+    """Read a mesh file. Uses the built-in VTU/legacy-VTK/Gmsh readers;
+    falls back to meshio for other formats if it happens to be
+    installed."""
     filename = os.fspath(filename)
     if filename.endswith(".vtu"):
         return read_vtu(filename)
+    if filename.endswith(".vtk"):
+        from .vtk_legacy import read_vtk
+
+        return read_vtk(filename)
     if filename.endswith(".msh"):
         from .msh import read_msh
 
@@ -119,8 +124,8 @@ def read_mesh(filename) -> Mesh:
         import meshio  # noqa: PLC0415
     except ImportError as err:
         raise ValueError(
-            f"Cannot read {filename!r}: only .vtu and .msh are supported "
-            "natively and meshio is not installed"
+            f"Cannot read {filename!r}: only .vtu, .vtk and .msh are "
+            "supported natively and meshio is not installed"
         ) from err
     m = meshio.read(filename)
     cells = [type("CB", (), {"type": cb.type, "data": cb.data}) for cb in m.cells]
