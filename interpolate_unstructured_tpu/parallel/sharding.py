@@ -192,31 +192,37 @@ def collect_results(x, local_b: int | None = None):
             out = out[:local_b]
         return out
 
+    # Processes may contribute UNEQUAL query counts (and hold unequal
+    # device counts), so the per-process blocks have different sizes —
+    # a direct allgather of the addressable data would be a collective
+    # shape mismatch (gloo aborts).  Equal-shape protocol instead:
+    # (1) allgather each process's (padded_block, valid) size pair,
+    # (2) copy the local block into a max-size zero buffer,
+    # (3) allgather the equal-size buffers, (4) trim each block with
+    # its own sizes and concatenate in process order.  Padding sits at
+    # the END of each process's block (distribute_queries), and meshes
+    # built from jax.devices() order lay process blocks out
+    # contiguously along the batch axis.
     from jax.experimental import multihost_utils
 
-    out = np.asarray(multihost_utils.process_allgather(x, tiled=True))
-    if local_b is not None:
-        # Padding sits at the END of each process's block, and both
-        # the padded and the valid sizes are PER PROCESS (processes
-        # may contribute unequal query counts and hold unequal device
-        # counts) — gather every process's (padded, valid) pair and
-        # trim each block with its own sizes.  Assumes the mesh lays
-        # process blocks out contiguously along the batch axis (true
-        # for meshes built from jax.devices() order).
-        import jax.numpy as jnp
-
-        padded_local = sum(
-            s.data.shape[0] for s in x.addressable_shards
+    shards = sorted(
+        x.addressable_shards, key=lambda s: s.index[0].start or 0
+    )
+    local = np.concatenate([np.asarray(s.data) for s in shards], axis=0)
+    padded_local = local.shape[0]
+    valid_local = padded_local if local_b is None else local_b
+    sizes = np.asarray(
+        multihost_utils.process_allgather(
+            np.asarray([padded_local, valid_local]), tiled=False
         )
-        sizes = np.asarray(
-            multihost_utils.process_allgather(
-                jnp.asarray([padded_local, local_b]), tiled=False
-            )
-        ).reshape(jax.process_count(), 2)
-        parts = []
-        off = 0
-        for padded, valid in sizes:
-            parts.append(out[off : off + valid])
-            off += padded
-        out = np.concatenate(parts, axis=0)
-    return out
+    ).reshape(jax.process_count(), 2)
+    max_padded = int(sizes[:, 0].max())
+    buf = np.zeros((max_padded,) + local.shape[1:], dtype=local.dtype)
+    buf[:padded_local] = local
+    gathered = np.asarray(
+        multihost_utils.process_allgather(buf, tiled=False)
+    )
+    return np.concatenate(
+        [gathered[p, :valid] for p, (_, valid) in enumerate(sizes)],
+        axis=0,
+    )
