@@ -69,33 +69,40 @@ def main():
         _, acc = lax.fori_loop(0, n, body, (r, jnp.zeros((), grid.dtype)))
         return acc
 
-    # -- B: phase-0 containment math (no fallback) -------------------
-    nf = grid.n_faces_per_cell
+    # -- B: gather + probe kernel only (no fallback/plumbing) --------
+    from interpolate_unstructured_tpu.models.grid import cand_fused_nv
+    from interpolate_unstructured_tpu.ops import pallas_cand
+
+    npc = grid.n_points_per_cell
     k_max = grid.cand_ids.shape[1]
-    id_role = 4 * nf + nf
+    nv = cand_fused_nv(grid)
+    count_col = k_max * (npc * 3 + 1 + npc * nv)
 
     def phase0(grid, r, n):
         def body(i, carry):
             r, acc = carry
-            g = grid.cand_table[locate._cand_bin_index(grid, r)]
-            gT = g.T
-
-            def role(j):
-                return gT[j * k_max:(j + 1) * k_max]
-
-            rx, ry, rz = r[:, 0], r[:, 1], r[:, 2]
-            margins = None
-            for f in range(nf):
-                proj = role(f) * rx + role(nf + f) * ry + role(2 * nf + f) * rz
-                mf = role(3 * nf + f) - proj
-                margins = mf if margins is None else jnp.minimum(margins, mf)
-            k_best = jnp.argmax(margins, axis=0)
-            onehot = (lax.broadcasted_iota(jnp.int32, (k_max, r.shape[0]), 0)
-                      == k_best[None, :])
-            id_best = jnp.sum(
-                jnp.where(onehot, role(id_role), 0), axis=0).astype(jnp.int32)
+            rt_t = r.T
+            idx = locate._cand_bin_index_t(grid, rt_t)
+            _, id_best, _, _ = pallas_cand.cand_rows_query(
+                grid, grid.cand_table, idx, rt_t, (), count_col,
+                k_max=k_max,
+            )
             return (dep(r, id_best), acc + id_best[0])
         _, acc = lax.fori_loop(0, n, body, (r, jnp.zeros((), jnp.int32)))
+        return acc
+
+    # -- B2: gather + probe kernel with fused values -----------------
+    def phase0v(grid, r, n):
+        def body(i, carry):
+            r, acc = carry
+            rt_t = r.T
+            idx = locate._cand_bin_index_t(grid, rt_t)
+            _, _, _, vals = pallas_cand.cand_rows_query(
+                grid, grid.cand_table, idx, rt_t, (0,), count_col,
+                k_max=k_max,
+            )
+            return (dep(r, vals[0]), acc + vals[0, 0])
+        _, acc = lax.fori_loop(0, n, body, (r, jnp.zeros((), grid.dtype)))
         return acc
 
     # -- C: full locate ----------------------------------------------
@@ -131,7 +138,8 @@ def main():
 
     for name, fn, args in [
         ("A gather-only", gather_only, (grid, r)),
-        ("B phase-0", phase0, (grid, r)),
+        ("B gather+kernel", phase0, (grid, r)),
+        ("B2 +fused vals", phase0v, (grid, r)),
         ("C locate_full", locate_full, (grid, r)),
         ("D interp_fused", interp_fused, (grid, r)),
         ("E compaction", compact_only, (mask, r)),

@@ -200,12 +200,13 @@ def load_grid(filename, config=None, dtype=None):
         # mismatch (row layout/capacity changed since the save) would
         # silently overflow or underfill the packed rows, (c) a pre-v4
         # checkpoint lacks the overflow-extension lists.
-        from ..ops.geometry import NDIM_OF_CELL_TYPE, build_candidate_bins
+        from ..models.grid import build_candidate_bins_dispatch
+        from ..ops.geometry import NDIM_OF_CELL_TYPE
 
         (
             cand_ids, cand_count, cand_shape, cand_rmin, cand_inv_h,
             ext_ids, ext_slot,
-        ) = build_candidate_bins(
+        ) = build_candidate_bins_dispatch(
             host_arrays["cell_points"].astype(np.float64),
             host_arrays["face_normals"].astype(np.float64),
             host_arrays["face_offsets"].astype(np.float64),
@@ -213,10 +214,8 @@ def load_grid(filename, config=None, dtype=None):
             host_arrays["rmax"].astype(np.float64),
             NDIM_OF_CELL_TYPE[cell_type],
             k_max,
-            bins_per_cell=config.cand_bins_per_cell,
-            max_bins=config.cand_max_bins,
-            eps=2.0 * config.eps_inside,
-            ext_max_k=config.cand_ext_max_k,
+            target,
+            config,
         )
         grid = dataclasses.replace(
             grid,
@@ -230,7 +229,8 @@ def load_grid(filename, config=None, dtype=None):
             ),
             cand_ext_slot=jnp.asarray(ext_slot),
             cand_ext_covers=bool(
-                cand_count.max(initial=0) <= k_max + ext_ids.shape[1]
+                int(np.asarray(cand_count).max(initial=0))
+                <= k_max + ext_ids.shape[1]
             ),
         )
     if grid.walk_table is None:  # build_grid always carries one

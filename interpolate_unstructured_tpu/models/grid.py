@@ -265,14 +265,34 @@ def build_grid(
     rmin = points.min(axis=0)
     rmax = points.max(axis=0)
 
+    if locate_mode == "auto":
+        locate_mode = (
+            "bruteforce" if n_cells <= config.bruteforce_max_cells else "walk"
+        )
+    if locate_mode not in ("bruteforce", "walk"):
+        raise ValueError(f"Unknown locate_mode {locate_mode!r}")
+    will_use_cand = (
+        config.use_candidate_bins
+        and locate_mode == "walk"
+        and config.seed_mode != "kdtree"
+    )
+
     ndim = geometry.NDIM_OF_CELL_TYPE[cell_type]
     centers = cell_points.mean(axis=1)
+    # When candidate tables own the cold path the nearest-center seed
+    # table is only a fallback (kd-mode / candidates-disabled grids
+    # read it); a fine table costs a cKDTree query per bin (~15 s for
+    # 4M bins on this host) for nothing — keep it coarse there.
     bin_table, bin_shape, bin_rmin, bin_inv_h = geometry.build_bin_seed_table(
         centers,
         rmin,
         rmax,
         ndim,
-        bins_per_cell=config.bins_per_cell,
+        bins_per_cell=(
+            min(config.bins_per_cell, 0.05)
+            if will_use_cand
+            else config.bins_per_cell
+        ),
         max_bins=config.max_bins,
     )
     # Packed seed rows: [cell id as float | cell center xyz] — a cold
@@ -284,13 +304,6 @@ def build_grid(
     if dtype is None:
         dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
     dtype = jnp.dtype(dtype)
-
-    if locate_mode == "auto":
-        locate_mode = (
-            "bruteforce" if n_cells <= config.bruteforce_max_cells else "walk"
-        )
-    if locate_mode not in ("bruteforce", "walk"):
-        raise ValueError(f"Unknown locate_mode {locate_mode!r}")
 
     # Dtype/domain-scaled inside tolerance (repo invariant: scale every
     # epsilon to the dtype)
@@ -356,11 +369,7 @@ def build_grid(
     # Candidate bins take over the whole cold path; an explicit
     # seed_mode="kdtree" choice opts into kd-seeded cold walks instead
     # (kdtree2 parity, m_interp_unstructured.f90:272-288)
-    if (
-        config.use_candidate_bins
-        and locate_mode == "walk"
-        and config.seed_mode != "kdtree"
-    ):
+    if will_use_cand:
         k_max, _nv = candidate_row_capacity(
             cell_type, dtype, config, n_point_data=len(pd_names)
         )
@@ -368,22 +377,9 @@ def build_grid(
             (
                 cand_ids, cand_count, cand_shape, cand_rmin, cand_inv_h,
                 ext_ids, ext_slot,
-            ) = geometry.build_candidate_bins(
-                cell_points,
-                normals,
-                face_offsets,
-                rmin,
-                rmax,
-                ndim,
-                k_max,
-                bins_per_cell=config.cand_bins_per_cell,
-                max_bins=config.cand_max_bins,
-                # Build-side inflation strictly dominates the
-                # query-side inside tolerance plus device rounding,
-                # so no containing cell can be filtered out of its
-                # bin's candidate list
-                eps=2.0 * config.eps_inside,
-                ext_max_k=config.cand_ext_max_k,
+            ) = build_candidate_bins_dispatch(
+                cell_points, normals, face_offsets, rmin, rmax, ndim,
+                k_max, dtype, config,
             )
             grid = dataclasses.replace(
                 grid,
@@ -397,7 +393,8 @@ def build_grid(
                 ),
                 cand_ext_slot=jnp.asarray(ext_slot),
                 cand_ext_covers=bool(
-                    cand_count.max(initial=0) <= k_max + ext_ids.shape[1]
+                    int(np.asarray(cand_count).max(initial=0))
+                    <= k_max + ext_ids.shape[1]
                 ),
             )
             grid = dataclasses.replace(grid, **_build_cand_tables(grid))
@@ -414,14 +411,61 @@ def build_grid(
     return grid
 
 
+def build_candidate_bins_dispatch(
+    cell_points, normals, face_offsets, rmin, rmax, ndim, k_max,
+    dtype, config,
+):
+    """Candidate-bin construction with backend dispatch: the device
+    pipeline (ops/cand_build.py) for large meshes, the host reference
+    builder (ops/geometry.py) for small ones or when the device
+    pipeline declines (extreme AABB spans).  Both apply the same
+    build-side eps inflation, which strictly dominates the query-side
+    inside tolerance plus rounding so no containing cell can be
+    filtered out of its bin's candidate list."""
+    from ..ops import cand_build
+
+    mode = config.cand_build
+    if mode not in ("auto", "host", "device"):
+        raise ValueError(f"Unknown cand_build mode {mode!r}")
+    kwargs = dict(
+        bins_per_cell=config.cand_bins_per_cell,
+        max_bins=config.cand_max_bins,
+        eps=2.0 * config.eps_inside,
+        ext_max_k=config.cand_ext_max_k,
+    )
+    res = None
+    if mode == "device" or (
+        mode == "auto"
+        and len(cell_points) >= config.cand_build_device_min_cells
+    ):
+        res = cand_build.build_candidate_bins_device(
+            cell_points, normals, face_offsets, rmin, rmax, ndim,
+            k_max, dtype=dtype, **kwargs,
+        )
+        if res is None and mode == "device":
+            raise ValueError(
+                "cand_build='device' but the mesh exceeds the device "
+                "offset budget (strongly graded cell sizes)"
+            )
+    if res is None:
+        res = geometry.build_candidate_bins(
+            cell_points, normals, face_offsets, rmin, rmax, ndim,
+            k_max, **kwargs,
+        )
+    return res
+
+
 def _cand_floats_per(cell_type: str, nv: int) -> int:
-    """Floats per candidate in a fused row (see _build_cand_table)."""
-    nf = npc = geometry.N_POINTS_PER_CELL[cell_type]
-    per = 5 * nf + 1 + npc * nv  # planes + inv-heights + id + data
-    if cell_type == "quad":
-        # inverse-bilinear weights need the vertices, not inv-heights
-        per = 4 * nf + 3 * npc + 1 + npc * nv
-    return per
+    """Floats per candidate in a fused row (see _pack_cand_rows_jit).
+
+    Rows carry only the cell VERTICES (plus id and fused vertex data):
+    face planes, heights, and weights are derived in the probe kernels.
+    That costs ~80 VPU flops per candidate — noise next to the HBM row
+    gather — and shrinks a tet/quad candidate from 25/29 floats to 17,
+    raising K per 1-KB row from 10 to 15 (more complete bins, fewer
+    overflow probes)."""
+    npc = geometry.N_POINTS_PER_CELL[cell_type]
+    return npc * 3 + 1 + npc * nv  # vertices + id + data
 
 
 def candidate_row_capacity(cell_type, dtype, config, n_point_data=0):
@@ -445,88 +489,94 @@ def _pack_cand_rows(grid: UGrid, ids, count_vals, row_floats, nv):
     """Memory-bounded wrapper: pack in row chunks (the unchunked body
     materializes ~6 vertex/plane gathers of the whole table at once —
     a ~7 GB transient on a 2M-bin table that OOMs the device during
-    load_grid)."""
+    load_grid).
+
+    The chunk body runs JITTED with every grid array as an explicit
+    argument (closures would ship the arrays as constants through the
+    remote-compile tunnel — HTTP 413) and the last chunk padded to the
+    fixed chunk shape, so an 11-chunk repack costs ONE compile + 11
+    device calls.  The previous eager per-op dispatch paid the
+    ~25 ms tunnel latency (and compile churn) per operation — measured
+    533 s for a 2M-bin load_grid repack vs ~20 s jitted."""
     chunk = 1 << 18
     n = ids.shape[0]
+    args = (
+        grid.face_normals, grid.face_offsets, grid.cell_points,
+        grid.cells, grid.point_data,
+    )
+    statics = dict(
+        cell_type=grid.cell_type, row_floats=row_floats, nv=nv,
+        dtype=grid.dtype,
+    )
     if n <= chunk:
-        return _pack_cand_rows_chunk(grid, ids, count_vals, row_floats, nv)
-    # Eager python loop (not lax.map): closing the grid arrays into a
-    # traced computation would ship them through the remote-compile
-    # tunnel (CLAUDE.md: HTTP 413)
-    parts = [
-        _pack_cand_rows_chunk(
-            grid, ids[i : i + chunk], count_vals[i : i + chunk],
-            row_floats, nv,
+        return _pack_cand_rows_jit(
+            *args, jnp.asarray(ids), jnp.asarray(count_vals), **statics
         )
-        for i in range(0, n, chunk)
-    ]
-    return jnp.concatenate(parts, axis=0)
+    parts = []
+    ids = jnp.asarray(ids)
+    count_vals = jnp.asarray(count_vals)
+    for i in range(0, n, chunk):
+        ids_c = ids[i : i + chunk]
+        cnt_c = count_vals[i : i + chunk]
+        pad = chunk - ids_c.shape[0]
+        if pad:
+            ids_c = jnp.pad(ids_c, ((0, pad), (0, 0)), constant_values=-1)
+            cnt_c = jnp.pad(cnt_c, (0, pad))
+        parts.append(_pack_cand_rows_jit(*args, ids_c, cnt_c, **statics))
+    return jnp.concatenate(parts, axis=0)[:n]
 
 
-def _pack_cand_rows_chunk(grid: UGrid, ids, count_vals, row_floats, nv):
+@functools.partial(
+    jax.jit,
+    static_argnames=("cell_type", "row_floats", "nv", "dtype"),
+)
+def _pack_cand_rows_jit(
+    face_normals, face_offsets, cell_points, cells, point_data,
+    ids, count_vals, *, cell_type, row_floats, nv, dtype
+):
     """Pack fused candidate rows ON DEVICE from resident arrays.
 
-    One row answers the whole cold query: containment (face planes),
-    interpolation weights (per-face inverse heights -> barycentric), and
-    the vertex data of the first ``nv`` live point-data variables.  The
-    row is a sequence of K-wide ROLES (column ``role*K + k`` belongs to
-    candidate ``k``), followed by one count column (``count_vals``):
+    One row answers the whole cold query: cell vertices (from which the
+    probe kernels derive face planes for containment AND interpolation
+    weights), the candidate id, and the vertex data of the first ``nv``
+    live point-data variables.  The row is a sequence of K-wide ROLES
+    (column ``role*K + k`` belongs to candidate ``k``), followed by one
+    count column (``count_vals``):
 
-      tri/tet: [nx_f ... | ny_f ... | nz_f ... | off_f ... | invm_f ...
-                | id | data(var,vtx) ... | count]
-      quad:    [nx_f ... | ny_f ... | nz_f ... | off_f ...
-                | vtx(v,dim) ... | id | data(var,vtx) ... | count]
+      [vtx(v,dim) ... (npc*3 roles) | id | data(var,vtx) ... | count]
 
-    ``invm_f = 1 / (off_f - n_f . p_v(f))`` with ``v(f) = (f-1) % npc``
-    the vertex opposite face f, so the barycentric weight of vertex v is
-    ``(off - n . r) * invm`` of face ``(v+1) % npc`` — linear, 1 at the
-    vertex, 0 on the opposite face (simplices; quads instead carry their
-    vertices for the inverse-bilinear kernel, :588-641).
+    with vertex role ``v*3 + d`` and data role
+    ``npc*3 + 1 + var*npc + v``.  The probe kernels (ops/pallas_cand.py
+    and locate._probe_rows_xla) recompute outward face distances and
+    barycentric / inverse-bilinear weights from the vertices — VPU
+    flops are noise next to the HBM row gather, and dropping the
+    precomputed planes shrinks a tet candidate 25 -> 17 floats (K per
+    1-KB row 10 -> 15).
 
     The K-wide-role layout matters for speed, not correctness: the
-    query side (ops/pallas_cand.py) transposes each gathered tile once
-    on-chip and then works on (K, bt) sublane-shaped slices — (bt, K)
-    lane-shaped intermediates pad K to 128 lanes and cost ~10x their
-    size in HBM traffic.
+    query side transposes each gathered tile once on-chip and then
+    works on (K, bt) sublane-shaped slices — (bt, K) lane-shaped
+    intermediates pad K to 128 lanes and cost ~10x their size in HBM
+    traffic.
 
-    Invalid (padding) slots get -huge offsets so their containment
-    margin can never win."""
-    from ..utils.config import huge_distance
-
+    Invalid (padding) slots carry id == -1; the probe kernels force
+    their containment margin to -huge and their weights to zero."""
     n_rows, k_max = ids.shape
-    nf = grid.n_faces_per_cell
-    npc = grid.n_points_per_cell
-    dtype = grid.dtype
+    npc = cell_points.shape[1]
 
     safe = jnp.maximum(ids, 0)
-    normals = grid.face_normals[safe]  # (n_rows, K, nf, 3)
-    offs = grid.face_offsets[safe]  # (n_rows, K, nf)
-    offs = jnp.where(
-        (ids >= 0)[..., None], offs, jnp.asarray(-huge_distance(dtype), dtype)
-    )
 
     def roles(x):  # (n_rows, K, m) -> (n_rows, m*K), column = j*K + k
         return x.transpose(0, 2, 1).reshape(n_rows, -1)
 
+    cp = cell_points[safe]  # (n_rows, K, npc, 3)
     parts = [
-        roles(normals[..., 0]),
-        roles(normals[..., 1]),
-        roles(normals[..., 2]),
-        roles(offs),
+        roles(cp.reshape(n_rows, k_max, npc * 3)),
+        ids.astype(dtype),
     ]
-    cp = grid.cell_points[safe]  # (n_rows, K, npc, 3)
-    if grid.cell_type == "quad":
-        parts.append(roles(cp.reshape(n_rows, k_max, npc * 3)))
-    else:
-        # inverse height of the vertex opposite each face
-        opp = (jnp.arange(nf) - 1) % npc
-        p_opp = cp[:, :, opp]  # (n_rows, K, nf, 3)
-        m_opp = offs - (normals * p_opp).sum(-1)
-        parts.append(roles(1.0 / jnp.where(m_opp == 0, 1.0, m_opp)))
-    parts.append(ids.astype(dtype))
     if nv:
-        pd = grid.point_data[:, :nv]  # (n_points, nv)
-        vtx_data = pd[grid.cells[safe]]  # (n_rows, K, npc, nv)
+        pd = point_data[:, :nv]  # (n_points, nv)
+        vtx_data = pd[cells[safe]]  # (n_rows, K, npc, nv)
         parts.append(
             roles(vtx_data.transpose(0, 1, 3, 2).reshape(n_rows, k_max, -1))
         )
@@ -606,18 +656,30 @@ def _build_walk_table(grid: UGrid):
     cell vertex coords | volume, zero-padded to a 512-byte row (XLA's
     gather switches to a fast per-row DMA strategy at that width).
     Building on device avoids shipping ~0.5 GB of mostly-padding
-    through the (slow) host->device tunnel on million-cell grids."""
-    n_cells = grid.n_cells
-    nf = grid.n_faces_per_cell
-    npc = grid.n_points_per_cell
-    dtype = grid.dtype
+    through the (slow) host->device tunnel on million-cell grids;
+    jitted (arrays as arguments) so the assembly is one device call,
+    not a string of eager remote dispatches."""
+    return _pack_walk_rows_jit(
+        grid.face_normals, grid.face_offsets, grid.neighbors,
+        grid.cell_points, grid.cell_volume, dtype=grid.dtype,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("dtype",))
+def _pack_walk_rows_jit(
+    face_normals, face_offsets, neighbors, cell_points, cell_volume,
+    *, dtype
+):
+    n_cells = face_normals.shape[0]
+    nf = face_normals.shape[1]
+    npc = cell_points.shape[1]
     cols = jnp.concatenate(
         [
-            grid.face_normals.reshape(n_cells, nf * 3),
-            grid.face_offsets,
-            grid.neighbors.astype(dtype),
-            grid.cell_points.reshape(n_cells, npc * 3),
-            grid.cell_volume[:, None],
+            face_normals.reshape(n_cells, nf * 3),
+            face_offsets,
+            neighbors.astype(dtype),
+            cell_points.reshape(n_cells, npc * 3),
+            cell_volume[:, None],
         ],
         axis=1,
     )

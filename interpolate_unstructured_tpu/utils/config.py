@@ -80,6 +80,13 @@ class IUConfig:
     # fallback walks).  7 lets f32 quads (29+4*nv floats/candidate)
     # keep one fused variable; 2D bins rarely exceed 4-5 cells anyway.
     cand_min_k: int = 7
+    # Candidate-bin construction backend: "auto" runs the device
+    # pipeline (ops/cand_build.py, ~50x the single-core host loop on
+    # million-cell meshes) above the cell-count threshold and the host
+    # reference builder below it (or when the mesh's AABB spans exceed
+    # the device offset budget); "host"/"device" force a backend.
+    cand_build: str = "auto"
+    cand_build_device_min_cells: int = 100_000
     # Fallback buffer: unresolved queries compact into
     # b / cand_fallback_divisor slots before the extension probe.  The
     # probe/merge cost is width-driven (measured 26 ms/10M saved going
