@@ -73,10 +73,13 @@ def main():
     from interpolate_unstructured_tpu.models.grid import cand_fused_nv
     from interpolate_unstructured_tpu.ops import pallas_cand
 
+    nf = grid.n_faces_per_cell
     npc = grid.n_points_per_cell
     k_max = grid.cand_ids.shape[1]
     nv = cand_fused_nv(grid)
-    count_col = k_max * (npc * 3 + 1 + npc * nv)
+    is_quad = grid.cell_type == "quad"
+    id_role = 4 * nf + (3 * npc if is_quad else nf)
+    count_col = k_max * (id_role + 1 + npc * nv)
 
     def phase0(grid, r, n):
         def body(i, carry):

@@ -184,13 +184,27 @@ def load_grid(filename, config=None, dtype=None):
     )
     if grid.cand_ids is not None:
         from ..models.grid import candidate_row_capacity
+        from ..ops.geometry import NDIM_OF_CELL_TYPE, _bin_grid_shape
 
         k_max, _ = candidate_row_capacity(
             cell_type, target, config, n_point_data=grid.n_point_data
         )
+        # Bin shape this session's config would choose (deterministic
+        # in (bbox, ndim, target count)) — a mismatch means the save
+        # used a different cand_bins_per_cell / cand_max_bins
+        want_shape, _, _, _ = _bin_grid_shape(
+            host_arrays["rmin"].astype(np.float64),
+            host_arrays["rmax"].astype(np.float64),
+            NDIM_OF_CELL_TYPE[cell_type],
+            min(
+                max(int(config.cand_bins_per_cell * n_cells), 1),
+                config.cand_max_bins,
+            ),
+        )
     if grid.cand_ids is not None and (
         target != saved_dtype
         or grid.cand_ids.shape[1] != k_max
+        or tuple(int(s) for s in want_shape) != tuple(grid.cand_shape)
         or (grid.cand_ext_slot is None and config.cand_ext_max_k > 0)
     ):
         # Rebuild when the stored lists no longer match this session:

@@ -458,14 +458,19 @@ def build_candidate_bins_dispatch(
 def _cand_floats_per(cell_type: str, nv: int) -> int:
     """Floats per candidate in a fused row (see _pack_cand_rows_jit).
 
-    Rows carry only the cell VERTICES (plus id and fused vertex data):
-    face planes, heights, and weights are derived in the probe kernels.
-    That costs ~80 VPU flops per candidate — noise next to the HBM row
-    gather — and shrinks a tet/quad candidate from 25/29 floats to 17,
-    raising K per 1-KB row from 10 to 15 (more complete bins, fewer
-    overflow probes)."""
-    npc = geometry.N_POINTS_PER_CELL[cell_type]
-    return npc * 3 + 1 + npc * nv  # vertices + id + data
+    Rows carry PRECOMPUTED unit face planes (and inverse heights /
+    vertices for weights): margins then cost 2 fused multiply-adds per
+    face in the probe kernel.  A vertex-only row (npc*3+1+npc*nv = 17
+    floats for tets, K 15 at 1 KB) was tried in round 3 and reverted:
+    deriving planes in-kernel cost 8.6 ms/1M vs 3.6 for this layout —
+    kernel VPU time, not gather bytes, bounds the candidate probe
+    (benchmarks/RESULTS.md)."""
+    nf = npc = geometry.N_POINTS_PER_CELL[cell_type]
+    per = 5 * nf + 1 + npc * nv  # planes + inv-heights + id + data
+    if cell_type == "quad":
+        # inverse-bilinear weights need the vertices, not inv-heights
+        per = 4 * nf + 3 * npc + 1 + npc * nv
+    return per
 
 
 def candidate_row_capacity(cell_type, dtype, config, n_point_data=0):
@@ -536,44 +541,68 @@ def _pack_cand_rows_jit(
 ):
     """Pack fused candidate rows ON DEVICE from resident arrays.
 
-    One row answers the whole cold query: cell vertices (from which the
-    probe kernels derive face planes for containment AND interpolation
-    weights), the candidate id, and the vertex data of the first ``nv``
-    live point-data variables.  The row is a sequence of K-wide ROLES
-    (column ``role*K + k`` belongs to candidate ``k``), followed by one
-    count column (``count_vals``):
+    One row answers the whole cold query: containment (face planes),
+    interpolation weights (per-face inverse heights -> barycentric), and
+    the vertex data of the first ``nv`` live point-data variables.  The
+    row is a sequence of K-wide ROLES (column ``role*K + k`` belongs to
+    candidate ``k``), followed by one count column (``count_vals``):
 
-      [vtx(v,dim) ... (npc*3 roles) | id | data(var,vtx) ... | count]
+      tri/tet: [nx_f ... | ny_f ... | nz_f ... | off_f ... | invm_f ...
+                | id | data(var,vtx) ... | count]
+      quad:    [nx_f ... | ny_f ... | nz_f ... | off_f ...
+                | vtx(v,dim) ... | id | data(var,vtx) ... | count]
 
-    with vertex role ``v*3 + d`` and data role
-    ``npc*3 + 1 + var*npc + v``.  The probe kernels (ops/pallas_cand.py
-    and locate._probe_rows_xla) recompute outward face distances and
-    barycentric / inverse-bilinear weights from the vertices — VPU
-    flops are noise next to the HBM row gather, and dropping the
-    precomputed planes shrinks a tet candidate 25 -> 17 floats (K per
-    1-KB row 10 -> 15).
+    ``invm_f = 1 / (off_f - n_f . p_v(f))`` with ``v(f) = (f-1) % npc``
+    the vertex opposite face f, so the barycentric weight of vertex v is
+    ``(off - n . r) * invm`` of face ``(v+1) % npc`` — linear, 1 at the
+    vertex, 0 on the opposite face (simplices; quads instead carry their
+    vertices for the inverse-bilinear kernel, :588-641).
 
     The K-wide-role layout matters for speed, not correctness: the
-    query side transposes each gathered tile once on-chip and then
-    works on (K, bt) sublane-shaped slices — (bt, K) lane-shaped
-    intermediates pad K to 128 lanes and cost ~10x their size in HBM
-    traffic.
+    query side (ops/pallas_cand.py) transposes each gathered tile once
+    on-chip and then works on (K, bt) sublane-shaped slices — (bt, K)
+    lane-shaped intermediates pad K to 128 lanes and cost ~10x their
+    size in HBM traffic.
 
-    Invalid (padding) slots carry id == -1; the probe kernels force
-    their containment margin to -huge and their weights to zero."""
+    Runs JITTED with every grid array as an explicit argument (closures
+    would ship the arrays as constants through the remote-compile
+    tunnel — HTTP 413); the wrapper pads the last chunk to a fixed
+    shape so a multi-chunk repack costs ONE compile.
+
+    Invalid (padding) slots get -huge offsets so their containment
+    margin can never win."""
+    from ..utils.config import huge_distance
+
     n_rows, k_max = ids.shape
+    nf = geometry.N_POINTS_PER_CELL[cell_type]
     npc = cell_points.shape[1]
 
     safe = jnp.maximum(ids, 0)
+    normals = face_normals[safe]  # (n_rows, K, nf, 3)
+    offs = face_offsets[safe]  # (n_rows, K, nf)
+    offs = jnp.where(
+        (ids >= 0)[..., None], offs, jnp.asarray(-huge_distance(dtype), dtype)
+    )
 
     def roles(x):  # (n_rows, K, m) -> (n_rows, m*K), column = j*K + k
         return x.transpose(0, 2, 1).reshape(n_rows, -1)
 
-    cp = cell_points[safe]  # (n_rows, K, npc, 3)
     parts = [
-        roles(cp.reshape(n_rows, k_max, npc * 3)),
-        ids.astype(dtype),
+        roles(normals[..., 0]),
+        roles(normals[..., 1]),
+        roles(normals[..., 2]),
+        roles(offs),
     ]
+    cp = cell_points[safe]  # (n_rows, K, npc, 3)
+    if cell_type == "quad":
+        parts.append(roles(cp.reshape(n_rows, k_max, npc * 3)))
+    else:
+        # inverse height of the vertex opposite each face
+        opp = (jnp.arange(nf) - 1) % npc
+        p_opp = cp[:, :, opp]  # (n_rows, K, nf, 3)
+        m_opp = offs - (normals * p_opp).sum(-1)
+        parts.append(roles(1.0 / jnp.where(m_opp == 0, 1.0, m_opp)))
+    parts.append(ids.astype(dtype))
     if nv:
         pd = point_data[:, :nv]  # (n_points, nv)
         vtx_data = pd[cells[safe]]  # (n_rows, K, npc, nv)
@@ -584,7 +613,6 @@ def _pack_cand_rows_jit(
     rows = jnp.concatenate(parts, axis=1)
     pad = max(row_floats, rows.shape[1]) - rows.shape[1]
     return jnp.pad(rows, ((0, 0), (0, pad)))
-
 
 def _build_cand_tables(grid: UGrid) -> dict:
     """Main + overflow-extension candidate tables (see _pack_cand_rows).

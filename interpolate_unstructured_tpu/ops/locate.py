@@ -526,84 +526,6 @@ def _quad_weights_c(px, py, pz, rx, ry, rz):
     )
 
 
-def _vertex_margins_weights(cell_type, P, rx, ry, rz, big):
-    """Outward face distances (and simplex barycentric weights) derived
-    from cell VERTICES — the shared math of both candidate-row probes
-    (here for the XLA path; ops/pallas_cand.py calls it inside the
-    kernel), replacing the precomputed planes the rows used to carry
-    (m_interp_unstructured.f90:766-786 containment, :529-586 weights).
-
-    Args:
-      P: per-vertex coordinate triples ``P[v] = (x, y, z)``, arrays of
-        any broadcast-compatible shape (the probes use (K, B) role
-        slices).
-      rx/ry/rz: query coordinates (broadcastable against P entries).
-      big: sentinel magnitude for degenerate-face guards.
-
-    Returns ``(margin, w_list)`` where ``margin`` is the min over faces
-    of the outward signed distance (positive inside, equal to the old
-    ``off - n_unit . r`` margins up to rounding) and ``w_list[v]`` the
-    barycentric weight of vertex v for simplices (None for quads — the
-    caller runs the inverse-bilinear kernel on the winner's vertices).
-    Weights involve no square roots: ``w = m_raw / h_raw`` is the exact
-    ratio of face-plane evaluations, so linear exactness is preserved
-    at the dtype's ulp level.  Sign conventions need no outward fix for
-    simplices (the ratio is orientation-invariant); quads orient via
-    the cell center.
-    """
-    npc = len(P)
-    simplex = cell_type in ("triangle", "tetra")
-
-    def cross_c(ax, ay, az, bx, by, bz):
-        return (ay * bz - az * by, az * bx - ax * bz, ax * by - ay * bx)
-
-    if cell_type in ("triangle", "quad"):
-        ncx, ncy, ncz = cross_c(
-            P[1][0] - P[0][0], P[1][1] - P[0][1], P[1][2] - P[0][2],
-            P[2][0] - P[1][0], P[2][1] - P[1][1], P[2][2] - P[1][2],
-        )
-    if cell_type == "quad":
-        cx = 0.25 * (P[0][0] + P[1][0] + P[2][0] + P[3][0])
-        cy = 0.25 * (P[0][1] + P[1][1] + P[2][1] + P[3][1])
-        cz = 0.25 * (P[0][2] + P[1][2] + P[2][2] + P[3][2])
-
-    margin = None
-    w_face = []
-    for f in range(npc):
-        a, b = P[f], P[(f + 1) % npc]
-        if cell_type == "tetra":
-            c = P[(f + 2) % npc]
-            nx, ny, nz = cross_c(
-                b[0] - a[0], b[1] - a[1], b[2] - a[2],
-                c[0] - b[0], c[1] - b[1], c[2] - b[2],
-            )
-        else:
-            nx, ny, nz = cross_c(
-                b[0] - a[0], b[1] - a[1], b[2] - a[2], ncx, ncy, ncz
-            )
-        offv = nx * a[0] + ny * a[1] + nz * a[2]
-        m_raw = offv - (nx * rx + ny * ry + nz * rz)
-        nn = nx * nx + ny * ny + nz * nz
-        inv_n = 1.0 / jnp.sqrt(jnp.where(nn == 0, 1.0, nn))
-        if simplex:
-            opp = P[(f + npc - 1) % npc]
-            h_raw = offv - (nx * opp[0] + ny * opp[1] + nz * opp[2])
-            inv_h = jnp.where(h_raw == 0, 0.0, 1.0 / jnp.where(
-                h_raw == 0, 1.0, h_raw
-            ))
-            w = m_raw * inv_h  # barycentric coord of the opposite vtx
-            m = w * jnp.abs(h_raw) * inv_n
-            w_face.append(w)
-        else:
-            m_c = offv - (nx * cx + ny * cy + nz * cz)
-            m = m_raw * jnp.sign(m_c) * inv_n
-        margin = m if margin is None else jnp.minimum(margin, m)
-    if not simplex:
-        return margin, None
-    # weight of vertex v sits on face (v+1) % npc
-    return margin, [w_face[(v + 1) % npc] for v in range(npc)]
-
-
 def _probe_rows_xla(grid, g, rt_t, k, count_col, var_slots):
     """XLA fallback for the candidate-row probe (f64 grids / non-TPU
     backends; the TPU path is ops/pallas_cand.py with identical
@@ -614,24 +536,25 @@ def _probe_rows_xla(grid, g, rt_t, k, count_col, var_slots):
 
     Returns (m_best (bt,), id_best (bt,), count_val (bt,),
     valsT (n_vals, bt))."""
-    from ..utils.config import huge_distance
-
+    nf = grid.n_faces_per_cell
     npc = grid.n_points_per_cell
     is_quad = grid.cell_type == "quad"
-    id_role = npc * 3
+    id_role = 4 * nf + (3 * npc if is_quad else nf)
     data_role0 = id_role + 1
     bt = rt_t.shape[1]
-    big = huge_distance(rt_t.dtype)
     gT = g.T  # (W, bt): one transpose per tile, then sublane slices
 
     def role(j):  # (k, bt) block of role j
         return gT[j * k : (j + 1) * k]
 
     rx, ry, rz = rt_t[0], rt_t[1], rt_t[2]
-    P = [tuple(role(v * 3 + d) for d in range(3)) for v in range(npc)]
-    valid = role(id_role) >= 0
-    margins, w = _vertex_margins_weights(grid.cell_type, P, rx, ry, rz, big)
-    margins = jnp.where(valid, margins, -big)
+    m_faces = []
+    margins = None
+    for f in range(nf):
+        proj = role(f) * rx + role(nf + f) * ry + role(2 * nf + f) * rz
+        mf = role(3 * nf + f) - proj
+        m_faces.append(mf)
+        margins = mf if margins is None else jnp.minimum(margins, mf)
     k_best = jnp.argmax(margins, axis=0)  # (bt,)
     m_best = jnp.max(margins, axis=0)
     onehot = (
@@ -647,24 +570,29 @@ def _probe_rows_xla(grid, g, rt_t, k, count_col, var_slots):
         return m_best, id_best, count, jnp.zeros((0, bt), rt_t.dtype)
 
     if is_quad:
-        px = [pick(P[v][0]) for v in range(npc)]
-        py = [pick(P[v][1]) for v in range(npc)]
-        pz = [pick(P[v][2]) for v in range(npc)]
-        wq = _quad_weights_c(px, py, pz, rx, ry, rz)
+        vrole = 4 * nf
+        px = [pick(role(vrole + v * 3 + 0)) for v in range(npc)]
+        py = [pick(role(vrole + v * 3 + 1)) for v in range(npc)]
+        pz = [pick(role(vrole + v * 3 + 2)) for v in range(npc)]
+        w = _quad_weights_c(px, py, pz, rx, ry, rz)
         vals = []
         for slot in var_slots:
             dr = data_role0 + slot * npc
             vals.append(
-                sum(wq[v] * pick(role(dr + v)) for v in range(npc))
+                sum(w[v] * pick(role(dr + v)) for v in range(npc))
             )
     else:
-        # weights for ALL candidates, winner picked last
+        # barycentric weights for ALL candidates, winner picked last
+        lam = [
+            m_faces[(v + 1) % npc] * role(4 * nf + (v + 1) % npc)
+            for v in range(npc)
+        ]
         vals = []
         for slot in var_slots:
             dr = data_role0 + slot * npc
-            acc = w[0] * role(dr)
+            acc = lam[0] * role(dr)
             for v in range(1, npc):
-                acc = acc + w[v] * role(dr + v)
+                acc = acc + lam[v] * role(dr + v)
             vals.append(pick(acc))
     return m_best, id_best, count, jnp.stack(vals, axis=0)
 
@@ -713,7 +641,8 @@ def _candidates_query(grid, r, var_slots=None, max_steps=None):
     k_max = grid.cand_ids.shape[1]
     from ..models.grid import cand_fused_nv
 
-    id_role = npc * 3
+    is_quad = grid.cell_type == "quad"
+    id_role = 4 * nf + (3 * npc if is_quad else nf)
     data_role0 = id_role + 1
     # The count column sits after the fused data columns whether or not
     # this call reads them — derive it from the physical table layout.

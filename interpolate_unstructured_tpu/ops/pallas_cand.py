@@ -90,13 +90,11 @@ def _quad_weights_rows(p, q):
 
 def _kernel(
     g_ref, r_ref, ic_ref, mbest_ref, count_ref, vals_ref,
-    *, cell_type, nf, npc, k_max, var_slots, count_col, big
+    *, cell_type, nf, npc, k_max, var_slots, count_col
 ):
-    from .locate import _vertex_margins_weights
-
     K = k_max
     is_quad = cell_type == "quad"
-    id_role = npc * 3
+    id_role = 4 * nf + (3 * npc if is_quad else nf)
 
     # One on-chip transpose instead of lane-padding every small-K op
     GT = jnp.transpose(g_ref[:])  # (W, T)
@@ -108,14 +106,20 @@ def _kernel(
     ry = r_ref[1:2, :]
     rz = r_ref[2:3, :]
 
-    # Face planes + weights derived from the packed vertices (shared
-    # math with the XLA probe — ops/locate._vertex_margins_weights)
-    P = [tuple(role(v * 3 + d) for d in range(3)) for v in range(npc)]
-    valid = role(id_role) >= 0
-    margins, w_all = _vertex_margins_weights(
-        cell_type, P, rx, ry, rz, big
-    )
-    margins = jnp.where(valid, margins, -big)
+    # Margins from PRECOMPUTED unit face planes: 2 fused
+    # multiply-adds per face vs ~40 VPU ops for vertex-derived planes.
+    # A vertex-only row (17 floats/candidate, K 15 at 1 KB) was
+    # measured 8.6 ms/1M in-kernel vs 3.6 for this layout — the gather
+    # bytes saved never paid for the in-kernel cross products
+    # (benchmarks/RESULTS.md round 3).
+    m_faces = []
+    margins = None
+    for f in range(nf):
+        mf = role(3 * nf + f) - (
+            role(f) * rx + role(nf + f) * ry + role(2 * nf + f) * rz
+        )
+        m_faces.append(mf)
+        margins = mf if margins is None else jnp.minimum(margins, mf)
 
     k_best = jnp.argmax(margins, axis=0, keepdims=True).astype(jnp.int32)
     mbest_ref[:] = jnp.max(margins, axis=0, keepdims=True)
@@ -134,27 +138,27 @@ def _kernel(
         return
 
     if is_quad:
+        v0 = 4 * nf  # first vertex role
         p = [
-            [pick(P[v][d]) for d in range(3)]
+            [pick(role(v0 + v * 3 + d)) for d in range(3)]
             for v in range(npc)
         ]
         w = _quad_weights_rows(p, (rx, ry, rz))
-        data_role0 = id_role + 1
-        rows = []
-        for slot in var_slots:
-            acc = w[0] * pick(role(data_role0 + slot * npc))
-            for v in range(1, npc):
-                acc = acc + w[v] * pick(role(data_role0 + slot * npc + v))
-            rows.append(acc)
     else:
-        # weights for ALL candidates, winner picked after the blend
-        data_role0 = id_role + 1
-        rows = []
-        for slot in var_slots:
-            acc = w_all[0] * role(data_role0 + slot * npc)
-            for v in range(1, npc):
-                acc = acc + w_all[v] * role(data_role0 + slot * npc + v)
-            rows.append(pick(acc))
+        # barycentric: weight of vertex v = margin of face (v+1)%npc
+        # times that face's fused inverse height
+        w = [
+            pick(m_faces[(v + 1) % npc] * role(4 * nf + (v + 1) % npc))
+            for v in range(npc)
+        ]
+
+    data_role0 = id_role + 1
+    rows = []
+    for slot in var_slots:
+        acc = w[0] * pick(role(data_role0 + slot * npc))
+        for v in range(1, npc):
+            acc = acc + w[v] * pick(role(data_role0 + slot * npc + v))
+        rows.append(acc)
     vals_ref[:] = jnp.concatenate(rows, axis=0)
 
 
@@ -207,8 +211,6 @@ def cand_rows_query(grid, table, idx, rt_t, var_slots, count_col,
     g = table[idx]
     r_t = rt_t.astype(jnp.float32)
 
-    from ..utils.config import huge_distance
-
     kernel = functools.partial(
         _kernel,
         cell_type=grid.cell_type,
@@ -217,7 +219,6 @@ def cand_rows_query(grid, table, idx, rt_t, var_slots, count_col,
         k_max=k_max,
         var_slots=tuple(var_slots),
         count_col=count_col,
-        big=float(huge_distance(jnp.float32)),
     )
 
     n_tiles = b_pad // tile
