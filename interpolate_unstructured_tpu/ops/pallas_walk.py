@@ -40,25 +40,18 @@ def _round_up(x, m):
     return -(-x // m) * m
 
 
-def _kernel(
-    eps_ref, g_ref, u_ref, rp_ref, dl_ref, ic_ref, prev_ref, st_ref,
-    act_ref, steps_ref,
-    rp_o, dl_o, ic_o, prev_o, st_o, act_o, steps_o,
-    *, nf, big
-):
-    GT = jnp.transpose(g_ref[:])  # (W, T)
-    # dtype-scaled tolerances arrive as data (traced values under jit)
-    nudge = eps_ref[0:1, 0:1]
-    eps_arrive = eps_ref[1:2, 0:1]
+def _face_round(GT, nf, u, p, prev, big):
+    """Exit-face selection on transposed rows: the shared core of every
+    walk-round kernel (this module's and ops/pallas_trace.py's).
 
-    ux, uy, uz = u_ref[0:1, :], u_ref[1:2, :], u_ref[2:3, :]
-    px, py, pz = rp_ref[0:1, :], rp_ref[1:2, :], rp_ref[2:3, :]
-    prev = prev_ref[:]  # (1, T) int32
-    active = act_ref[:] != 0
+    Two-best tracking: distance along ``u`` to each face plane (only
+    faces with path . n > 0), keeping best and runner-up neighbor so a
+    rounding-induced immediate backtrack can take the second exit
+    (locate.walk:255-266).
 
-    # Two-best exit-face tracking: distance along u to each face plane
-    # (only faces with path . n > 0), keeping the best and runner-up
-    # neighbor for the backtrack guard
+    Returns (face_dist >= 0, ic_next, hit)."""
+    ux, uy, uz = u
+    px, py, pz = p
     d1 = jnp.full_like(px, big)
     d2 = jnp.full_like(px, big)
     n1 = jnp.full_like(prev, -1)
@@ -79,16 +72,34 @@ def _kernel(
         d1 = jnp.where(better1, dist, d1)
         n1 = jnp.where(better1, nbr, n1)
 
-    # A straight ray never re-enters a convex cell, yet float rounding
-    # at a grazing face can pick the cell we just left and ping-pong
-    # forever: when the best face leads straight back, take the
-    # second-best exit instead (locate.walk:255-266)
     backtrack = (n1 == prev) & (prev >= 0)
     face_dist = jnp.where(backtrack, d2, d1)
     ic_next = jnp.where(backtrack, n2, n1)
 
     hit = face_dist < 0.5 * big
     face_dist = jnp.maximum(face_dist, 0.0)  # never step backwards
+    return face_dist, ic_next, hit
+
+
+def _kernel(
+    eps_ref, g_ref, u_ref, rp_ref, dl_ref, ic_ref, prev_ref, st_ref,
+    act_ref, steps_ref,
+    rp_o, dl_o, ic_o, prev_o, st_o, act_o, steps_o,
+    *, nf, big
+):
+    GT = jnp.transpose(g_ref[:])  # (W, T)
+    # dtype-scaled tolerances arrive as data (traced values under jit)
+    nudge = eps_ref[0:1, 0:1]
+    eps_arrive = eps_ref[1:2, 0:1]
+
+    ux, uy, uz = u_ref[0:1, :], u_ref[1:2, :], u_ref[2:3, :]
+    px, py, pz = rp_ref[0:1, :], rp_ref[1:2, :], rp_ref[2:3, :]
+    prev = prev_ref[:]  # (1, T) int32
+    active = act_ref[:] != 0
+
+    face_dist, ic_next, hit = _face_round(
+        GT, nf, (ux, uy, uz), (px, py, pz), prev, big
+    )
 
     dist_left = dl_ref[:]
     new_dist_left = dist_left - face_dist

@@ -43,7 +43,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from .ops import interp, locate
+from .ops import interp, locate, pallas_trace
 
 SAFETY_FAC = 0.8
 MIN_RADIUS = 1e-12
@@ -222,6 +222,115 @@ def integrate_along_field(
     _vol_off = _cp_off + npc * 3
     _fv_off = _vol_off + 1
 
+    use_fused = pallas_trace.supported(grid, i_icell_mask, nvar)
+    from .utils.config import tiny_distance
+
+    _tiny = tiny_distance(dtype)
+    _nudge = (
+        16.0
+        * jnp.finfo(dtype).eps
+        * jnp.maximum(
+            jnp.max(jnp.abs(grid.rmin)), jnp.max(jnp.abs(grid.rmax))
+        )
+    ).astype(dtype)
+    _eps_arrive = 4.0 * _nudge
+
+    def _fused_stages(anchor, k1, dx, ic_start, act):
+        """Stages 2-4 of one RK iteration as a single stage-machine
+        round loop (ops/pallas_trace.py): each lane walks + interpolates
+        + advances through its stages independently; one row gather and
+        one kernel launch per round for the whole batch.
+
+        Returns (k2, k3, k4 (B, ndim), field4 (B, ndim), ic4 (B,),
+        fail (B,), rp_fail (B, 3), ic_fail (B,))."""
+        from .ops.pallas_trace import (
+            F_ROWS, I_ROWS, _ANC, _DL, _DX, _FAIL, _FLD4, _IC, _ICF,
+            _K1, _K2, _K3, _K4, _PREV, _RP, _RPF, _STAGE, _TGT, _U,
+            _WACT,
+        )
+
+        tile = 1024
+        bp = -(-max(b, tile) // tile) * tile
+
+        r0 = pad3(anchor[:, :ndim])
+        tgt2 = clamp_axi(pad3(anchor[:, :ndim] + 0.5 * dx[:, None] * k1))
+        delta = tgt2 - r0
+        total = jnp.sqrt(
+            delta[:, 0] ** 2 + delta[:, 1] ** 2 + delta[:, 2] ** 2
+        )
+        invt = jnp.where(total > _tiny, 1.0 / jnp.where(
+            total > _tiny, total, 1.0), 0.0)
+        u = delta * invt[:, None]
+
+        def frow(x):
+            out = jnp.zeros((1, bp), dtype)
+            return out.at[0, :b].set(x.astype(dtype))
+
+        def frow3(x):  # (B, 3) -> 3 rows
+            out = jnp.zeros((3, bp), dtype)
+            return out.at[:, :b].set(x.T)
+
+        k1_3 = pad3(k1)
+        F = jnp.concatenate(
+            [
+                frow3(r0), frow3(tgt2), frow3(u), frow(total),
+                frow3(k1_3), jnp.zeros((9, bp), dtype),  # k2, k3, k4
+                jnp.zeros((3, bp), dtype),  # field4
+                frow3(r0),  # rp_fail (unused until a failure writes it)
+                frow3(r0), frow(dx),
+            ],
+            axis=0,
+        )
+        assert F.shape[0] == F_ROWS
+        i32 = jnp.int32
+
+        def irow(x):
+            out = jnp.zeros((1, bp), i32)
+            return out.at[0, :b].set(x.astype(i32))
+
+        I = jnp.concatenate(  # noqa: E741
+            [
+                irow(jnp.maximum(ic_start, 0)),
+                jnp.full((1, bp), -1, i32),  # prev
+                jnp.zeros((1, bp), i32),  # steps
+                irow(act), irow(jnp.where(act, 2, 5)),
+                jnp.zeros((1, bp), i32),  # fail
+                jnp.full((1, bp), -1, i32),  # ic_fail
+                jnp.zeros((1, bp), i32),
+            ],
+            axis=0,
+        )
+
+        walk_cap = grid.config.trace_walk_max_steps
+        round_cap = 3 * (walk_cap + 2) + 4
+
+        def cond(carry):
+            F, I, n = carry  # noqa: E741
+            return jnp.any(I[_WACT] != 0) & (n < round_cap)
+
+        def rbody(carry):
+            F, I, n = carry  # noqa: E741
+            F, I = pallas_trace.trace_round(  # noqa: E741
+                grid, trace_table, F, I,
+                nudge=_nudge, eps_arrive=_eps_arrive, tiny=_tiny,
+                reverse=reverse, axisymmetric=axisymmetric,
+                max_steps=walk_cap, min_radius=MIN_RADIUS, tile=tile,
+            )
+            return F, I, n + 1
+
+        F, I, _ = lax.while_loop(  # noqa: E741
+            cond, rbody, (F, I, jnp.array(0, jnp.int32))
+        )
+        k2 = F[_K2 : _K2 + 3, :b].T[:, :ndim]
+        k3 = F[_K3 : _K3 + 3, :b].T[:, :ndim]
+        k4 = F[_K4 : _K4 + 3, :b].T[:, :ndim]
+        field4 = F[_FLD4 : _FLD4 + 3, :b].T[:, :ndim]
+        rp_fail = F[_RPF : _RPF + 3, :b].T
+        ic4 = I[_IC, :b]
+        fail = I[_FAIL, :b] != 0
+        ic_fail = I[_ICF, :b]
+        return k2, k3, k4, field4, ic4, fail, rp_fail, ic_fail
+
     def rk_stage(anchor, k_prev, coeff, r_start, ic_start, ok):
         """One batched walk+interpolate sub-step.  Lanes with ``ok``
         False aim at their own start, making the walk a degenerate
@@ -325,35 +434,47 @@ def integrate_along_field(
             [unitvec(field_a), sub_int_b(field_a, anchor)], axis=1
         )
 
-        ok = act
-        _, _, k2, ic2, rp2, tgt2, f2 = rk_stage(
-            anchor, k1, 0.5 * dx, r0, s.i_cell_prev, ok
-        )
-        ok = ok & ~f2
-        # Carry the sub-step end point/cell into the next walk (the
-        # reference's i_cell threading, :1122-1150); failed/done lanes
-        # keep the anchor start, which their degenerate walk ignores
-        start3 = jnp.where(ok[:, None], tgt2, r0)
-        ics3 = jnp.where(ok, ic2, s.i_cell_prev)
-        _, _, k3, ic3, rp3, tgt3, f3 = rk_stage(
-            anchor, k2, 0.75 * dx, start3, ics3, ok
-        )
-        ok = ok & ~f3
-        # 3rd-order update + 4th sub-step at the updated point (:1144-1156)
-        k123 = (2.0 * k1 + 3.0 * k2 + 4.0 * k3) / 9.0
-        start4 = jnp.where(ok[:, None], tgt3, r0)
-        ics4 = jnp.where(ok, ic3, s.i_cell_prev)
-        ys3, field4, k4, ic4, rp4, _, f4 = rk_stage(
-            anchor, k123, dx, start4, ics4, ok
-        )
-        ok = ok & ~f4
+        if use_fused:
+            # Stages 2-4 in one fused round loop (ops/pallas_trace.py)
+            (k2, k3, k4, field4, ic4, fail, r_p, ic_fail) = (
+                _fused_stages(anchor, k1, dx, s.i_cell_prev, act)
+            )
+            ok = act & ~fail
+            failed = act & fail
+            k123 = (2.0 * k1 + 3.0 * k2 + 4.0 * k3) / 9.0
+            ys3 = anchor + dx[:, None] * k123
+        else:
+            ok = act
+            _, _, k2, ic2, rp2, tgt2, f2 = rk_stage(
+                anchor, k1, 0.5 * dx, r0, s.i_cell_prev, ok
+            )
+            ok = ok & ~f2
+            # Carry the sub-step end point/cell into the next walk (the
+            # reference's i_cell threading, :1122-1150); failed/done
+            # lanes keep the anchor start, which their degenerate walk
+            # ignores
+            start3 = jnp.where(ok[:, None], tgt2, r0)
+            ics3 = jnp.where(ok, ic2, s.i_cell_prev)
+            _, _, k3, ic3, rp3, tgt3, f3 = rk_stage(
+                anchor, k2, 0.75 * dx, start3, ics3, ok
+            )
+            ok = ok & ~f3
+            # 3rd-order update + 4th sub-step at the updated point
+            # (:1144-1156)
+            k123 = (2.0 * k1 + 3.0 * k2 + 4.0 * k3) / 9.0
+            start4 = jnp.where(ok[:, None], tgt3, r0)
+            ics4 = jnp.where(ok, ic3, s.i_cell_prev)
+            ys3, field4, k4, ic4, rp4, _, f4 = rk_stage(
+                anchor, k123, dx, start4, ics4, ok
+            )
+            ok = ok & ~f4
 
-        failed = act & ~ok
-        # First failing stage supplies (r_p, i_cell) for the shrink
-        r_p = jnp.where(
-            f2[:, None], rp2, jnp.where(f3[:, None], rp3, rp4)
-        )
-        ic_fail = jnp.where(f2, ic2, jnp.where(f3, ic3, ic4))
+            failed = act & ~ok
+            # First failing stage supplies (r_p, i_cell) for the shrink
+            r_p = jnp.where(
+                f2[:, None], rp2, jnp.where(f3[:, None], rp3, rp4)
+            )
+            ic_fail = jnp.where(f2, ic2, jnp.where(f3, ic3, ic4))
 
         # Embedded 2nd-order estimate and error norm (:1159-1163)
         y2nd = anchor + dx[:, None] * (
