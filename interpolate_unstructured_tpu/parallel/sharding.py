@@ -110,8 +110,13 @@ def sharded_trace(mesh: Mesh, axis_name: str = DATA_AXIS, **trace_kwargs):
     """
 
     def local(grid, y0, i_field):
-        return trace_mod.integrate_along_field(
+        res = trace_mod.integrate_along_field(
             grid, y0, i_field, **trace_kwargs
+        )
+        # n_rounds is a per-shard scalar diagnostic: total it so the
+        # output is replicated (out_spec P()).
+        return res._replace(
+            n_rounds=jax.lax.psum(res.n_rounds, axis_name)
         )
 
     def run(grid, y0, i_field):
@@ -126,6 +131,7 @@ def sharded_trace(mesh: Mesh, axis_name: str = DATA_AXIS, **trace_kwargs):
                 n_steps=P(axis_name),
                 boundary_material=P(axis_name),
                 n_iterations=P(axis_name),
+                n_rounds=P(),
             ),
         )
         return f(grid, y0, i_field)

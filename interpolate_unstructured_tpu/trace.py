@@ -74,6 +74,8 @@ class TraceResult(NamedTuple):
     boundary_material: Any  # (B,) int32: -1 physical boundary, mask value,
     #                         or BM_NOT_REACHED if the buffer filled first
     n_iterations: Any  # (B,) int32: RK iterations spent (diagnostics)
+    n_rounds: Any = None  # scalar int32: total fused tracer-kernel
+    #                       rounds (diagnostics; 0 on the generic path)
 
 
 class _State(NamedTuple):
@@ -89,6 +91,7 @@ class _State(NamedTuple):
     done: Any
     overflow: Any  # buffer filled before a boundary was reached
     boundary_material: Any
+    n_rounds: Any  # scalar: accumulated fused-kernel rounds
 
 
 def _default_sub_int(field, y):
@@ -318,7 +321,7 @@ def integrate_along_field(
             )
             return F, I, n + 1
 
-        F, I, _ = lax.while_loop(  # noqa: E741
+        F, I, _nr = lax.while_loop(  # noqa: E741
             cond, rbody, (F, I, jnp.array(0, jnp.int32))
         )
         k2 = F[_K2 : _K2 + 3, :b].T[:, :ndim]
@@ -329,7 +332,7 @@ def integrate_along_field(
         ic4 = I[_IC, :b]
         fail = I[_FAIL, :b] != 0
         ic_fail = I[_ICF, :b]
-        return k2, k3, k4, field4, ic4, fail, rp_fail, ic_fail
+        return k2, k3, k4, field4, ic4, fail, rp_fail, ic_fail, _nr
 
     def rk_stage(anchor, k_prev, coeff, r_start, ic_start, ok):
         """One batched walk+interpolate sub-step.  Lanes with ``ok``
@@ -402,6 +405,7 @@ def integrate_along_field(
         done=start_done,
         overflow=jnp.zeros(b, bool),
         boundary_material=start_bm,
+        n_rounds=jnp.int32(0),
     )
 
     # Buffer writes as one-hot selects over the step axis: a per-lane
@@ -436,7 +440,7 @@ def integrate_along_field(
 
         if use_fused:
             # Stages 2-4 in one fused round loop (ops/pallas_trace.py)
-            (k2, k3, k4, field4, ic4, fail, r_p, ic_fail) = (
+            (k2, k3, k4, field4, ic4, fail, r_p, ic_fail, nr) = (
                 _fused_stages(anchor, k1, dx, s.i_cell_prev, act)
             )
             ok = act & ~fail
@@ -444,6 +448,7 @@ def integrate_along_field(
             k123 = (2.0 * k1 + 3.0 * k2 + 4.0 * k3) / 9.0
             ys3 = anchor + dx[:, None] * k123
         else:
+            nr = jnp.int32(0)
             ok = act
             _, _, k2, ic2, rp2, tgt2, f2 = rk_stage(
                 anchor, k1, 0.5 * dx, r0, s.i_cell_prev, ok
@@ -540,6 +545,7 @@ def integrate_along_field(
                 done=done,
                 overflow=s.overflow | overflow,
                 boundary_material=bm,
+                n_rounds=s.n_rounds + nr,
             ),
         )
 
@@ -560,4 +566,5 @@ def integrate_along_field(
         n_steps=n_steps,
         boundary_material=final.boundary_material.astype(jnp.int32),
         n_iterations=final.iteration,
+        n_rounds=final.n_rounds,
     )
