@@ -415,11 +415,47 @@ def integrate_along_field(
     # bandwidth-bound and ~10x cheaper.  The current anchor state rides
     # the loop carry, so the matching per-lane *gather* disappears
     # entirely.
-    step_iota = lax.broadcasted_iota(jnp.int32, (1, max_steps + 1), 1)
+    #
+    # Better still: per iteration every writing lane stores exactly one
+    # row, and active lanes advance nearly in lockstep (a lane only
+    # falls behind by rejected/failed iterations), so the writer
+    # indices span a narrow band.  Rewrite only a W-step window
+    # anchored at the minimum writer index (dynamic_slice + in-window
+    # one-hot + dynamic_update_slice) — S1/W times less buffer traffic
+    # — and fall back to the full rewrite on the rare iteration whose
+    # writers span wider than W.
+    S1 = max_steps + 1
+    W = min(32, S1)
+    step_iota = lax.broadcasted_iota(jnp.int32, (1, S1), 1)
+    win_iota = lax.broadcasted_iota(jnp.int32, (1, W), 1)
 
-    def write_rows(buf, idx, write, values):
-        sel = (step_iota == idx[:, None]) & write[:, None]
-        return jnp.where(sel[:, :, None], values[:, None, :], buf)
+    def write_rows_2(y_buf, yf_buf, idx, write, y_vals, yf_vals):
+        lo = jnp.clip(
+            jnp.min(jnp.where(write, idx, jnp.int32(S1))), 0, S1 - W
+        )
+        fits = jnp.max(jnp.where(write, idx, jnp.int32(-1))) < lo + W
+
+        def windowed(bufs):
+            yb, fb = bufs
+            z = jnp.zeros((), lo.dtype)
+            sel = (win_iota + lo == idx[:, None]) & write[:, None]
+            ys = lax.dynamic_slice(yb, (z, lo, z), (b, W, yb.shape[2]))
+            ys = jnp.where(sel[:, :, None], y_vals[:, None, :], ys)
+            yb = lax.dynamic_update_slice(yb, ys, (z, lo, z))
+            fs = lax.dynamic_slice(fb, (z, lo, z), (b, W, fb.shape[2]))
+            fs = jnp.where(sel[:, :, None], yf_vals[:, None, :], fs)
+            fb = lax.dynamic_update_slice(fb, fs, (z, lo, z))
+            return yb, fb
+
+        def full(bufs):
+            yb, fb = bufs
+            sel = (step_iota == idx[:, None]) & write[:, None]
+            return (
+                jnp.where(sel[:, :, None], y_vals[:, None, :], yb),
+                jnp.where(sel[:, :, None], yf_vals[:, None, :], fb),
+            )
+
+        return lax.cond(fits, windowed, full, (y_buf, yf_buf))
 
     def cond(carry):
         it, s = carry
@@ -505,8 +541,9 @@ def integrate_along_field(
         overflow = accept & (n_new >= max_steps)
         write = accept & ~overflow
         ys_store = clamp_axi_y(ys3)
-        y_buf = write_rows(s.y_buf, n_new, write, ys_store)
-        yf_buf = write_rows(s.yf_buf, n_new, write, field4)
+        y_buf, yf_buf = write_rows_2(
+            s.y_buf, s.yf_buf, n_new, write, ys_store, field4
+        )
         anchor_new = jnp.where(write[:, None], ys_store, s.anchor)
         field_new = jnp.where(write[:, None], field4, s.field_a)
         i_cell_prev = jnp.where(accept, ic4, s.i_cell_prev)
