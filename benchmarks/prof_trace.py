@@ -71,6 +71,7 @@ def main():
         _ = np.asarray(fT(grid, y0).n_steps)
         bestT = min(bestT, time.perf_counter() - t0)
     best = (bestT - best1) / (T - 1)  # transport latency cancels
+    print(f"  raw: single {best1*1e3:.1f} ms, chained x{T} {bestT*1e3:.1f} ms")
     print(
         f"n={args.n} side={args.side} cells={grid.n_cells} "
         f"steps={args.steps}: {best*1e3:.1f} ms, "

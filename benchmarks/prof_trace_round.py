@@ -51,12 +51,13 @@ def main():
     def run(g, table, F, I, k):
         def body(_, FI):
             F, I = FI
-            return pallas_trace.trace_round(
+            F, I, _n = pallas_trace.trace_round(
                 g, table, F, I,
                 nudge=1e-6, eps_arrive=4e-6, tiny=1e-10,
                 reverse=False, axisymmetric=False,
                 max_steps=20, min_radius=1e-12,
             )
+            return F, I
         F, I = lax.fori_loop(0, k, body, (F, I))
         return F[0, 0] + I[0, 0].astype(jnp.float32)
 

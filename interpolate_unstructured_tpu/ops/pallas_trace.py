@@ -125,7 +125,7 @@ def _weights_rows(cell_type, P, vol, q):
 
 
 def _kernel(
-    eps_ref, g_ref, f_ref, i_ref, f_o, i_o,
+    eps_ref, g_ref, f_ref, i_ref, f_o, i_o, act_o,
     *, cell_type, nf, npc, ndim, big, reverse, axisymmetric,
     max_steps, min_radius
 ):
@@ -263,6 +263,10 @@ def _kernel(
          jnp.zeros_like(ic_n)],
         axis=0,
     )
+    # Per-tile count of still-walking lanes: the round loop's condition
+    # reduces this (n_tiles,) vector instead of the (1, B) row — the
+    # full-width any() each round cost more than the kernel itself.
+    act_o[pl.program_id(0), 0] = jnp.sum(wact_n)
 
 
 def supported(grid, i_icell_mask, nvar) -> bool:
@@ -285,7 +289,8 @@ def trace_round(grid, table, F, I, *, nudge, eps_arrive, tiny,  # noqa: E741
       F: (32, B) float32 row block, I: (8, B) int32 row block (see
         module docstring); B a multiple of ``tile``.
 
-    Returns (F', I')."""
+    Returns (F', I', n_active) where n_active is a scalar int32 count
+    of lanes still walking (the loop condition's cheap carry)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     from ..utils.config import huge_distance
@@ -318,7 +323,7 @@ def trace_round(grid, table, F, I, *, nudge, eps_arrive, tiny,  # noqa: E741
                             memory_space=pltpu.VMEM)
 
     n_tiles = b // tile
-    f_n, i_n = pl.pallas_call(
+    f_n, i_n, acts = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
         in_specs=[
@@ -331,11 +336,17 @@ def trace_round(grid, table, F, I, *, nudge, eps_arrive, tiny,  # noqa: E741
         out_specs=[
             row_spec(F_ROWS, f32),
             row_spec(I_ROWS, jnp.int32),
+            # Scalar per-tile counts: whole (n_tiles, 1) array in SMEM
+            # for every program (sub-array blocks fail the TPU tiling
+            # check); the kernel writes its own program_id row.
+            pl.BlockSpec((n_tiles, 1), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((F_ROWS, b), f32),
             jax.ShapeDtypeStruct((I_ROWS, b), jnp.int32),
+            jax.ShapeDtypeStruct((n_tiles, 1), jnp.int32),
         ],
         interpret=interpret,
     )(eps_arr, g, F, I)
-    return f_n, i_n
+    return f_n, i_n, jnp.sum(acts, dtype=jnp.int32)

@@ -81,8 +81,9 @@ class TraceResult(NamedTuple):
 class _State(NamedTuple):
     y_buf: Any
     yf_buf: Any
-    anchor: Any  # (B, ndim+nvar) current accepted state (== y_buf[n_idx])
-    field_a: Any  # (B, ndim) field at the anchor (== yf_buf[n_idx])
+    anchor: Any  # (ndim+nvar, B) rows: current accepted state
+    #              (== y_buf[:, n_idx].T)
+    field_a: Any  # (3, B) rows: field at the anchor (zero-padded dims)
     n_idx: Any  # index of last accepted point (n_steps-1)
     i_cell_prev: Any
     dx: Any
@@ -126,8 +127,14 @@ def _build_trace_table(grid, i_field):
         ],
         axis=1,
     )
-    row_width = 512 // jnp.dtype(dtype).itemsize
-    pad = max(row_width, cols.shape[1]) - cols.shape[1]
+    # 64-element rows: 256 B in f32.  At tracer table sizes (tens of k
+    # cells, reused rows) the 64k-row gather measured 112 us at 256 B
+    # vs 137 us at 512 B, and the kernel's table-block read halves —
+    # the gather dominates the fused round, so thinner rows win (the
+    # 512 B-1 KB guidance in benchmarks/RESULTS.md is for 1M-row
+    # tables with no reuse).
+    row_width = max(64, -(-cols.shape[1] // 16) * 16)
+    pad = row_width - cols.shape[1]
     return jnp.pad(cols, ((0, 0), (0, pad)))
 
 
@@ -195,17 +202,31 @@ def integrate_along_field(
 
     b = y0.shape[0]
 
+    # The iteration body works in ROW layout (D, B): (B, 3)-shaped
+    # minor-dim arrays cost several full lane-padded passes per op on
+    # TPU (benchmarks/RESULTS.md), and at ~30 ops per RK iteration that
+    # glue dominated the fused tracer.  Rows put the batch on lanes.
     def pad3(r_nd):
-        """(B, ndim) -> (B, 3) with zero-filled unused coords (:1042)."""
-        return jnp.zeros((b, 3), dtype=dtype).at[:, :ndim].set(r_nd)
+        """(ndim, B) rows -> (3, B) with zero-filled unused coords."""
+        if ndim == 3:
+            return r_nd
+        return jnp.concatenate(
+            [r_nd, jnp.zeros((3 - ndim, b), dtype=dtype)], axis=0
+        )
 
     def clamp_axi(r3):
         if axisymmetric:
-            return r3.at[:, 0].set(jnp.maximum(r3[:, 0], MIN_RADIUS))
+            return jnp.concatenate(
+                [jnp.maximum(r3[0:1], MIN_RADIUS), r3[1:]], axis=0
+            )
         return r3
 
     def unitvec(field):
-        u = field / jnp.sqrt(jnp.sum(field * field, axis=1, keepdims=True))
+        """(3, B) field rows -> (ndim, B) unit-vector rows."""
+        u = field[:ndim] / jnp.sqrt(
+            field[0] * field[0] + field[1] * field[1]
+            + field[2] * field[2]
+        )
         return -u if reverse else u
 
     sub_int_b = jax.vmap(sub_int)  # user callback stays per-point
@@ -244,113 +265,115 @@ def integrate_along_field(
         + advances through its stages independently; one row gather and
         one kernel launch per round for the whole batch.
 
-        Returns (k2, k3, k4 (B, ndim), field4 (B, ndim), ic4 (B,),
-        fail (B,), rp_fail (B, 3), ic_fail (B,))."""
+        All vector inputs/outputs are ROW blocks: anchor (D, B), k1
+        (ndim, B).  Returns (k2, k3, k4, field4, rp_fail row blocks,
+        ic4 (B,), fail (B,), ic_fail (B,), n_rounds)."""
         from .ops.pallas_trace import (
-            F_ROWS, I_ROWS, _ANC, _DL, _DX, _FAIL, _FLD4, _IC, _ICF,
-            _K1, _K2, _K3, _K4, _PREV, _RP, _RPF, _STAGE, _TGT, _U,
-            _WACT,
+            F_ROWS, _FAIL, _FLD4, _IC, _ICF, _K2, _K3, _K4, _RPF,
         )
 
         tile = 1024
         bp = -(-max(b, tile) // tile) * tile
 
-        r0 = pad3(anchor[:, :ndim])
-        tgt2 = clamp_axi(pad3(anchor[:, :ndim] + 0.5 * dx[:, None] * k1))
+        r0 = pad3(anchor[:ndim])
+        tgt2 = clamp_axi(pad3(anchor[:ndim] + (0.5 * dx)[None, :] * k1))
         delta = tgt2 - r0
         total = jnp.sqrt(
-            delta[:, 0] ** 2 + delta[:, 1] ** 2 + delta[:, 2] ** 2
+            delta[0] * delta[0] + delta[1] * delta[1]
+            + delta[2] * delta[2]
         )
         invt = jnp.where(total > _tiny, 1.0 / jnp.where(
             total > _tiny, total, 1.0), 0.0)
-        u = delta * invt[:, None]
+        u = delta * invt[None, :]
 
-        def frow(x):
-            out = jnp.zeros((1, bp), dtype)
-            return out.at[0, :b].set(x.astype(dtype))
-
-        def frow3(x):  # (B, 3) -> 3 rows
-            out = jnp.zeros((3, bp), dtype)
-            return out.at[:, :b].set(x.T)
-
-        k1_3 = pad3(k1)
+        zeros = jnp.zeros((12, b), dtype)  # k2, k3, k4, field4
         F = jnp.concatenate(
             [
-                frow3(r0), frow3(tgt2), frow3(u), frow(total),
-                frow3(k1_3), jnp.zeros((9, bp), dtype),  # k2, k3, k4
-                jnp.zeros((3, bp), dtype),  # field4
-                frow3(r0),  # rp_fail (unused until a failure writes it)
-                frow3(r0), frow(dx),
+                r0, tgt2, u, total[None, :],
+                pad3(k1), zeros,
+                r0,  # rp_fail (unused until a failure writes it)
+                r0, dx[None, :],
             ],
             axis=0,
         )
         assert F.shape[0] == F_ROWS
         i32 = jnp.int32
-
-        def irow(x):
-            out = jnp.zeros((1, bp), i32)
-            return out.at[0, :b].set(x.astype(i32))
+        ones = jnp.ones((1, b), i32)
 
         I = jnp.concatenate(  # noqa: E741
             [
-                irow(jnp.maximum(ic_start, 0)),
-                jnp.full((1, bp), -1, i32),  # prev
-                jnp.zeros((1, bp), i32),  # steps
-                irow(act), irow(jnp.where(act, 2, 5)),
-                jnp.zeros((1, bp), i32),  # fail
-                jnp.full((1, bp), -1, i32),  # ic_fail
-                jnp.zeros((1, bp), i32),
+                jnp.maximum(ic_start, 0)[None, :].astype(i32),
+                -ones,  # prev
+                0 * ones,  # steps
+                act[None, :].astype(i32),
+                jnp.where(act, 2, 5)[None, :].astype(i32),
+                0 * ones,  # fail
+                -ones,  # ic_fail
+                0 * ones,
             ],
             axis=0,
         )
+        if bp != b:
+            # zero pad keeps padded lanes inert (wact == 0)
+            F = jnp.pad(F, ((0, 0), (0, bp - b)))
+            I = jnp.pad(I, ((0, 0), (0, bp - b)))  # noqa: E741
 
         walk_cap = grid.config.trace_walk_max_steps
         round_cap = 3 * (walk_cap + 2) + 4
 
         def cond(carry):
-            F, I, n = carry  # noqa: E741
-            return jnp.any(I[_WACT] != 0) & (n < round_cap)
+            F, I, n, n_act = carry  # noqa: E741
+            return (n_act > 0) & (n < round_cap)
 
         def rbody(carry):
-            F, I, n = carry  # noqa: E741
-            F, I = pallas_trace.trace_round(  # noqa: E741
+            F, I, n, _ = carry  # noqa: E741
+            F, I, n_act = pallas_trace.trace_round(  # noqa: E741
                 grid, trace_table, F, I,
                 nudge=_nudge, eps_arrive=_eps_arrive, tiny=_tiny,
                 reverse=reverse, axisymmetric=axisymmetric,
                 max_steps=walk_cap, min_radius=MIN_RADIUS, tile=tile,
             )
-            return F, I, n + 1
+            return F, I, n + 1, n_act
 
-        F, I, _nr = lax.while_loop(  # noqa: E741
-            cond, rbody, (F, I, jnp.array(0, jnp.int32))
+        F, I, _nr, _ = lax.while_loop(  # noqa: E741
+            cond, rbody,
+            (F, I, jnp.array(0, jnp.int32),
+             jnp.sum(act, dtype=jnp.int32)),
         )
-        k2 = F[_K2 : _K2 + 3, :b].T[:, :ndim]
-        k3 = F[_K3 : _K3 + 3, :b].T[:, :ndim]
-        k4 = F[_K4 : _K4 + 3, :b].T[:, :ndim]
-        field4 = F[_FLD4 : _FLD4 + 3, :b].T[:, :ndim]
-        rp_fail = F[_RPF : _RPF + 3, :b].T
+        k2 = F[_K2 : _K2 + ndim, :b]
+        k3 = F[_K3 : _K3 + ndim, :b]
+        k4 = F[_K4 : _K4 + ndim, :b]
+        field4 = F[_FLD4 : _FLD4 + 3, :b]
+        rp_fail = F[_RPF : _RPF + 3, :b]
         ic4 = I[_IC, :b]
         fail = I[_FAIL, :b] != 0
         ic_fail = I[_ICF, :b]
         return k2, k3, k4, field4, ic4, fail, rp_fail, ic_fail, _nr
 
     def rk_stage(anchor, k_prev, coeff, r_start, ic_start, ok):
-        """One batched walk+interpolate sub-step.  Lanes with ``ok``
-        False aim at their own start, making the walk a degenerate
-        no-op (tiny-distance short circuit, :689-692).  The walk starts
-        from the *previous sub-step's* end point and cell (the
-        reference threads i_cell between sub-steps the same way,
-        :1122-1150) — sub-step targets are ~0.25*dx apart, so carried
-        starts walk far fewer faces than restarting from the anchor.
-        After the walk, ONE fused-row gather yields geometry + field
-        vertex values for the interpolation."""
-        ys = anchor + coeff[:, None] * k_prev
-        r3 = clamp_axi(pad3(ys[:, :ndim]))
-        tgt = jnp.where(ok[:, None], r3, r_start)
+        """One batched walk+interpolate sub-step (generic path; row
+        interface, column-major internally at the walk/interp
+        boundaries).  Lanes with ``ok`` False aim at their own start,
+        making the walk a degenerate no-op (tiny-distance short
+        circuit, :689-692).  The walk starts from the *previous
+        sub-step's* end point and cell (the reference threads i_cell
+        between sub-steps the same way, :1122-1150) — sub-step targets
+        are ~0.25*dx apart, so carried starts walk far fewer faces than
+        restarting from the anchor.  After the walk, ONE fused-row
+        gather yields geometry + field vertex values for the
+        interpolation.
+
+        anchor (D, B), k_prev (D, B), r_start (3, B) rows; returns
+        (ys (D, B), field (3, B), k (D, B), ic, r_p (3, B), tgt (3, B),
+        failed)."""
+        ys = anchor + coeff[None, :] * k_prev
+        r3 = clamp_axi(pad3(ys[:ndim]))
+        tgt = jnp.where(ok[None, :], r3, r_start)
+        tgt_c = tgt.T
         ic, r_p, _, st = locate.walk(
             grid,
-            r_start,
-            tgt,
+            r_start.T,
+            tgt_c,
             ic_start,
             max_steps=grid.config.trace_walk_max_steps,
             i_icell_mask=i_icell_mask,
@@ -360,14 +383,16 @@ def integrate_along_field(
         g = trace_table[jnp.maximum(ic, 0)]
         cp = g[:, _cp_off:_vol_off].reshape(-1, npc, 3)
         vol = g[:, _vol_off]
-        w = interp._weights_from_geometry(grid.cell_type, cp, vol, tgt)
+        w = interp._weights_from_geometry(grid.cell_type, cp, vol, tgt_c)
         vv = g[:, _fv_off : _fv_off + npc * ndim].reshape(-1, npc, ndim)
-        field = (w[:, :, None] * vv).sum(axis=1)
-        k = jnp.concatenate([unitvec(field), sub_int_b(field, ys)], axis=1)
-        return ys, field, k, ic, r_p, tgt, failed
+        field = pad3((w[:, :, None] * vv).sum(axis=1).T)
+        k = jnp.concatenate(
+            [unitvec(field), sub_int_b(field[:ndim].T, ys.T).T], axis=0
+        )
+        return ys, field, k, ic, r_p.T, tgt, failed
 
-    # ---- initialization (:1045-1073) -------------------------------------
-    r0_3 = pad3(y0[:, :ndim])
+    # ---- initialization (:1045-1073; column-major one-time ops) ----------
+    r0_3 = jnp.zeros((b, 3), dtype=dtype).at[:, :ndim].set(y0[:, :ndim])
     ic0, found0 = locate.get_cell(grid, r0_3)
     ic0 = jnp.where(found0, ic0, -1).astype(jnp.int32)
     field0 = interp.interpolate_at_icell(
@@ -395,8 +420,8 @@ def integrate_along_field(
     init = _State(
         y_buf=y_buf,
         yf_buf=yf_buf,
-        anchor=y0,
-        field_a=jnp.where(in_region[:, None], field0, 0.0),
+        anchor=y0.T,
+        field_a=pad3(jnp.where(in_region[:, None], field0, 0.0).T),
         n_idx=jnp.zeros(b, jnp.int32),
         i_cell_prev=ic0,
         dx=jnp.full(b, max_dx, dtype),
@@ -464,15 +489,20 @@ def integrate_along_field(
     def body(carry):
         it, s = carry
         act = ~s.done
-        anchor = s.anchor  # (B, ndim+nvar)
-        field_a = s.field_a
-        r0 = pad3(anchor[:, :ndim])
+        anchor = s.anchor  # (ndim+nvar, B) rows
+        field_a = s.field_a  # (3, B) rows
+        r0 = pad3(anchor[:ndim])
         dx = s.dx
 
         # k1 reuses the stored field sample (:1109-1115)
-        k1 = jnp.concatenate(
-            [unitvec(field_a), sub_int_b(field_a, anchor)], axis=1
-        )
+        if nvar:
+            k1 = jnp.concatenate(
+                [unitvec(field_a),
+                 sub_int_b(field_a[:ndim].T, anchor.T).T],
+                axis=0,
+            )
+        else:
+            k1 = unitvec(field_a)
 
         if use_fused:
             # Stages 2-4 in one fused round loop (ops/pallas_trace.py)
@@ -482,7 +512,7 @@ def integrate_along_field(
             ok = act & ~fail
             failed = act & fail
             k123 = (2.0 * k1 + 3.0 * k2 + 4.0 * k3) / 9.0
-            ys3 = anchor + dx[:, None] * k123
+            ys3 = anchor + dx[None, :] * k123
         else:
             nr = jnp.int32(0)
             ok = act
@@ -494,7 +524,7 @@ def integrate_along_field(
             # reference's i_cell threading, :1122-1150); failed/done
             # lanes keep the anchor start, which their degenerate walk
             # ignores
-            start3 = jnp.where(ok[:, None], tgt2, r0)
+            start3 = jnp.where(ok[None, :], tgt2, r0)
             ics3 = jnp.where(ok, ic2, s.i_cell_prev)
             _, _, k3, ic3, rp3, tgt3, f3 = rk_stage(
                 anchor, k2, 0.75 * dx, start3, ics3, ok
@@ -503,7 +533,7 @@ def integrate_along_field(
             # 3rd-order update + 4th sub-step at the updated point
             # (:1144-1156)
             k123 = (2.0 * k1 + 3.0 * k2 + 4.0 * k3) / 9.0
-            start4 = jnp.where(ok[:, None], tgt3, r0)
+            start4 = jnp.where(ok[None, :], tgt3, r0)
             ics4 = jnp.where(ok, ic3, s.i_cell_prev)
             ys3, field4, k4, ic4, rp4, _, f4 = rk_stage(
                 anchor, k123, dx, start4, ics4, ok
@@ -513,16 +543,16 @@ def integrate_along_field(
             failed = act & ~ok
             # First failing stage supplies (r_p, i_cell) for the shrink
             r_p = jnp.where(
-                f2[:, None], rp2, jnp.where(f3[:, None], rp3, rp4)
+                f2[None, :], rp2, jnp.where(f3[None, :], rp3, rp4)
             )
             ic_fail = jnp.where(f2, ic2, jnp.where(f3, ic3, ic4))
 
         # Embedded 2nd-order estimate and error norm (:1159-1163)
-        y2nd = anchor + dx[:, None] * (
+        y2nd = anchor + dx[None, :] * (
             7.0 * k1 + 6.0 * k2 + 8.0 * k3 + 3.0 * k4
         ) / 24.0
         scales = atol + jnp.maximum(jnp.abs(ys3), jnp.abs(y2nd)) * rtol
-        err = jnp.sqrt(jnp.sum(((ys3 - y2nd) / scales) ** 2, axis=1) / 3.0)
+        err = jnp.sqrt(jnp.sum(((ys3 - y2nd) / scales) ** 2, axis=0) / 3.0)
 
         accept = ok & ((err <= 1.0) | (dx < 2.0 * min_dx))
 
@@ -532,7 +562,9 @@ def integrate_along_field(
         # factor alone decays dx at ~eps per retry — thousands of
         # futile iterations (the reference's 1e-8 factor would
         # effectively hang there).
-        d_boundary = jnp.sqrt(jnp.sum((r_p - r0) ** 2, axis=1))
+        db = r_p - r0
+        d_boundary = jnp.sqrt(db[0] * db[0] + db[1] * db[1]
+                              + db[2] * db[2])
         dx_fail = jnp.minimum((1.0 - shrink_eps) * d_boundary, 0.75 * dx)
         hit_boundary = failed & (dx_fail < min_dx)
 
@@ -542,10 +574,11 @@ def integrate_along_field(
         write = accept & ~overflow
         ys_store = clamp_axi_y(ys3)
         y_buf, yf_buf = write_rows_2(
-            s.y_buf, s.yf_buf, n_new, write, ys_store, field4
+            s.y_buf, s.yf_buf, n_new, write,
+            ys_store.T, field4[:ndim].T,
         )
-        anchor_new = jnp.where(write[:, None], ys_store, s.anchor)
-        field_new = jnp.where(write[:, None], field4, s.field_a)
+        anchor_new = jnp.where(write[None, :], ys_store, s.anchor)
+        field_new = jnp.where(write[None, :], field4, s.field_a)
         i_cell_prev = jnp.where(accept, ic4, s.i_cell_prev)
 
         # ---- step-size control (:1178-1188) ----
@@ -587,8 +620,11 @@ def integrate_along_field(
         )
 
     def clamp_axi_y(ys):
+        """Axisymmetric clamp on (D, B) row state."""
         if axisymmetric:
-            return ys.at[:, 0].set(jnp.maximum(ys[:, 0], MIN_RADIUS))
+            return jnp.concatenate(
+                [jnp.maximum(ys[0:1], MIN_RADIUS), ys[1:]], axis=0
+            )
         return ys
 
     _, final = lax.while_loop(cond, body, (jnp.int32(0), init))
