@@ -188,7 +188,7 @@ def large_mesh():
     )
     t0 = time.perf_counter()
     if os.path.exists(cache):
-        grid = load_grid(cache)
+        grid = load_grid(cache, resave_on_rebuild=True)
         prep_s = time.perf_counter() - t0
         prep_kind = "load_grid"
     else:

@@ -155,7 +155,7 @@ def make_tet_grid(n_side, cache=True):
     tag = "f64" if DTYPE == jnp.float64 else "f32"
     fn = os.path.join(CACHE_DIR, f"tet{n_side}_{tag}.binda")
     if cache and os.path.exists(fn):
-        return load_grid(fn)
+        return load_grid(fn, resave_on_rebuild=True)
     points, cells, neighbors = meshgen.tet_box_mesh(n_side, n_side, n_side)
     grid = build_grid(
         points,

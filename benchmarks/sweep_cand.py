@@ -56,6 +56,11 @@ def main():
 
     enable_compile_cache()
     b = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    # optional config subset "lo:hi" so one run fits a timeout window
+    configs = CONFIGS
+    if len(sys.argv) > 2:
+        lo, hi = (int(x) for x in sys.argv[2].split(":"))
+        configs = CONFIGS[lo:hi]
 
     cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                          "cache", "tet55_f32.binda")
@@ -69,7 +74,7 @@ def main():
           f"{'fbq%':>6} {'load_s':>7} {'ms/1M':>7} {'q/s':>10}",
           file=sys.stderr)
 
-    for rb, bpc, mink in CONFIGS:
+    for rb, bpc, mink in configs:
         from interpolate_unstructured_tpu.utils.config import IUConfig
 
         cfg = IUConfig(

@@ -46,6 +46,11 @@ from .ops.locate import (
     walk,
 )
 from .io.checkpoint import load_grid, save_grid
+from .ops.interp_acc import (
+    interpolate_at_acc,
+    interpolate_at_icell_acc,
+    prepare_accurate,
+)
 from .ops.kdtree import KdTree, build_kdtree, nearest as kdtree_nearest
 from .trace import TraceResult, integrate_along_field
 from .utils.config import DEFAULT_CONFIG, IUConfig
@@ -71,6 +76,9 @@ __all__ = [
     "interpolate_at",
     "interpolate_at_icell",
     "interpolate_scalar_at",
+    "interpolate_at_acc",
+    "interpolate_at_icell_acc",
+    "prepare_accurate",
     "get_cell_scalar_at",
     "get_icell_scalar_at",
     "get_cell",

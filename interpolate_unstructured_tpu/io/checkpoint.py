@@ -60,6 +60,10 @@ _OPTIONAL_FIELDS = [
     "cand_inv_h",
     "cand_ext_ids",
     "cand_ext_slot",
+    # accurate-mode float64 residuals (f32 grids; ops.interp_acc).
+    # acc_table itself is derived — rebuilt by prepare_accurate.
+    "points_lo",
+    "point_data_lo",
 ]
 
 
@@ -97,7 +101,7 @@ def save_grid(grid, filename) -> None:
     w.write_to_file(filename)
 
 
-def load_grid(filename, config=None, dtype=None):
+def load_grid(filename, config=None, dtype=None, resave_on_rebuild=False):
     """Reload a grid saved by :func:`save_grid` — no preprocessing.
 
     The saved float dtype is restored exactly.  Loading a float64
@@ -106,6 +110,12 @@ def load_grid(filename, config=None, dtype=None):
     neighbor ids in the packed walk table on large grids); pass
     ``dtype=jnp.float32`` to downcast explicitly — that path re-applies
     ``build_grid``'s 2^24-cell float32 guard.
+
+    When the stored candidate lists no longer match this session's
+    config (capacity/bin-shape drift), they are rebuilt on load — a
+    minutes-scale cost on million-cell grids.  ``resave_on_rebuild``
+    writes the refreshed grid back to ``filename`` so the cost is paid
+    once, not on every subsequent load.
     """
     import jax
 
@@ -247,6 +257,8 @@ def load_grid(filename, config=None, dtype=None):
                 <= k_max + ext_ids.shape[1]
             ),
         )
+        if resave_on_rebuild:
+            save_grid(grid, filename)
     if grid.walk_table is None:  # build_grid always carries one
         from ..models.grid import _build_walk_table
 

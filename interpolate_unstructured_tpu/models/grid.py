@@ -60,6 +60,9 @@ UNDEFINED_NAME = "UNDEFINED_NAME"
         "cand_ext_ids",
         "cand_ext_slot",
         "cand_ext_table",
+        "points_lo",
+        "point_data_lo",
+        "acc_table",
     ],
     meta_fields=[
         "cell_type",
@@ -124,6 +127,13 @@ class UGrid:
     cand_ext_ids: Any = None  # (n_overflow_bins, k_ext) int32
     cand_ext_slot: Any = None  # (n_cand_bins,) int32, -1 = not overflow
     cand_ext_table: Any = None  # (n_overflow_bins, ext_row_floats)
+    # Accurate-mode (compensated f32) leaves: float64 residuals of the
+    # downcast coordinates/data (hi = the f32 arrays above, lo = these)
+    # and the packed per-cell df32 interpolation rows
+    # (ops.interp_acc.build_acc_table).  None on float64 grids.
+    points_lo: Any = None  # (n_points, 3) f32
+    point_data_lo: Any = None  # (n_points, n_point_data) f32
+    acc_table: Any = None  # (n_cells, acc_row_width) f32, derived
     # --- static metadata -----------------------------------------------------
     cell_type: str = "triangle"
     bin_shape: tuple = (1, 1, 1)
@@ -328,11 +338,24 @@ def build_grid(
             data = np.stack(cols, axis=1)
         else:
             data = np.zeros((n_rows, 0))
-        return names, jnp.asarray(data, dtype=target_dtype)
+        return names, data, jnp.asarray(data, dtype=target_dtype)
 
-    pd_names, pd = stack_registry(point_data, n_points, dtype)
-    cd_names, cd = stack_registry(cell_data, n_cells, dtype)
-    icd_names, icd = stack_registry(icell_data, n_cells, jnp.int32)
+    pd_names, pd_host, pd = stack_registry(point_data, n_points, dtype)
+    cd_names, _, cd = stack_registry(cell_data, n_cells, dtype)
+    icd_names, _, icd = stack_registry(icell_data, n_cells, jnp.int32)
+
+    # Accurate-mode residuals (ops.interp_acc): the exact float64
+    # remainder of downcasting coordinates/point data to float32.
+    points_lo = point_data_lo = None
+    if dtype == jnp.float32:
+        def residual(a64):
+            a64 = np.asarray(a64, np.float64)
+            return (a64 - a64.astype(np.float32).astype(np.float64)).astype(
+                np.float32
+            )
+
+        points_lo = jnp.asarray(residual(points))
+        point_data_lo = jnp.asarray(residual(pd_host))
 
     grid = UGrid(
         points=jnp.asarray(points, dtype=dtype),
@@ -355,6 +378,8 @@ def build_grid(
         bin_inv_h=jnp.asarray(bin_inv_h, dtype=dtype),
         kd_node_points=kd_node_points,
         kd_node_ids=kd_node_ids,
+        points_lo=points_lo,
+        point_data_lo=point_data_lo,
         cell_type=cell_type,
         bin_shape=bin_shape,
         kd_max_depth=kd_max_depth,
@@ -906,6 +931,25 @@ def add_point_data(grid: UGrid, name: str, values=None):
     grid = dataclasses.replace(
         grid, point_data=data, point_data_names=names
     )
+    if grid.point_data_lo is not None:
+        # Keep the accurate-mode residual registry aligned: exact f64
+        # remainder when f64 values were given, zeros otherwise.
+        if values is not None and np.asarray(values).dtype == np.float64:
+            v64 = np.asarray(values, np.float64).reshape(grid.n_points)
+            lo_col = (v64 - v64.astype(np.float32).astype(np.float64)).astype(
+                np.float32
+            )
+        else:
+            lo_col = jnp.zeros((grid.n_points,), jnp.float32)
+        lo, _, _ = _add_column(
+            grid.point_data_lo, grid.point_data_names[:-1], name,
+            lo_col, grid.n_points,
+        )
+        grid = dataclasses.replace(grid, point_data_lo=lo)
+    if grid.acc_table is not None:
+        from ..ops.interp_acc import build_acc_table
+
+        grid = dataclasses.replace(grid, acc_table=build_acc_table(grid))
     return _refresh_cand_data(grid, i_var), i_var
 
 

@@ -1,0 +1,304 @@
+"""Accurate (compensated-f32) interpolation — the fast middle path
+between float32 (~1e-6) and software-emulated float64 (~100x slower).
+
+The reference meets a <=1e-12 contract in native f64
+(test_triangle.f90:42-48); on TPU the f64 pipeline is ~100x slower
+than f32 end to end.  This mode keeps the f32 machinery for POINT
+LOCATION (a query located in a neighboring cell still interpolates
+continuously, and the walk/candidate tolerances already cover f32
+rounding) and recomputes the WEIGHTS AND VALUES in double-float
+arithmetic (:mod:`.df32`, ~48 mantissa bits) from a packed per-cell
+row that stores the original float64 geometry and data split into
+(hi, lo) float32 pairs:
+
+    row = [vhi (npc*3) | vlo (npc*3) | dhi (nv*npc) | dlo (nv*npc)]
+
+padded to a 512-byte gather row (the fast-gather width floor measured
+in benchmarks/RESULTS.md; thinner rows gather SLOWER).  The (hi, lo)
+split is exact: hi = f32(x64), lo = f32(x64 - hi) represents any
+float64 from the bundled meshes to ~1e-14 relative.
+
+Weight formulas mirror the reference kernels exactly
+(m_interp_unstructured.f90 :529-551 triangle, :553-586 tetra,
+:588-641 quad), evaluated in df32; weights are normalized by their
+df32 sum (identical inside cells, where sub-areas/volumes sum to the
+cell measure).
+
+Accuracy: ~1e-13 absolute on unit-scale meshes — measured against the
+f64 CPU path in tests/test_interp_acc.py.  Throughput: the f32 locate
+plus one 512 B gather and ~2k VPU flops per query.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from . import df32, locate
+
+ACC_ROW_ALIGN = 128  # floats; 512 B rows (gather width floor)
+
+
+def acc_row_width(npc: int, nv: int) -> int:
+    used = npc * 6 + 2 * nv * npc
+    return -(-used // ACC_ROW_ALIGN) * ACC_ROW_ALIGN
+
+
+def supported(grid) -> bool:
+    return (
+        grid.dtype == jnp.float32
+        and grid.acc_table is not None
+        and grid.cell_type in ("triangle", "quad", "tetra")
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("npc", "nv", "width"))
+def _pack_acc_rows_jit(points, points_lo, cells, pd, pd_lo, *, npc, nv, width):
+    n = cells.shape[0]
+    vhi = points[cells].reshape(n, npc * 3)
+    vlo = points_lo[cells].reshape(n, npc * 3)
+    cols = [vhi, vlo]
+    if nv:
+        dhi = pd[cells][:, :, :nv].transpose(0, 2, 1).reshape(n, nv * npc)
+        dlo = pd_lo[cells][:, :, :nv].transpose(0, 2, 1).reshape(n, nv * npc)
+        cols += [dhi, dlo]
+    row = jnp.concatenate(cols, axis=1)
+    return jnp.pad(row, ((0, 0), (0, width - row.shape[1])))
+
+
+def build_acc_table(grid):
+    """Assemble the packed accurate rows on device (chunked like the
+    walk/candidate repack so no whole-table transient materializes)."""
+    npc = grid.n_points_per_cell
+    nv = grid.n_point_data
+    width = acc_row_width(npc, nv)
+    lo = grid.points_lo
+    if lo is None:
+        # No stored f64 residuals (old checkpoint): geometry is the
+        # f32 arrays exactly; accuracy is then limited by the f32
+        # representation of the mesh, not by the arithmetic.
+        lo = jnp.zeros_like(grid.points)
+    pd = grid.point_data
+    pd_lo = grid.point_data_lo
+    if pd_lo is None:
+        pd_lo = jnp.zeros_like(pd)
+    chunk = 1 << 18
+    n = grid.n_cells
+    statics = dict(npc=npc, nv=nv, width=width)
+    if n <= chunk:
+        return _pack_acc_rows_jit(
+            grid.points, lo, grid.cells, pd, pd_lo, **statics
+        )
+    parts = []
+    for i in range(0, n, chunk):
+        idx = grid.cells[i : i + chunk]
+        if idx.shape[0] < chunk:
+            idx = jnp.pad(idx, ((0, chunk - idx.shape[0]), (0, 0)))
+        parts.append(
+            _pack_acc_rows_jit(grid.points, lo, idx, pd, pd_lo, **statics)
+        )
+    return jnp.concatenate(parts, axis=0)[:n]
+
+
+def prepare_accurate(grid):
+    """Return a grid with the accurate-row table built (no-op when
+    already present).  Works on loaded checkpoints too; accuracy vs
+    the original f64 mesh requires ``points_lo`` (stored by
+    ``build_grid`` for float32 grids since checkpoint v4)."""
+    import dataclasses
+
+    if grid.acc_table is not None:
+        return grid
+    return dataclasses.replace(grid, acc_table=build_acc_table(grid))
+
+
+def split_queries(r64):
+    """Split float64 (or float32) queries into an f32 (hi, lo) pair."""
+    hi = jnp.asarray(r64, jnp.float32)
+    if jnp.asarray(r64).dtype == jnp.float64:
+        lo = (r64 - hi.astype(jnp.float64)).astype(jnp.float32)
+    else:
+        lo = jnp.zeros_like(hi)
+    return hi, lo
+
+
+def _weights_tri_df(q, v):
+    """Unsigned sub-triangle areas (:529-551) in df32.
+
+    q: 3 df components; v: [vertex][dim] df components."""
+    def area_opposite(j, k):
+        ex = [df32.sub(q[d], v[j][d]) for d in range(3)]
+        fx = [df32.sub(q[d], v[k][d]) for d in range(3)]
+        cx, cy, cz = df32.cross(*ex, *fx)
+        s = df32.add(
+            df32.add(df32.mul(cx, cx), df32.mul(cy, cy)),
+            df32.mul(cz, cz),
+        )
+        return df32.sqrt(s)  # 2*area; the 0.5 cancels in normalization
+
+    return [area_opposite(1, 2), area_opposite(2, 0), area_opposite(0, 1)]
+
+
+def _weights_tet_df(q, v):
+    """Signed triple-product weights (:553-586) in df32."""
+    def e(a, b):  # v[b] - v[a]
+        return [df32.sub(v[b][d], v[a][d]) for d in range(3)]
+
+    def pq(a):  # q - v[a]
+        return [df32.sub(q[d], v[a][d]) for d in range(3)]
+
+    v2r = pq(1)
+    v1r = pq(0)
+    w1 = df32.triple(*v2r, *e(1, 3), *e(1, 2))
+    w2 = df32.triple(*v1r, *e(0, 2), *e(0, 3))
+    w3 = df32.triple(*v1r, *e(0, 3), *e(0, 1))
+    w4 = df32.triple(*v1r, *e(0, 1), *e(0, 2))
+    return [w1, w2, w3, w4]
+
+
+def _weights_quad_df(q, v):
+    """Inverse-bilinear weights (:588-641) in df32 (branch-free)."""
+    qv = [df32.sub(q[d], v[0][d]) for d in range(3)]
+    b1 = [df32.sub(v[1][d], v[0][d]) for d in range(3)]
+    b2 = [df32.sub(v[3][d], v[0][d]) for d in range(3)]
+    # b3 = p0 - p1 + p2 - p3 (:601)
+    b3 = [
+        df32.add(
+            df32.sub(v[0][d], v[1][d]), df32.sub(v[2][d], v[3][d])
+        )
+        for d in range(3)
+    ]
+
+    def cpz(a, b):
+        return df32.sub(df32.mul(a[0], b[1]), df32.mul(a[1], b[0]))
+
+    qa = cpz(b2, b3)
+    qb = df32.sub(cpz(b3, qv), cpz(b1, b2))
+    qc = cpz(b1, qv)
+    disc = df32.sub(
+        df32.mul(qb, qb), df32.scale(df32.mul(qa, qc), jnp.float32(4.0))
+    )
+    disc_h = disc[0] + disc[1]
+    disc = (
+        jnp.where(disc_h < 0, 0.0, disc[0]),
+        jnp.where(disc_h < 0, 0.0, disc[1]),
+    )
+    root = df32.sqrt(disc)
+    linear = jnp.abs(qa[0] + qa[1]) < 1e-20
+    qa_safe = (jnp.where(linear, 1.0, qa[0]), jnp.where(linear, 0.0, qa[1]))
+    qb_h = qb[0] + qb[1]
+    qb_safe = (jnp.where(qb_h == 0, 1.0, qb[0]), jnp.where(qb_h == 0, 0.0, qb[1]))
+    mu_lin = df32.div(df32.neg(qc), qb_safe)
+    mu_quad = df32.div(
+        df32.scale(df32.add(qb, root), jnp.float32(-0.5)), qa_safe
+    )
+    mu = (
+        jnp.where(linear, mu_lin[0], mu_quad[0]),
+        jnp.where(linear, mu_lin[1], mu_quad[1]),
+    )
+
+    d3 = [df32.add(b1[d], df32.mul(mu, b3[d])) for d in range(3)]
+    a0, a1, a2 = (jnp.abs(d3[d][0] + d3[d][1]) for d in range(3))
+    use0 = a0 >= a1
+
+    def sel(c, x, y):
+        return (jnp.where(c, x[0], y[0]), jnp.where(c, x[1], y[1]))
+
+    d01 = sel(use0, d3[0], d3[1])
+    q01 = sel(use0, qv[0], qv[1])
+    b01 = sel(use0, b2[0], b2[1])
+    use01 = jnp.maximum(a0, a1) >= a2
+    dd = sel(use01, d01, d3[2])
+    qq = sel(use01, q01, qv[2])
+    bb = sel(use01, b01, b2[2])
+    dd_h = dd[0] + dd[1]
+    dd = (jnp.where(dd_h == 0, 1.0, dd[0]), jnp.where(dd_h == 0, 0.0, dd[1]))
+    lam = df32.div(df32.sub(qq, df32.mul(bb, mu)), dd)
+
+    one = (jnp.ones_like(lam[0]), jnp.zeros_like(lam[0]))
+    il = df32.sub(one, lam)
+    im = df32.sub(one, mu)
+    return [
+        df32.mul(il, im),
+        df32.mul(lam, im),
+        df32.mul(lam, mu),
+        df32.mul(il, mu),
+    ]
+
+
+def interpolate_at_icell_acc(grid, r_hi, i_vars, i_cell, r_lo=None):
+    """df32 interpolation at known cells.
+
+    Args:
+      grid: f32 grid with ``acc_table`` (see :func:`prepare_accurate`).
+      r_hi, r_lo: (B, 3) f32 query split (``r_lo`` zeros if omitted).
+      i_vars: static tuple of point-data variable slots.
+      i_cell: (B,) int32 located cells (>= 0).
+
+    Returns (vals_hi, vals_lo): (B, len(i_vars)) f32 pairs whose f64
+    sum carries ~1e-13 accuracy.
+    """
+    npc = grid.n_points_per_cell
+    nv = grid.n_point_data
+    i_vars = tuple(int(v) % max(nv, 1) for v in i_vars)
+    if any(v >= nv for v in i_vars):
+        raise ValueError("i_vars outside the live point-data range")
+    g = grid.acc_table[jnp.maximum(i_cell, 0)]
+    if r_lo is None:
+        r_lo = jnp.zeros_like(r_hi)
+
+    def col(j):
+        return g[:, j]
+
+    q = [(r_hi[:, d], r_lo[:, d]) for d in range(3)]
+    v = [
+        [(col(vtx * 3 + d), col(npc * 3 + vtx * 3 + d)) for d in range(3)]
+        for vtx in range(npc)
+    ]
+    if grid.cell_type == "triangle":
+        w = _weights_tri_df(q, v)
+    elif grid.cell_type == "tetra":
+        w = _weights_tet_df(q, v)
+    else:
+        w = _weights_quad_df(q, v)
+
+    if grid.cell_type in ("triangle", "tetra"):
+        tot = w[0]
+        for k in range(1, npc):
+            tot = df32.add(tot, w[k])
+        w = [df32.div(wk, tot) for wk in w]
+
+    d0 = npc * 6
+    outs_h, outs_l = [], []
+    for slot in i_vars:
+        acc = None
+        for vtx in range(npc):
+            dhi = col(d0 + slot * npc + vtx)
+            dlo = col(d0 + nv * npc + slot * npc + vtx)
+            term = df32.mul(w[vtx], (dhi, dlo))
+            acc = term if acc is None else df32.add(acc, term)
+        outs_h.append(acc[0])
+        outs_l.append(acc[1])
+    return jnp.stack(outs_h, axis=1), jnp.stack(outs_l, axis=1)
+
+
+def interpolate_at_acc(grid, r, i_vars, guess=None, r_lo=None):
+    """Accurate-mode public entry: f32 locate + df32 interpolate.
+
+    ``r`` may be float64 (split internally; requires x64) or float32
+    (pass ``r_lo`` when the queries carry known f64 residuals).
+
+    Returns (vals_hi, vals_lo, found, i_cell); missed queries keep
+    weights from their nearest candidate but ``found`` is False.
+    """
+    if jnp.asarray(r).dtype == jnp.float64:
+        r_hi, r_lo = split_queries(r)
+    else:
+        r_hi = jnp.asarray(r, jnp.float32)
+    ic, found = locate.get_cell(grid, r_hi, guess=guess)
+    vh, vl = interpolate_at_icell_acc(
+        grid, r_hi, i_vars, jnp.maximum(ic, 0), r_lo=r_lo
+    )
+    return vh, vl, found, ic

@@ -1,0 +1,128 @@
+"""Accurate-mode (compensated f32) interpolation tests.
+
+The contract being bridged: the reference meets <=1e-12 vs float64
+(test_triangle.f90:42-48) while the TPU fast path is float32.  The
+df32 mode must reproduce the float64 interpolation — SAME cells, SAME
+weight formulas — to ~1e-12 from float32 storage and arithmetic.
+
+Meshes are scaled by pi so coordinates (and the random float64 data)
+genuinely need the stored (hi, lo) residual split.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import interpolate_unstructured_tpu as iu
+from tests.conftest import sample_points
+
+SCALE = np.pi
+N = 1000
+
+
+def _f32_and_f64_grids(test_data_dir, name, seed):
+    """Parallel f32 (+acc tables) and f64 grids of a bundled mesh with
+    a random float64 variable added to both."""
+    rng = np.random.default_rng(seed)
+    g32 = iu.read_grid(
+        test_data_dir / name, coord_scale_factor=SCALE, dtype=jnp.float32
+    )
+    g64 = iu.read_grid(
+        test_data_dir / name, coord_scale_factor=SCALE, dtype=jnp.float64
+    )
+    rough = rng.standard_normal(g32.n_points)  # O(1) inter-vertex jumps
+    g32, iv32 = iu.add_point_data(g32, "rough", rough)
+    g64, iv64 = iu.add_point_data(g64, "rough", rough)
+    assert iv32 == iv64
+    g32 = iu.prepare_accurate(g32)
+    return g32, g64, iv32
+
+
+@pytest.mark.parametrize(
+    "name,seed", [("triangle.vtu", 0), ("quad.vtu", 1), ("tetra.vtu", 2)]
+)
+def test_acc_matches_f64_same_cells(test_data_dir, name, seed):
+    g32, g64, ivar = _f32_and_f64_grids(test_data_dir, name, seed)
+    rng = np.random.default_rng(seed + 10)
+    r64 = jnp.asarray(sample_points(rng, g32.rmin, g32.rmax, N))
+
+    vh, vl, found, ic = iu.interpolate_at_acc(g32, r64, (ivar,))
+    assert bool(np.asarray(found).all())
+    got = np.asarray(vh, np.float64) + np.asarray(vl, np.float64)
+
+    # f64 reference on the SAME cells (the df32 arithmetic is under
+    # test, not near-face tie-breaking of the f32 locate)
+    ref = np.asarray(
+        iu.interpolate_at_icell(
+            g64, r64, jnp.asarray([ivar]), jnp.asarray(ic)
+        ),
+        np.float64,
+    )
+    err = np.abs(got[:, 0] - ref[:, 0]).max()
+    assert err < 1e-12, f"max |acc - f64| = {err:.3e}"
+
+
+@pytest.mark.parametrize(
+    "name,seed", [("triangle.vtu", 3), ("quad.vtu", 4), ("tetra.vtu", 5)]
+)
+def test_acc_linear_exactness_1e12(test_data_dir, name, seed):
+    """The f32 fast path tops out ~1e-6 here; accurate mode must hold
+    the reference's f64-grade exactness on the linear field."""
+    g32 = iu.read_grid(
+        test_data_dir / name, coord_scale_factor=SCALE, dtype=jnp.float32
+    )
+    # exact f64 linear data at the SCALED coordinates
+    pts64 = np.asarray(g32.points, np.float64) + np.asarray(
+        g32.points_lo, np.float64
+    )
+    lin = pts64.sum(axis=1) + 1.0
+    g32, ivar = iu.add_point_data(g32, "lin64", lin)
+    g32 = iu.prepare_accurate(g32)
+
+    rng = np.random.default_rng(seed + 20)
+    r64 = jnp.asarray(sample_points(rng, g32.rmin, g32.rmax, N))
+    vh, vl, found, _ = iu.interpolate_at_acc(g32, r64, (ivar,))
+    assert bool(np.asarray(found).all())
+    got = np.asarray(vh, np.float64) + np.asarray(vl, np.float64)
+    ref = np.asarray(r64, np.float64).sum(axis=1) + 1.0
+    err = np.abs(got[:, 0] - ref).max()
+    assert err < 1e-12, f"max linear-exactness error {err:.3e}"
+
+
+def test_acc_multivar_and_f32_queries(test_data_dir):
+    g32, g64, ivar = _f32_and_f64_grids(test_data_dir, "tetra.vtu", 7)
+    rng = np.random.default_rng(30)
+    r64 = sample_points(rng, g32.rmin, g32.rmax, 64)
+    poly = iu.get_point_data_index(g32, "Polynomial")
+
+    vh, vl, found, ic = iu.interpolate_at_acc(g32, jnp.asarray(r64), (poly, ivar))
+    assert vh.shape == (64, 2)
+    # f32 queries (no residual): still valid, limited by query rounding
+    vh2, vl2, found2, _ = iu.interpolate_at_acc(
+        g32, jnp.asarray(r64, jnp.float32), (poly, ivar)
+    )
+    assert bool(np.asarray(found2).all())
+
+
+def test_acc_table_survives_checkpoint(test_data_dir, tmp_path):
+    g32, g64, ivar = _f32_and_f64_grids(test_data_dir, "quad.vtu", 8)
+    fn = str(tmp_path / "acc.binda")
+    iu.save_grid(g32, fn)
+    g2 = iu.load_grid(fn)
+    # residual leaves round-trip; the derived table rebuilds on demand
+    assert g2.points_lo is not None and g2.point_data_lo is not None
+    np.testing.assert_array_equal(
+        np.asarray(g2.points_lo), np.asarray(g32.points_lo)
+    )
+    g2 = iu.prepare_accurate(g2)
+    rng = np.random.default_rng(31)
+    r64 = jnp.asarray(sample_points(rng, g2.rmin, g2.rmax, 128))
+    vh, vl, found, ic = iu.interpolate_at_acc(g2, r64, (ivar,))
+    ref = np.asarray(
+        iu.interpolate_at_icell(
+            g64, r64, jnp.asarray([ivar]), jnp.asarray(ic)
+        ),
+        np.float64,
+    )
+    got = np.asarray(vh, np.float64) + np.asarray(vl, np.float64)
+    assert np.abs(got[:, 0] - ref[:, 0]).max() < 1e-12
