@@ -81,14 +81,16 @@ def main():
     id_role = 4 * nf + (3 * npc if is_quad else nf)
     count_col = k_max * (id_role + 1 + npc * nv)
 
+    eps = grid.config.eps_inside
+
     def phase0(grid, r, n):
         def body(i, carry):
             r, acc = carry
             rt_t = r.T
             idx = locate._cand_bin_index_t(grid, rt_t)
-            _, id_best, _, _ = pallas_cand.cand_rows_query(
+            id_best, _, _ = pallas_cand.cand_rows_query(
                 grid, grid.cand_table, idx, rt_t, (), count_col,
-                k_max=k_max,
+                eps, k_max, k_max=k_max,
             )
             return (dep(r, id_best), acc + id_best[0])
         _, acc = lax.fori_loop(0, n, body, (r, jnp.zeros((), jnp.int32)))
@@ -100,9 +102,9 @@ def main():
             r, acc = carry
             rt_t = r.T
             idx = locate._cand_bin_index_t(grid, rt_t)
-            _, _, _, vals = pallas_cand.cand_rows_query(
+            _, _, vals = pallas_cand.cand_rows_query(
                 grid, grid.cand_table, idx, rt_t, (0,), count_col,
-                k_max=k_max,
+                eps, k_max, k_max=k_max,
             )
             return (dep(r, vals[0]), acc + vals[0, 0])
         _, acc = lax.fori_loop(0, n, body, (r, jnp.zeros((), grid.dtype)))

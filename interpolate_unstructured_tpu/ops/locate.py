@@ -526,7 +526,8 @@ def _quad_weights_c(px, py, pz, rx, ry, rz):
     )
 
 
-def _probe_rows_xla(grid, g, rt_t, k, count_col, var_slots):
+def _probe_rows_xla(grid, g, rt_t, k, count_col, var_slots, eps,
+                    ovf_base):
     """XLA fallback for the candidate-row probe (f64 grids / non-TPU
     backends; the TPU path is ops/pallas_cand.py with identical
     semantics).  All per-tile math runs TRANSPOSED — (k, bt)
@@ -534,8 +535,10 @@ def _probe_rows_xla(grid, g, rt_t, k, count_col, var_slots):
     lane-shaped intermediates pad k up to 128 lanes and cost ~10x
     their size in HBM traffic.
 
-    Returns (m_best (bt,), id_best (bt,), count_val (bt,),
-    valsT (n_vals, bt))."""
+    Returns (id_best (bt,), aux (bt,), valsT (n_vals, bt)) with the
+    kernel's aux encoding: -2 = id_best contains the query, >= 0 =
+    overflow-bin miss (value = extension slot / residual flag),
+    -1 = exact miss."""
     nf = grid.n_faces_per_cell
     npc = grid.n_points_per_cell
     is_quad = grid.cell_type == "quad"
@@ -565,9 +568,14 @@ def _probe_rows_xla(grid, g, rt_t, k, count_col, var_slots):
         return jnp.sum(jnp.where(onehot, x, 0), axis=0)
 
     id_best = pick(role(id_role)).astype(jnp.int32)
-    count = gT[count_col]
+    cnt = gT[count_col].astype(jnp.int32)
+    found = (m_best >= -eps) & (id_best >= 0)
+    ovf_miss = (~found) & (cnt > ovf_base) & (id_best >= 0)
+    aux = jnp.where(
+        found, -2, jnp.where(ovf_miss, cnt - (ovf_base + 1), -1)
+    )
     if var_slots is None:
-        return m_best, id_best, count, jnp.zeros((0, bt), rt_t.dtype)
+        return id_best, aux, jnp.zeros((0, bt), rt_t.dtype)
 
     if is_quad:
         vrole = 4 * nf
@@ -594,7 +602,7 @@ def _probe_rows_xla(grid, g, rt_t, k, count_col, var_slots):
             for v in range(1, npc):
                 acc = acc + lam[v] * role(dr + v)
             vals.append(pick(acc))
-    return m_best, id_best, count, jnp.stack(vals, axis=0)
+    return id_best, aux, jnp.stack(vals, axis=0)
 
 
 def _candidates_query(grid, r, var_slots=None, max_steps=None):
@@ -657,29 +665,35 @@ def _candidates_query(grid, r, var_slots=None, max_steps=None):
         pallas_cand.supported(grid) and jax.default_backend() == "tpu"
     )
 
-    def probe(tab, idx, rt_t, k, ccol):
-        """Gather rows ``tab[idx]`` + containment + fused values;
-        queries arrive TRANSPOSED (3, bt)."""
+    def probe(tab, idx, rt_t, k, ccol, ovf_base):
+        """Gather rows ``tab[idx]`` + containment verdict + fused
+        values; queries arrive TRANSPOSED (3, bt).  Returns
+        (id_best, aux, valsT) with the kernel's aux encoding
+        (pallas_cand._kernel): -2 found, >= 0 overflow miss, -1 exact
+        miss."""
         if use_pallas:
             # One streaming Pallas pass over the rows gathered inside
             # (tile-alignment pads the indices, not the rows): the XLA
             # math costs 2-4x more (per-consumer re-streams of the
             # gather + lane-padded small-K intermediates;
             # benchmarks/prof_cand.py)
-            m_b, id_b, cnt, vals = pallas_cand.cand_rows_query(
-                grid, tab, idx, rt_t, var_slots or (), ccol, k_max=k
+            id_b, aux, vals = pallas_cand.cand_rows_query(
+                grid, tab, idx, rt_t, var_slots or (), ccol,
+                eps, ovf_base, k_max=k,
             )
             if var_slots is None:
-                return m_b, id_b, cnt, jnp.zeros(
+                return id_b, aux, jnp.zeros(
                     (0, rt_t.shape[1]), rt_t.dtype
                 )
-            return m_b, id_b, cnt, vals
-        return _probe_rows_xla(grid, tab[idx], rt_t, k, ccol, var_slots)
+            return id_b, aux, vals
+        return _probe_rows_xla(
+            grid, tab[idx], rt_t, k, ccol, var_slots, eps, ovf_base
+        )
 
     def tile_fn(rt_t):
         return probe(
             grid.cand_table, _cand_bin_index_t(grid, rt_t), rt_t,
-            k_max, count_col,
+            k_max, count_col, k_max,
         )
 
     # ONE (B, 3) -> (3, B) transpose up front; per-chunk column slices
@@ -688,7 +702,7 @@ def _candidates_query(grid, r, var_slots=None, max_steps=None):
     # Tile big batches so the gathered rows stay bounded in HBM
     chunk = cfg.cand_chunk_queries
     if b <= chunk:
-        m_best, id_best, count, valsT = tile_fn(r_t)
+        id_best, aux, valsT = tile_fn(r_t)
     else:
         pad = (-b) % chunk
         rp_t = jnp.pad(r_t, ((0, 0), (0, pad)))
@@ -701,30 +715,27 @@ def _candidates_query(grid, r, var_slots=None, max_steps=None):
                 tile_fn(rp_t[:, i * chunk : (i + 1) * chunk])
                 for i in range(n_ch)
             ]
-            m_best = jnp.concatenate([o[0] for o in outs])[:b]
-            id_best = jnp.concatenate([o[1] for o in outs])[:b]
-            count = jnp.concatenate([o[2] for o in outs])[:b]
-            valsT = jnp.concatenate([o[3] for o in outs], axis=1)[:, :b]
+            id_best = jnp.concatenate([o[0] for o in outs])[:b]
+            aux = jnp.concatenate([o[1] for o in outs])[:b]
+            valsT = jnp.concatenate([o[2] for o in outs], axis=1)[:, :b]
         else:
-            m_best, id_best, count, valsT = lax.map(
+            id_best, aux, valsT = lax.map(
                 tile_fn,
                 jnp.moveaxis(rp_t.reshape(3, -1, chunk), 1, 0),
             )
-            m_best = m_best.reshape(-1)[:b]
             id_best = id_best.reshape(-1)[:b]
-            count = count.reshape(-1)[:b]
+            aux = aux.reshape(-1)[:b]
             # explicit target shape: reshape(-1) breaks on the 0-wide
             # no-values case (var_slots is None)
             valsT = jnp.moveaxis(valsT, 1, 0).reshape(
                 valsT.shape[1], rp_t.shape[1]
             )[:, :b]
 
-    found = (m_best >= -eps) & (id_best >= 0)
-    # The main row's count column encodes overflow redirection: exact
-    # count where it fits K, else K + 1 + extension-table slot.  A miss
-    # in a NON-overflow bin is exact: the point is outside the mesh.
-    cc = count.astype(jnp.int32)
-    need_fb = ~found & (cc > k_max) & (id_best >= 0)
+    found = aux == -2
+    # aux >= 0 marks overflow-bin misses (value = extension-table
+    # slot); a miss in a NON-overflow bin (aux == -1) is exact: the
+    # point is outside the mesh.
+    need_fb = aux >= 0
     ic = jnp.where(found, id_best, -1)
     values = valsT.T if var_slots is not None else None
 
@@ -756,20 +767,22 @@ def _candidates_query(grid, r, var_slots=None, max_steps=None):
         with a walk."""
         k_ext = grid.cand_ext_ids.shape[1]
         ext_ccol = k_ext * (data_role0 + npc * nv)
-        slots = jnp.where(active, cc[idx] - (k_max + 1), 0)
+        # aux of an overflow miss IS the extension slot
+        slots = jnp.where(active, jnp.maximum(aux[idx], 0), 0)
         # (3, m) subset via three 1-D gathers (cheap; a (m, 3) gather
         # + transpose is not)
         rt_t = jnp.stack([r_t[0][idx], r_t[1][idx], r_t[2][idx]])
-        m2, id2, cnt2, vals2T = probe(
-            grid.cand_ext_table, slots, rt_t, k_ext, ext_ccol
+        id2, aux2, vals2T = probe(
+            grid.cand_ext_table, slots, rt_t, k_ext, ext_ccol,
+            k_max + k_ext,
         )
-        found2 = (m2 >= -eps) & (id2 >= 0) & active
+        found2 = (aux2 == -2) & active
         ic2 = jnp.where(found2, id2, -1)
         vals2 = vals2T.T if var_slots is not None else None
         if not grid.cand_ext_covers:
-            resid = active & ~found2 & (
-                cnt2.astype(jnp.int32) > k_max + k_ext
-            )
+            # aux2 >= 0: the bin's true count exceeds K + k_ext, so
+            # even the extension row didn't hold the complete list
+            resid = active & (aux2 >= 0)
             ic_w, found_w, vals_w = walk_and_interp(idx, resid)
             ic2 = jnp.where(found_w, ic_w, ic2)
             found2 = found2 | found_w

@@ -89,8 +89,8 @@ def _quad_weights_rows(p, q):
 
 
 def _kernel(
-    g_ref, r_ref, ic_ref, mbest_ref, count_ref, vals_ref,
-    *, cell_type, nf, npc, k_max, var_slots, count_col
+    g_ref, r_ref, ic_ref, aux_ref, vals_ref,
+    *, cell_type, nf, npc, k_max, var_slots, count_col, eps, ovf_base
 ):
     K = k_max
     is_quad = cell_type == "quad"
@@ -122,7 +122,7 @@ def _kernel(
         margins = mf if margins is None else jnp.minimum(margins, mf)
 
     k_best = jnp.argmax(margins, axis=0, keepdims=True).astype(jnp.int32)
-    mbest_ref[:] = jnp.max(margins, axis=0, keepdims=True)
+    m_best = jnp.max(margins, axis=0, keepdims=True)
 
     t = GT.shape[1]
     onehot = lax.broadcasted_iota(jnp.int32, (K, t), 0) == k_best
@@ -130,8 +130,22 @@ def _kernel(
     def pick(x):  # winner's value, (K, T) -> (1, T)
         return jnp.sum(jnp.where(onehot, x, 0.0), axis=0, keepdims=True)
 
-    ic_ref[:] = pick(role(id_role)).astype(jnp.int32)
-    count_ref[:] = GT[count_col:count_col + 1]
+    id_best = pick(role(id_role)).astype(jnp.int32)
+    ic_ref[:] = id_best
+    # Containment verdict folded in-kernel (the host-side found/
+    # overflow decode cost several full-batch elementwise passes):
+    #   aux == -2  -> id_best contains the query
+    #   aux >= 0   -> overflow-bin miss; aux = extension-table slot
+    #                 (main table) / residual-walk flag (ext table,
+    #                 where count > ovf_base means even the extension
+    #                 row didn't hold the full list)
+    #   aux == -1  -> exact miss: the point is outside the mesh
+    cnt = GT[count_col:count_col + 1].astype(jnp.int32)
+    found = (m_best >= -eps) & (id_best >= 0)
+    ovf_miss = (~found) & (cnt > ovf_base) & (id_best >= 0)
+    aux_ref[:] = jnp.where(
+        found, -2, jnp.where(ovf_miss, cnt - (ovf_base + 1), -1)
+    )
 
     if not var_slots:
         vals_ref[:] = jnp.zeros_like(vals_ref)
@@ -170,7 +184,7 @@ def supported(grid) -> bool:
 
 
 def cand_rows_query(grid, table, idx, rt_t, var_slots, count_col,
-                    k_max=None, tile: int = 1024,
+                    eps, ovf_base, k_max=None, tile: int = 1024,
                     interpret: bool | None = None):
     """Gather candidate rows and run the kernel over them.
 
@@ -188,11 +202,15 @@ def cand_rows_query(grid, table, idx, rt_t, var_slots, count_col,
         cost ~1-2 ms each at 1M on TPU)
       var_slots: tuple of fused variable slots to interpolate (or ())
       count_col: column of the count slot in the row layout
+      eps: static inside-test tolerance (resolved config value)
+      ovf_base: static count threshold above which a missed query is
+        an overflow-bin miss (main table: K; extension table:
+        K + k_ext)
       k_max: candidates per row (defaults to the main table's K; pass
         the extension width when probing extension rows)
 
-    Returns (m_best (B,), id_best (B,) int32, count (B,),
-    valsT (V, B) or None).
+    Returns (id_best (B,) int32, aux (B,) int32, valsT (V, B) or
+    None); see _kernel for the aux encoding.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -219,11 +237,13 @@ def cand_rows_query(grid, table, idx, rt_t, var_slots, count_col,
         k_max=k_max,
         var_slots=tuple(var_slots),
         count_col=count_col,
+        eps=float(eps),
+        ovf_base=int(ovf_base),
     )
 
     n_tiles = b_pad // tile
     f32 = jnp.float32
-    ic, m_best, count, vals = pl.pallas_call(
+    ic, aux, vals = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
         in_specs=[
@@ -237,23 +257,19 @@ def cand_rows_query(grid, table, idx, rt_t, var_slots, count_col,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tile), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
             pl.BlockSpec((n_out, tile), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((1, b_pad), jnp.int32),
-            jax.ShapeDtypeStruct((1, b_pad), f32),
-            jax.ShapeDtypeStruct((1, b_pad), f32),
+            jax.ShapeDtypeStruct((1, b_pad), jnp.int32),
             jax.ShapeDtypeStruct((n_out, b_pad), f32),
         ],
         interpret=interpret,
     )(g, r_t)
 
     return (
-        m_best[0, :b],
         ic[0, :b],
-        count[0, :b],
+        aux[0, :b],
         vals[:, :b] if var_slots else None,
     )

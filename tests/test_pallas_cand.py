@@ -55,26 +55,24 @@ def test_pallas_cand_parity(cell_type):
     r = jnp.asarray(r, jnp.float32)
 
     idx = locate._cand_bin_index(grid, r)
-    m_best, id_best, count, vals_t = pallas_cand.cand_rows_query(
+    K = grid.cand_ids.shape[1]
+    id_best, aux, vals_t = pallas_cand.cand_rows_query(
         grid, grid.cand_table, idx, r.T, (0,), _count_col(grid),
-        interpret=True
+        grid.config.eps_inside, K, interpret=True
     )
     vals = vals_t.T
+    aux = np.asarray(aux)
 
-    # Count-column passthrough: exact count where it fits K, else the
-    # overflow-extension redirection K + 1 + ext_slot
+    # aux encoding: -2 = found; >= 0 = overflow-bin miss carrying the
+    # extension-table slot; -1 = exact miss (non-overflow bin)
     bins = np.asarray(locate._cand_bin_index(grid, r))
-    cnt = np.asarray(count).astype(np.int32)
     true_cnt = np.asarray(grid.cand_count)[bins]
-    K = grid.cand_ids.shape[1]
     over = true_cnt > K
-    np.testing.assert_array_equal(cnt[~over], true_cnt[~over])
-    if over.any():
-        slots = np.asarray(grid.cand_ext_slot)[bins[over]]
-        np.testing.assert_array_equal(cnt[over], K + 1 + slots)
-
-    eps = grid.config.eps_inside
-    found = np.asarray(m_best >= -eps) & (np.asarray(id_best) >= 0)
+    found = aux == -2
+    np.testing.assert_array_equal(aux[~found & ~over], -1)
+    if (~found & over).any():
+        slots = np.asarray(grid.cand_ext_slot)[bins[~found & over]]
+        np.testing.assert_array_equal(aux[~found & over], slots)
     # Every phase-0 hit must actually contain its query
     inside = np.asarray(
         locate.point_is_inside_cell(grid, r, jnp.maximum(id_best, 0))
