@@ -267,13 +267,29 @@ def integrate_along_field(
 
         All vector inputs/outputs are ROW blocks: anchor (D, B), k1
         (ndim, B).  Returns (k2, k3, k4, field4, rp_fail row blocks,
-        ic4 (B,), fail (B,), ic_fail (B,), n_rounds)."""
+        ic4 (B,), fail (B,), ic_fail (B,), n_rounds).
+
+        The round loop runs in TWO phases: full width while many lanes
+        walk, then — straggler rounds being the dominant cost (a few
+        lanes on long hop chains hold full-width gathers hostage for
+        ~2/3 of all rounds measured) — the still-walking lanes compact
+        into a batch/divisor buffer and the tail rounds run there.
+        Safe because a lane's walk-active flag is monotone within one
+        stage-machine call (arrival enters the next stage in the same
+        round), and compacted columns evolve deterministically, so
+        duplicated padding columns scatter back idempotently."""
         from .ops.pallas_trace import (
-            F_ROWS, _FAIL, _FLD4, _IC, _ICF, _K2, _K3, _K4, _RPF,
+            F_ROWS, _FAIL, _FLD4, _IC, _ICF, _K2, _K3, _K4, _RPF, _WACT,
         )
 
-        tile = 1024
+        cfg = grid.config
+        tile = cfg.trace_tile
         bp = -(-max(b, tile) // tile) * tile
+        m = -(-(bp // cfg.trace_compact_divisor) // tile) * tile
+        use_compact = (
+            bp >= cfg.trace_compact_min_batch and tile <= m < bp
+        )
+        thresh = m if use_compact else 0
 
         r0 = pad3(anchor[:ndim])
         tgt2 = clamp_axi(pad3(anchor[:ndim] + (0.5 * dx)[None, :] * k1))
@@ -321,18 +337,21 @@ def integrate_along_field(
         walk_cap = grid.config.trace_walk_max_steps
         round_cap = 3 * (walk_cap + 2) + 4
 
-        def cond(carry):
-            F, I, n, n_act = carry  # noqa: E741
-            return (n_act > 0) & (n < round_cap)
-
-        def rbody(carry):
-            F, I, n, _ = carry  # noqa: E741
-            F, I, n_act = pallas_trace.trace_round(  # noqa: E741
+        def round_once(F, I):  # noqa: E741
+            return pallas_trace.trace_round(
                 grid, trace_table, F, I,
                 nudge=_nudge, eps_arrive=_eps_arrive, tiny=_tiny,
                 reverse=reverse, axisymmetric=axisymmetric,
                 max_steps=walk_cap, min_radius=MIN_RADIUS, tile=tile,
             )
+
+        def cond(carry):
+            F, I, n, n_act = carry  # noqa: E741
+            return (n_act > thresh) & (n < round_cap)
+
+        def rbody(carry):
+            F, I, n, _ = carry  # noqa: E741
+            F, I, n_act = round_once(F, I)  # noqa: E741
             return F, I, n + 1, n_act
 
         F, I, _nr, _ = lax.while_loop(  # noqa: E741
@@ -340,6 +359,30 @@ def integrate_along_field(
             (F, I, jnp.array(0, jnp.int32),
              jnp.sum(act, dtype=jnp.int32)),
         )
+
+        if use_compact:
+            # Straggler phase: still-walking lanes fit m slots; run the
+            # remaining rounds at m width, scatter the state back.
+            wact = I[_WACT] != 0
+            idx = locate._compact_indices(wact, m)
+            Fc, Ic = F[:, idx], I[:, idx]
+
+            def cond2(carry):
+                Fc, Ic, n, n_act = carry
+                return (n_act > 0) & (n < round_cap)
+
+            def rbody2(carry):
+                Fc, Ic, n, _ = carry
+                Fc, Ic, n_act = round_once(Fc, Ic)
+                return Fc, Ic, n + 1, n_act
+
+            Fc, Ic, _nr, _ = lax.while_loop(
+                cond2, rbody2,
+                (Fc, Ic, _nr,
+                 jnp.sum(Ic[_WACT] != 0, dtype=jnp.int32)),
+            )
+            F = F.at[:, idx].set(Fc)  # noqa: E741
+            I = I.at[:, idx].set(Ic)  # noqa: E741
         k2 = F[_K2 : _K2 + ndim, :b]
         k3 = F[_K3 : _K3 + ndim, :b]
         k4 = F[_K4 : _K4 + ndim, :b]

@@ -39,6 +39,17 @@ class IUConfig:
     # invalid position: the step shrinks and retries (:1081-1097).
     trace_walk_max_steps: int = 128
 
+    # Fused tracer rounds (ops/pallas_trace.py): lane tile width, and
+    # straggler compaction — once the still-walking lane count fits
+    # batch/divisor, the round loop compacts those lanes into a small
+    # buffer so straggler rounds (a handful of lanes on long hop
+    # chains) stop paying full-batch gather + state traffic.  A lane's
+    # walk-active flag is monotone within one stage-machine call, so
+    # one compaction per RK iteration suffices.
+    trace_tile: int = 1024
+    trace_compact_divisor: int = 8
+    trace_compact_min_batch: int = 16384
+
     # Cold-start seed backend: "bins" = O(1) uniform-grid seed table
     # (TPU default); "kdtree" = exact nearest-cell-center via the
     # stackless batched kd-tree (kdtree2-equivalent seeding quality,

@@ -131,6 +131,27 @@ def test_fused_trace_parity_reverse(monkeypatch):
     _assert_parity(res_x, res_p, TRACE_KW["max_steps"])
 
 
+def test_fused_trace_straggler_compaction_parity(monkeypatch):
+    """The two-phase round loop (full width, then still-walking lanes
+    compacted into a batch/divisor buffer) must be invisible in the
+    results.  Shrunk tile/thresholds so the compacted phase actually
+    runs at a CPU-testable batch size."""
+    import dataclasses
+
+    grid, i_field = _tet_grid()
+    cfg = dataclasses.replace(
+        grid.config,
+        trace_tile=128,
+        trace_compact_divisor=2,
+        trace_compact_min_batch=256,
+    )
+    grid = dataclasses.replace(grid, config=cfg)
+    rng = np.random.default_rng(5)
+    y0 = jnp.asarray(0.2 + 0.6 * rng.random((256, 3)), jnp.float32)
+    res_x, res_p = _run_both(monkeypatch, grid, i_field, y0, **TRACE_KW)
+    _assert_parity(res_x, res_p, TRACE_KW["max_steps"])
+
+
 def test_fused_supported_gates():
     grid, _ = _circular_grid("triangle")
     # CPU backend: never supported (production gate)
