@@ -19,12 +19,13 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 CONFIGS = [
-    # (cand_row_bytes, cand_bins_per_cell, cand_min_k)
-    (1024, 2.0, 7),   # round-2 baseline: K=10
-    (768, 3.0, 7),    # K=7
-    (640, 4.0, 5),    # K=6
-    (512, 4.0, 5),    # K=5
-    (512, 6.0, 5),    # K=5, finer bins
+    # (cand_row_bytes, cand_bins_per_cell, cand_min_k, fallback_div)
+    # smaller K -> higher overflow-miss rate -> wider fallback buffer
+    (1024, 2.0, 7, 32),   # round-2 baseline: K=10
+    (768, 3.0, 7, 16),    # K=7
+    (640, 4.0, 5, 16),    # K=6
+    (512, 4.0, 5, 8),     # K=5
+    (512, 6.0, 5, 8),     # K=5, finer bins
 ]
 
 
@@ -74,12 +75,12 @@ def main():
           f"{'fbq%':>6} {'load_s':>7} {'ms/1M':>7} {'q/s':>10}",
           file=sys.stderr)
 
-    for rb, bpc, mink in configs:
+    for rb, bpc, mink, fbdiv in configs:
         from interpolate_unstructured_tpu.utils.config import IUConfig
 
         cfg = IUConfig(
             cand_row_bytes=rb, cand_bins_per_cell=bpc, cand_min_k=mink,
-            cand_max_bins=1 << 23,
+            cand_fallback_divisor=fbdiv, cand_max_bins=1 << 23,
         )
         t0 = time.perf_counter()
         grid = load_grid(cache, config=cfg)
