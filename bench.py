@@ -222,12 +222,67 @@ def large_mesh():
     assert err < tol, f"linear exactness broke: {err}"
 
     t_cold = chain_time(grid, r, n0=1, n1=6)
+
+    # Accurate (compensated-f32) mode: f32 locate + df32 interpolation
+    # (ops/interp_acc.py).  The truth is evaluated in float64 AT the
+    # f32 query positions, so the <=1e-10 gate is exact without x64.
+    from interpolate_unstructured_tpu import (
+        interpolate_at_icell_acc,
+        prepare_accurate,
+    )
+    from interpolate_unstructured_tpu.ops import locate as locate_mod
+
+    grid = prepare_accurate(grid)
+    r1 = r[:1_000_000]
+
+    def acc_query(g, rr, n):
+        from jax import lax
+
+        def body(i, carry):
+            rr, acc = carry
+            ic, found = locate_mod.get_cell(g, rr)
+            vh, vl = interpolate_at_icell_acc(
+                g, rr, (0,), jnp.maximum(ic, 0)
+            )
+            dep = rr + 1e-30 * vh[:, :1].astype(rr.dtype)
+            return (dep, acc + vh[0, 0])
+
+        _, acc = lax.fori_loop(0, n, body, (rr, jnp.zeros((), jnp.float32)))
+        return acc
+
+    jacc = jax.jit(acc_query, static_argnums=(2,))
+
+    def timed_acc(n):
+        best = float("inf")
+        for _ in range(4):
+            t0 = time.perf_counter()
+            float(jacc(grid, r1, n))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    float(jacc(grid, r1, 1))
+    t_acc = max((timed_acc(6) - timed_acc(1)) / 5, 1e-9)
+
+    ic_a, found_a = jax.jit(locate_mod.get_cell)(grid, r1)
+    vh, vl = jax.jit(
+        lambda g, rr, ic: interpolate_at_icell_acc(g, rr, (0,), ic)
+    )(grid, r1, jnp.maximum(ic_a, 0))
+    got = np.asarray(vh, np.float64) + np.asarray(vl, np.float64)
+    truth = np.asarray(r1, np.float64).sum(axis=1) + 1.0
+    acc_err = float(np.abs(got[:, 0] - truth).max())
+    # Without stored f64 residuals (pre-v4 cache) accuracy is bounded
+    # by the f32 mesh representation instead of the arithmetic.
+    acc_tol = 1e-10 if grid.points_lo is not None else 5e-7
+    assert acc_err < acc_tol, f"accurate mode drifted: {acc_err}"
+
     return {
         "large_mesh_cold_qps": LARGE_N_QUERIES / t_cold,
         "large_mesh_cells": grid.n_cells,
         "large_mesh_prep_s": prep_s,
         "large_mesh_prep": prep_kind,
         "large_mesh_max_err": err,
+        "accurate_qps": 1_000_000 / t_acc,
+        "accurate_max_err": acc_err,
     }
 
 
@@ -246,7 +301,9 @@ def main():
         f"max_err={toy['max_err']:.2e} | large-mesh "
         f"({big['large_mesh_cells']} cells) "
         f"cold={big['large_mesh_cold_qps']:.3e} q/s "
-        f"prep={big['large_mesh_prep_s']:.1f}s ({big['large_mesh_prep']})",
+        f"prep={big['large_mesh_prep_s']:.1f}s ({big['large_mesh_prep']}) "
+        f"accurate={big['accurate_qps']:.3e} q/s "
+        f"(err {big['accurate_max_err']:.1e})",
         file=sys.stderr,
     )
 
@@ -262,6 +319,8 @@ def main():
                 "large_mesh_cold_qps": big["large_mesh_cold_qps"],
                 "large_mesh_cells": big["large_mesh_cells"],
                 "large_mesh_vs_baseline": big["large_mesh_cold_qps"] / 1e8,
+                "accurate_qps": big["accurate_qps"],
+                "accurate_max_err": big["accurate_max_err"],
             }
         )
     )
