@@ -114,7 +114,46 @@ def main():
     out["tetra_trace/n_steps"] = np.asarray([n])
     out["tetra_trace/params"] = np.asarray([1e-5, 0.1, 400, 1e-6, 1e-6])
 
+    # --- mask-terminated trace golden (same helix, stopped by an ----------
+    # icell material change at z >= 1 instead of the physical boundary;
+    # m_interp_unstructured.f90:1055-1068, :1203-1215 semantics)
+    centers = np.asarray(tet.points)[np.asarray(tet.cells)].mean(axis=1)
+    material = (centers[:, 2] >= 1.0).astype(np.int32) * 7
+    tet_m, imat = iu.add_icell_data(tet, "material", material)
+    res_m = integrate_along_field(
+        tet_m, y0, (ivx, ivy, ivz), nvar=1,
+        sub_int=lambda field, y: jnp.ones((1,), y.dtype),
+        i_icell_mask=imat, mask_value=0,
+        min_dx=1e-5, max_dx=0.1, max_steps=400, rtol=1e-6, atol=1e-6,
+    )
+    n_m = int(res_m.n_steps[0])
+    assert int(res_m.boundary_material[0]) == 7, res_m.boundary_material
+    y_end_m = np.asarray(res_m.y[0, n_m - 1])
+    # analytic cross-checks: still on the helix, stopped near z = 1
+    rad_m = np.hypot(y_end_m[0] - 1.0, y_end_m[1] - 1.0)
+    assert abs(rad_m - 0.5) < 0.05, rad_m
+    assert 0.8 < y_end_m[2] < 1.2, y_end_m
+    out["tetra_trace_mask/y_end"] = y_end_m
+    out["tetra_trace_mask/n_steps"] = np.asarray([n_m])
+    out["tetra_trace_mask/material"] = material
+
     dst = os.path.join(os.path.dirname(os.path.abspath(__file__)), "goldens.npz")
+    if os.path.exists(dst):
+        # Never regenerate already-committed values: pinned keys stay
+        # byte-identical, new keys are appended (drift in old keys is a
+        # test failure, not a regeneration event).
+        old = np.load(dst, allow_pickle=False)
+        for k in old.files:
+            if k in out:
+                same = (
+                    np.allclose(old[k], out[k], rtol=0, atol=1e-13)
+                    if old[k].dtype.kind == "f"
+                    else np.array_equal(old[k], out[k])
+                )
+                if not same:
+                    print(f"NOTE: regenerated {k} differs from committed "
+                          "value; keeping the committed one")
+            out[k] = old[k]
     np.savez_compressed(dst, **out)
     print(f"wrote {dst}: {sorted(out)}")
 

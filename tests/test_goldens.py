@@ -61,16 +61,21 @@ def test_tetra_goldens_walk_mode(test_data_dir, goldens):
     _check_mesh(grid, "tetra", goldens)
 
 
-def test_tetra_trace_golden(test_data_dir, goldens):
+def _helix_grid(test_data_dir):
     grid = iu.read_grid(test_data_dir / "tetra.vtu")
     pts = np.asarray(grid.points)
     grid, ivx = iu.add_point_data(grid, "vx", -(pts[:, 1] - 1.0))
     grid, ivy = iu.add_point_data(grid, "vy", pts[:, 0] - 1.0)
     grid, ivz = iu.add_point_data(grid, "vz", np.full(grid.n_points, 0.3))
+    return grid, (ivx, ivy, ivz)
+
+
+def test_tetra_trace_golden(test_data_dir, goldens):
+    grid, i_field = _helix_grid(test_data_dir)
     min_dx, max_dx, max_steps, rtol, atol = goldens["tetra_trace/params"]
     res = integrate_along_field(
         grid, jnp.asarray(goldens["tetra_trace/y0"]),
-        (ivx, ivy, ivz), nvar=1,
+        i_field, nvar=1,
         sub_int=lambda field, y: jnp.ones((1,), y.dtype),
         min_dx=float(min_dx), max_dx=float(max_dx),
         max_steps=int(max_steps), rtol=float(rtol), atol=float(atol),
@@ -82,4 +87,31 @@ def test_tetra_trace_golden(test_data_dir, goldens):
     np.testing.assert_allclose(
         y_end, goldens["tetra_trace/y_end"], rtol=0, atol=1e-10,
         err_msg="tet trace endpoint drifted vs committed golden",
+    )
+
+
+def test_tetra_trace_mask_golden(test_data_dir, goldens):
+    """Same helix terminated by an icell material change at z >= 1
+    (m_interp_unstructured.f90:1055-1068, :1203-1215): the endpoint and
+    step count are pinned to the committed f64 values."""
+    grid, i_field = _helix_grid(test_data_dir)
+    grid, imat = iu.add_icell_data(
+        grid, "material", goldens["tetra_trace_mask/material"]
+    )
+    min_dx, max_dx, max_steps, rtol, atol = goldens["tetra_trace/params"]
+    res = integrate_along_field(
+        grid, jnp.asarray(goldens["tetra_trace/y0"]),
+        i_field, nvar=1,
+        sub_int=lambda field, y: jnp.ones((1,), y.dtype),
+        i_icell_mask=imat, mask_value=0,
+        min_dx=float(min_dx), max_dx=float(max_dx),
+        max_steps=int(max_steps), rtol=float(rtol), atol=float(atol),
+    )
+    n = int(res.n_steps[0])
+    assert n == int(goldens["tetra_trace_mask/n_steps"][0])
+    assert int(res.boundary_material[0]) == 7
+    y_end = np.asarray(res.y[0, n - 1])
+    np.testing.assert_allclose(
+        y_end, goldens["tetra_trace_mask/y_end"], rtol=0, atol=1e-10,
+        err_msg="mask-terminated trace endpoint drifted vs golden",
     )
