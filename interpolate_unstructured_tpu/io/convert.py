@@ -106,9 +106,9 @@ def get_cell_neighbors(
 
 
 def read_mesh(filename) -> Mesh:
-    """Read a mesh file. Uses the built-in VTU/legacy-VTK/Gmsh readers;
-    falls back to meshio for other formats if it happens to be
-    installed."""
+    """Read a mesh file. Uses the built-in readers (VTU, legacy VTK,
+    Gmsh, MEDIT, TetGen, OFF, PLY, STL, OBJ); falls back to meshio for
+    other formats if it happens to be installed."""
     filename = os.fspath(filename)
     if filename.endswith(".vtu"):
         return read_vtu(filename)
@@ -120,12 +120,27 @@ def read_mesh(filename) -> Mesh:
         from .msh import read_msh
 
         return read_msh(filename)
+    simple = {
+        ".mesh": "read_medit",
+        ".node": "read_tetgen",
+        ".ele": "read_tetgen",
+        ".off": "read_off",
+        ".ply": "read_ply",
+        ".stl": "read_stl",
+        ".obj": "read_obj",
+    }
+    ext = os.path.splitext(filename)[1].lower()
+    if ext in simple:
+        from . import simple_formats
+
+        return getattr(simple_formats, simple[ext])(filename)
     try:
         import meshio  # noqa: PLC0415
     except ImportError as err:
         raise ValueError(
-            f"Cannot read {filename!r}: only .vtu, .vtk and .msh are "
-            "supported natively and meshio is not installed"
+            f"Cannot read {filename!r}: only .vtu, .vtk, .msh, .mesh, "
+            ".node/.ele, .off, .ply, .stl and .obj are supported natively "
+            "and meshio is not installed"
         ) from err
     m = meshio.read(filename)
     cells = [type("CB", (), {"type": cb.type, "data": cb.data}) for cb in m.cells]
