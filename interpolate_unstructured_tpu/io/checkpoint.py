@@ -211,10 +211,18 @@ def load_grid(filename, config=None, dtype=None, resave_on_rebuild=False):
                 config.cand_max_bins,
             ),
         )
+        # The save-time shape came from exact f64 point bounds while
+        # rmin/rmax were stored in the grid dtype, so np.round inside
+        # _bin_grid_shape can legitimately flip a dim by one on an f32
+        # grid — tolerate that; real config changes move dims by >= 2.
+        shape_changed = any(
+            abs(int(w) - int(s)) > 1
+            for w, s in zip(want_shape, grid.cand_shape)
+        )
     if grid.cand_ids is not None and (
         target != saved_dtype
         or grid.cand_ids.shape[1] != k_max
-        or tuple(int(s) for s in want_shape) != tuple(grid.cand_shape)
+        or shape_changed
         or (grid.cand_ext_slot is None and config.cand_ext_max_k > 0)
     ):
         # Rebuild when the stored lists no longer match this session:
@@ -257,7 +265,10 @@ def load_grid(filename, config=None, dtype=None, resave_on_rebuild=False):
                 <= k_max + ext_ids.shape[1]
             ),
         )
-        if resave_on_rebuild:
+        if resave_on_rebuild and target == saved_dtype:
+            # Never resave across a dtype change: overwriting a float64
+            # master checkpoint with a downcast grid would destroy the
+            # higher-precision original.
             save_grid(grid, filename)
     if grid.walk_table is None:  # build_grid always carries one
         from ..models.grid import _build_walk_table

@@ -294,6 +294,10 @@ def read_ply(filename) -> Mesh:
         ri = 0
         for name, count, props in elements:
             if any(isinstance(d, tuple) for _, d in props):
+                if len(props) != 1:
+                    raise ValueError(
+                        "PLY face elements with extra properties not supported"
+                    )
                 faces = []
                 for _ in range(count):
                     vals = rows[ri].split()

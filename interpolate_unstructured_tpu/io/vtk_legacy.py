@@ -21,6 +21,8 @@ are per-variable 1-D columns (convert_to_binary.py:202-224).
 
 from __future__ import annotations
 
+import re
+
 import numpy as np
 
 from .vtu import VTK_CELL_TYPES, CellBlock, Mesh
@@ -77,6 +79,22 @@ class _Scanner:
         self.pos = save
         return tok
 
+    def token_same_line(self) -> str | None:
+        """Next token only if it appears before the next newline; the
+        cursor advances only when a token is returned.  Used for
+        optional trailing fields of directive lines (SCALARS numComp)."""
+        n = len(self.buf)
+        p = self.pos
+        while p < n and self.buf[p : p + 1] in b" \t\r":
+            p += 1
+        if p >= n or self.buf[p : p + 1] == b"\n":
+            return None
+        q = p
+        while q < n and not self.buf[q : q + 1].isspace():
+            q += 1
+        self.pos = q
+        return self.buf[p:q].decode("ascii", "replace")
+
     def read_array(self, count: int, dtype) -> np.ndarray:
         dtype = np.dtype(dtype)
         if self.binary:
@@ -93,13 +111,26 @@ class _Scanner:
             return np.frombuffer(raw, dtype=dtype.newbyteorder(">")).astype(
                 dtype
             )
-        out = np.empty(count, dtype=dtype)
-        for i in range(count):
-            tok = self.token()
-            if tok is None:
-                raise ValueError("Truncated ASCII block in legacy VTK file")
-            out[i] = float(tok) if dtype.kind == "f" else int(float(tok))
-        return out
+        if count == 0:
+            return np.empty(0, dtype=dtype)
+        # Bulk parse: one C-level split bounded at `count` tokens (the
+        # remainder stays one untouched chunk whose length recovers the
+        # cursor), then one C-level numeric conversion — large ASCII
+        # arrays would otherwise cost a Python loop per element.
+        parts = self.buf[self.pos :].split(None, count)
+        if len(parts) < count:
+            raise ValueError("Truncated ASCII block in legacy VTK file")
+        toks = parts[:count]
+        self.pos = (
+            len(self.buf) - len(parts[count])
+            if len(parts) > count
+            else len(self.buf)
+        )
+        try:
+            return np.array(toks, dtype=dtype)
+        except ValueError:
+            # int arrays written with float tokens ("1.0")
+            return np.array(toks, dtype=np.float64).astype(dtype)
 
 
 def _np_of(name: str):
@@ -122,9 +153,11 @@ def _read_attributes(sc: _Scanner, n: int, out: dict):
         if kw == "SCALARS":
             name = sc.token()
             dtype = _np_of(sc.token())
-            ncomp = 1
-            if (sc.peek() or "").upper() != "LOOKUP_TABLE":
-                ncomp = int(sc.token())
+            # Optional numComp lives on the SAME line as SCALARS — the
+            # following LOOKUP_TABLE line is itself optional, so a
+            # line-agnostic peek would eat the first data value.
+            tok = sc.token_same_line()
+            ncomp = int(tok) if tok is not None else 1
             if (sc.peek() or "").upper() == "LOOKUP_TABLE":
                 sc.token()
                 sc.token()  # table name (only 'default' supported data-wise)
@@ -232,17 +265,29 @@ def read_vtk(filename) -> Mesh:
             else:
                 raw = sc.read_array(size, np.int32).astype(np.int64)
                 # classic count-prefixed: [npts, i0..] per cell
-                counts = np.empty(n_cells, np.int64)
-                offsets = np.zeros(n_cells + 1, np.int64)
-                pos = 0
-                conn_parts = []
-                for c in range(n_cells):
-                    cnt = int(raw[pos])
-                    counts[c] = cnt
-                    conn_parts.append(raw[pos + 1 : pos + 1 + cnt])
-                    pos += 1 + cnt
-                    offsets[c + 1] = offsets[c] + cnt
-                conn = np.concatenate(conn_parts) if conn_parts else raw[:0]
+                cnt0 = int(raw[0]) if size else 0
+                if (
+                    n_cells
+                    and size == n_cells * (cnt0 + 1)
+                    and (raw[:: cnt0 + 1] == cnt0).all()
+                ):
+                    # homogeneous mesh: one reshape, no Python loop
+                    conn = np.ascontiguousarray(
+                        raw.reshape(n_cells, cnt0 + 1)[:, 1:]
+                    ).reshape(-1)
+                    offsets = np.arange(n_cells + 1, dtype=np.int64) * cnt0
+                else:
+                    offsets = np.zeros(n_cells + 1, np.int64)
+                    pos = 0
+                    conn_parts = []
+                    for c in range(n_cells):
+                        cnt = int(raw[pos])
+                        conn_parts.append(raw[pos + 1 : pos + 1 + cnt])
+                        pos += 1 + cnt
+                        offsets[c + 1] = offsets[c] + cnt
+                    conn = (
+                        np.concatenate(conn_parts) if conn_parts else raw[:0]
+                    )
         elif kw == "CELL_TYPES":
             n = int(sc.token())
             cell_types = sc.read_array(n, np.int32)
@@ -253,9 +298,10 @@ def read_vtk(filename) -> Mesh:
             n = int(sc.token())
             _read_attributes(sc, n, cell_data)
         elif kw == "METADATA":
-            # skip METADATA blocks (INFORMATION ... lines) until blank
-            nl = sc.buf.find(b"\n\n", sc.pos)
-            sc.pos = len(sc.buf) if nl < 0 else nl + 2
+            # skip METADATA blocks (INFORMATION ... lines) until a
+            # blank line (tolerating CRLF endings)
+            m = re.search(rb"\r?\n[ \t]*\r?\n", sc.buf[sc.pos :])
+            sc.pos = len(sc.buf) if m is None else sc.pos + m.end()
         else:
             raise ValueError(f"Unsupported legacy VTK section {kw!r}")
 

@@ -975,10 +975,28 @@ def add_icell_data(grid: UGrid, name: str, values=None):
 
 def set_point_data(grid: UGrid, i_var: int, values) -> UGrid:
     """Overwrite one point-data column (test_tetra.f90:37-40 pattern)."""
+    orig = values
     values = jnp.asarray(values, dtype=grid.point_data.dtype)
     grid = dataclasses.replace(
         grid, point_data=grid.point_data.at[:, i_var].set(values)
     )
+    if grid.point_data_lo is not None:
+        # Keep the accurate-mode residual column in sync (same policy
+        # as add_point_data: exact f64 remainder when f64 was given).
+        if np.asarray(orig).dtype == np.float64:
+            v64 = np.asarray(orig, np.float64).reshape(grid.n_points)
+            lo_col = (v64 - v64.astype(np.float32).astype(np.float64)).astype(
+                np.float32
+            )
+        else:
+            lo_col = jnp.zeros((grid.n_points,), jnp.float32)
+        grid = dataclasses.replace(
+            grid, point_data_lo=grid.point_data_lo.at[:, i_var].set(lo_col)
+        )
+    if grid.acc_table is not None:
+        from ..ops.interp_acc import build_acc_table
+
+        grid = dataclasses.replace(grid, acc_table=build_acc_table(grid))
     return _refresh_cand_data(grid, i_var)
 
 

@@ -59,8 +59,16 @@ def _gen_pairs(
     c = normals.shape[0]
     nbx, nby, nbz = bin_shape
     dtype = normals.dtype
-    # reach[f] = max |n_f . (x - bin_center)| over the bin box
-    reach = jnp.abs(normals) @ half  # (C, nf)
+    # reach[f] = max |n_f . (x - bin_center)| over the bin box.
+    # Elementwise multiply-reduce, NOT a matmul: on TPU the default
+    # matmul precision is bfloat16, whose ~4e-3 relative error dwarfs
+    # the eps separation guard and could drop overlapping pairs.
+    n_abs = jnp.abs(normals)
+    reach = (
+        n_abs[:, :, 0] * half[0]
+        + n_abs[:, :, 1] * half[1]
+        + n_abs[:, :, 2] * half[2]
+    )  # (C, nf)
     off_eps = offs + jnp.asarray(eps, dtype)
 
     keys, scores = [], []

@@ -242,9 +242,10 @@ def interpolate_at_icell_acc(grid, r_hi, i_vars, i_cell, r_lo=None):
     """
     npc = grid.n_points_per_cell
     nv = grid.n_point_data
-    i_vars = tuple(int(v) % max(nv, 1) for v in i_vars)
-    if any(v >= nv for v in i_vars):
+    i_vars = tuple(int(v) for v in i_vars)
+    if any(v >= nv or v < -nv for v in i_vars):
         raise ValueError("i_vars outside the live point-data range")
+    i_vars = tuple(v % max(nv, 1) for v in i_vars)  # python-style wrap
     g = grid.acc_table[jnp.maximum(i_cell, 0)]
     if r_lo is None:
         r_lo = jnp.zeros_like(r_hi)

@@ -126,3 +126,52 @@ def test_acc_table_survives_checkpoint(test_data_dir, tmp_path):
     )
     got = np.asarray(vh, np.float64) + np.asarray(vl, np.float64)
     assert np.abs(got[:, 0] - ref[:, 0]).max() < 1e-12
+
+
+def test_acc_i_var_guard_and_negative_wrap(test_data_dir):
+    """Out-of-range variable slots raise; negative slots wrap
+    python-style like the generic path."""
+    g32, _, ivar = _f32_and_f64_grids(test_data_dir, "triangle.vtu", 5)
+    r = jnp.asarray([[0.3 * SCALE, 0.3 * SCALE, 0.0]])
+    nv = g32.n_point_data
+
+    vh, vl, found, ic = iu.interpolate_at_acc(g32, r, (ivar,))
+    vh_n, vl_n, _, _ = iu.interpolate_at_acc(g32, r, (ivar - nv,))
+    np.testing.assert_array_equal(np.asarray(vh), np.asarray(vh_n))
+    np.testing.assert_array_equal(np.asarray(vl), np.asarray(vl_n))
+
+    with pytest.raises(ValueError, match="point-data range"):
+        iu.interpolate_at_acc(g32, r, (nv,))
+    with pytest.raises(ValueError, match="point-data range"):
+        iu.interpolate_at_acc(g32, r, (-nv - 1,))
+
+
+def test_set_point_data_refreshes_accurate_state(test_data_dir):
+    """set_point_data must keep point_data_lo and acc_table in sync —
+    accurate mode would otherwise interpolate the OLD values."""
+    g32, _, ivar = _f32_and_f64_grids(test_data_dir, "triangle.vtu", 6)
+    rng = np.random.default_rng(60)
+    new_vals = rng.standard_normal(g32.n_points)  # float64
+
+    g32b = iu.set_point_data(g32, ivar, new_vals)
+    r = jnp.asarray(
+        sample_points(np.random.default_rng(61), g32.rmin, g32.rmax, 64)
+    )
+    vh, vl, found, ic = iu.interpolate_at_acc(g32b, r, (ivar,))
+    assert bool(np.asarray(found).all())
+    got = np.asarray(vh, np.float64) + np.asarray(vl, np.float64)
+
+    # f64 reference from scratch on the same cells and the new values
+    g64 = iu.read_grid(
+        test_data_dir / "triangle.vtu",
+        coord_scale_factor=SCALE,
+        dtype=jnp.float64,
+    )
+    g64, iv64 = iu.add_point_data(g64, "rough", new_vals)
+    ref = np.asarray(
+        iu.interpolate_at_icell(
+            g64, r, jnp.asarray([iv64]), jnp.asarray(ic)
+        ),
+        np.float64,
+    )
+    np.testing.assert_allclose(got, ref, atol=1e-10)

@@ -276,3 +276,22 @@ def test_read_grid_from_off_surface(tmp_path):
     np.testing.assert_allclose(
         np.asarray(v), np.asarray(r[:, 0] + r[:, 1] + 1.0), atol=1e-13
     )
+
+
+def test_ply_ascii_extra_face_props_rejected(tmp_path):
+    """Face rows with extra scalar properties would misparse silently;
+    both encodings must reject them identically."""
+    fn = tmp_path / "bad.ply"
+    fn.write_text(
+        "ply\nformat ascii 1.0\n"
+        "element vertex 3\n"
+        "property float x\nproperty float y\nproperty float z\n"
+        "element face 1\n"
+        "property uchar flag\n"
+        "property list uchar int vertex_indices\n"
+        "end_header\n"
+        "0 0 0\n1 0 0\n0 1 0\n"
+        "1 3 0 1 2\n"
+    )
+    with pytest.raises(ValueError, match="extra properties"):
+        read_ply(fn)

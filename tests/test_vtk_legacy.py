@@ -138,3 +138,38 @@ def test_rejects_structured(tmp_path):
     )
     with pytest.raises(ValueError, match="UNSTRUCTURED_GRID"):
         read_vtk(path)
+
+
+def test_scalars_without_lookup_table(tmp_path):
+    """LOOKUP_TABLE is optional in practice; numComp lives on the
+    SCALARS line itself, so neither may be confused with data."""
+    path = tmp_path / "nolut.vtk"
+    path.write_text(
+        "# vtk DataFile Version 3.0\nt\nASCII\nDATASET UNSTRUCTURED_GRID\n"
+        "POINTS 3 double\n0 0 0\n1 0 0\n0 1 0\n"
+        "CELLS 1 4\n3 0 1 2\n"
+        "CELL_TYPES 1\n5\n"
+        "POINT_DATA 3\n"
+        "SCALARS material int\n7 7 1\n"  # no numComp, no LOOKUP_TABLE
+        "SCALARS weight double 1\n2.0 2.0 2.0\n"  # numComp, no LOOKUP_TABLE
+    )
+    mesh = read_vtk(path)
+    np.testing.assert_array_equal(mesh.point_data["material"], [7, 7, 1])
+    np.testing.assert_allclose(mesh.point_data["weight"], [2.0, 2.0, 2.0])
+
+
+def test_metadata_crlf(tmp_path):
+    """METADATA blocks are terminated by a blank line even with CRLF
+    endings."""
+    path = tmp_path / "crlf.vtk"
+    body = (
+        "# vtk DataFile Version 3.0\r\nt\r\nASCII\r\n"
+        "DATASET UNSTRUCTURED_GRID\r\n"
+        "POINTS 3 double\r\n0 0 0\r\n1 0 0\r\n0 1 0\r\n"
+        "METADATA\r\nINFORMATION 1\r\nNAME X LOCATION Y\r\nDATA 1\r\n\r\n"
+        "CELLS 1 4\r\n3 0 1 2\r\n"
+        "CELL_TYPES 1\r\n5\r\n"
+    )
+    path.write_bytes(body.encode())
+    mesh = read_vtk(path)
+    np.testing.assert_array_equal(mesh.cells[0].data, [[0, 1, 2]])
