@@ -58,10 +58,8 @@ def main():
     r = jnp.asarray(rng.uniform(0.05, 0.95, size=(1_000_003, 3)) * [1, 1, 0])
     r_sharded, b = ps.shard_batch(r, mesh)  # pads to a device multiple
 
-    guess = jnp.full((r_sharded.shape[0],), -1, dtype=jnp.int32)
-    guess, _ = ps.shard_batch(guess, mesh)
     interp = ps.sharded_interpolate_at(mesh)
-    values, i_cell, found = interp(grid_r, r_sharded, [i_var], guess)
+    values, i_cell, found = interp(grid_r, r_sharded, [i_var])
     values, found = values[:b], found[:b]
 
     exact = r[:, 0] + r[:, 1] + 1.0

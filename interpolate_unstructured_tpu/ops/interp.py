@@ -10,7 +10,8 @@ Weight formulas match the reference bit-for-bit in exact arithmetic:
   cell area (unsigned — valid for points inside the cell only).
 * tetra (:553-586): signed scalar triple products over 6*volume.
 * quad (:588-641): Reed Beta inverse bilinear — quadratic in mu with the
-  (-B - sqrt(disc)) / 2A root, linear fallback for |A| < 1e-20, lambda
+  (-B - sqrt(disc)) / 2A root, linear fallback for degenerate A (the
+  reference's absolute |A| < 1e-20, :618, scaled to the dtype), lambda
   from the largest-|denominator| component, then tensor-product blend.
 
 The reference's silent-miss semantics (output untouched when no cell is
@@ -110,18 +111,27 @@ def quad_weights(cell_points, r):
     qc = cpz(b1, q)
     disc = qb * qb - 4.0 * qa * qc
 
-    tiny = jnp.asarray(1e-20, dtype=r.dtype)
-    linear = jnp.abs(qa) < tiny
-    qa_safe = jnp.where(linear, 1.0, qa)
+    # The reference root (-B - sqrt(disc))/2A (:612-622), evaluated
+    # cancellation-free: for qb < 0 the naive numerator loses all its
+    # bits on a near-parallelogram (qa ~ f32 rounding of b3), so use
+    # the algebraically identical qc/qq form there (qq is the stable
+    # half-sum).  The linear fallback remains only where the qb >= 0
+    # evaluation divides by a vanishing qa (the reference's |A| < 1e-20
+    # parallelogram branch, :618).  disc >= 0 analytically for points
+    # inside the quad; the clamp absorbs rounding at tangency.  All
+    # five copies of this kernel (here, locate._quad_weights_c,
+    # pallas_cand, pallas_interp, interp_acc) must agree, or the same
+    # point misinterpolates on one path only.
+    sqrt_d = jnp.sqrt(jnp.maximum(disc, 0.0))
+    qq = -0.5 * (qb + jnp.where(qb >= 0, sqrt_d, -sqrt_d))
+    linear = (qb >= 0) & (jnp.abs(qa) < 1e-20)
+    qa_safe = jnp.where(jnp.abs(qa) < 1e-20, 1.0, qa)
     qb_safe = jnp.where(jnp.abs(qb) > 0, qb, 1.0)
+    qq_safe = jnp.where(qq == 0, 1.0, qq)
     mu = jnp.where(
         linear,
         -qc / qb_safe,
-        # disc >= 0 analytically for points inside the quad; the clamp
-        # absorbs float rounding at tangency (all four copies of this
-        # kernel — here, locate._quad_weights_c, pallas_cand/_interp —
-        # must agree, or the same point NaNs on one path only)
-        0.5 * (-qb - jnp.sqrt(jnp.maximum(disc, 0.0))) / qa_safe,
+        jnp.where(qb >= 0, qq / qa_safe, qc / qq_safe),
     )
 
     denom = b1 + mu[:, None] * b3  # (B, 3)

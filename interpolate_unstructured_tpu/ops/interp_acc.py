@@ -186,18 +186,30 @@ def _weights_quad_df(q, v):
         jnp.where(disc_h < 0, 0.0, disc[1]),
     )
     root = df32.sqrt(disc)
-    linear = jnp.abs(qa[0] + qa[1]) < 1e-20
-    qa_safe = (jnp.where(linear, 1.0, qa[0]), jnp.where(linear, 0.0, qa[1]))
+    # Stable evaluation of the reference root in df32 — must match
+    # interp.quad_weights (see the comment there)
     qb_h = qb[0] + qb[1]
+    pos = qb_h >= 0
+    root_s = (
+        jnp.where(pos, root[0], -root[0]),
+        jnp.where(pos, root[1], -root[1]),
+    )
+    qq = df32.scale(df32.add(qb, root_s), jnp.float32(-0.5))
+    qa_h = qa[0] + qa[1]
+    tiny_qa = jnp.abs(qa_h) < 1e-20
+    linear = pos & tiny_qa
+    qa_safe = (jnp.where(tiny_qa, 1.0, qa[0]), jnp.where(tiny_qa, 0.0, qa[1]))
     qb_safe = (jnp.where(qb_h == 0, 1.0, qb[0]), jnp.where(qb_h == 0, 0.0, qb[1]))
+    qq_h = qq[0] + qq[1]
+    qq_safe = (jnp.where(qq_h == 0, 1.0, qq[0]), jnp.where(qq_h == 0, 0.0, qq[1]))
     mu_lin = df32.div(df32.neg(qc), qb_safe)
-    mu_quad = df32.div(
-        df32.scale(df32.add(qb, root), jnp.float32(-0.5)), qa_safe
-    )
-    mu = (
-        jnp.where(linear, mu_lin[0], mu_quad[0]),
-        jnp.where(linear, mu_lin[1], mu_quad[1]),
-    )
+    mu_pos = df32.div(qq, qa_safe)
+    mu_neg = df32.div(qc, qq_safe)
+
+    def pick(c, x, y):
+        return (jnp.where(c, x[0], y[0]), jnp.where(c, x[1], y[1]))
+
+    mu = pick(linear, mu_lin, pick(pos, mu_pos, mu_neg))
 
     d3 = [df32.add(b1[d], df32.mul(mu, b3[d])) for d in range(3)]
     a0, a1, a2 = (jnp.abs(d3[d][0] + d3[d][1]) for d in range(3))

@@ -181,27 +181,11 @@ def walk(grid, r0, r1, ic0, max_steps=None, i_icell_mask=None, table=None):
     dtype = r0.dtype
     tiny = tiny_distance(dtype)
     big = huge_distance(dtype)
-    # Forward nudge past each crossed face: rounding can leave r_p on
-    # the wrong side of the face it just crossed, producing zero-length
-    # A<->B hop cycles (livelocks the tracer's shrink-and-retry).  A
-    # few-ulp overshoot guarantees progress; it is far below the
-    # inside-test tolerance, so located cells are unaffected.
-    nudge = (
-        16.0
-        * jnp.finfo(dtype).eps
-        * jnp.maximum(
-            jnp.max(jnp.abs(grid.rmin)), jnp.max(jnp.abs(grid.rmax))
-        )
-    ).astype(dtype)
+    # Forward nudge + arrival band (rationale in the helper's docstring;
+    # shared definition: the fused tracer must use the same values)
+    from ..utils.config import walk_tolerances
 
-    # Arrival tolerance: absorbs the walk's own rounding so a target
-    # exactly ON a face can't coin-flip between "arrived" and "crossed"
-    # (points on the domain hull would randomly report as outside).
-    # Deliberately a few-ulp band like `nudge` — NOT eps_inside: at
-    # 1e-10 the tracer would accept sub-step positions measurably
-    # outside their cell, where the unsigned-area kernels lose linearity
-    # (reflection at the face, m_interp_unstructured.f90:542-549).
-    eps_arrive = 4.0 * nudge
+    nudge, eps_arrive = walk_tolerances(dtype, grid.rmin, grid.rmax)
 
     delta = r1 - r0
     # Explicit component math: jnp.linalg.norm's overflow-safe
@@ -494,14 +478,18 @@ def _quad_weights_c(px, py, pz, rx, ry, rz):
     qc = cpz(b1[0], b1[1], qx, qy)
     disc = qb * qb - 4.0 * qa * qc
 
-    tiny = jnp.asarray(1e-20, dtype=rx.dtype)
-    linear = jnp.abs(qa) < tiny
-    qa_safe = jnp.where(linear, 1.0, qa)
+    # Stable evaluation of the reference root — must match
+    # interp.quad_weights (see the comment there)
+    sqrt_d = jnp.sqrt(jnp.maximum(disc, 0.0))
+    qq = -0.5 * (qb + jnp.where(qb >= 0, sqrt_d, -sqrt_d))
+    linear = (qb >= 0) & (jnp.abs(qa) < 1e-20)
+    qa_safe = jnp.where(jnp.abs(qa) < 1e-20, 1.0, qa)
     qb_safe = jnp.where(jnp.abs(qb) > 0, qb, 1.0)
+    qq_safe = jnp.where(qq == 0, 1.0, qq)
     mu = jnp.where(
         linear,
         -qc / qb_safe,
-        0.5 * (-qb - jnp.sqrt(jnp.maximum(disc, 0.0))) / qa_safe,
+        jnp.where(qb >= 0, qq / qa_safe, qc / qq_safe),
     )
 
     dx = b1[0] + mu * b3[0]

@@ -58,13 +58,18 @@ def _quad_weights_rows(p, q):
     qc = cpz(b1[0], b1[1], qx, qy)
     disc = qb * qb - 4.0 * qa * qc
 
-    linear = jnp.abs(qa) < 1e-20
-    qa_safe = jnp.where(linear, 1.0, qa)
+    # Stable evaluation of the reference root — must match
+    # interp.quad_weights (see the comment there)
+    sqrt_d = jnp.sqrt(jnp.maximum(disc, 0.0))
+    qq = -0.5 * (qb + jnp.where(qb >= 0, sqrt_d, -sqrt_d))
+    linear = (qb >= 0) & (jnp.abs(qa) < 1e-20)
+    qa_safe = jnp.where(jnp.abs(qa) < 1e-20, 1.0, qa)
     qb_safe = jnp.where(jnp.abs(qb) > 0, qb, 1.0)
+    qq_safe = jnp.where(qq == 0, 1.0, qq)
     mu = jnp.where(
         linear,
         -qc / qb_safe,
-        0.5 * (-qb - jnp.sqrt(jnp.maximum(disc, 0.0))) / qa_safe,
+        jnp.where(qb >= 0, qq / qa_safe, qc / qq_safe),
     )
 
     dx, dy, dz = (b1[d] + mu * b3[d] for d in range(3))

@@ -119,14 +119,17 @@ def _quad_weights_rows(g, rb):
     qb = cpz(b3, q) - cpz(b1, b2)
     qc = cpz(b1, q)
     disc = qb * qb - 4.0 * qa * qc
-    linear = jnp.abs(qa) < 1e-20
+    # Stable evaluation of the reference root — must match
+    # interp.quad_weights (see the comment there)
+    sqrt_d = jnp.sqrt(jnp.maximum(disc, 0.0))
+    qq = -0.5 * (qb + jnp.where(qb >= 0, sqrt_d, -sqrt_d))
+    linear = (qb >= 0) & (jnp.abs(qa) < 1e-20)
+    qa_safe = jnp.where(jnp.abs(qa) < 1e-20, 1.0, qa)
+    qq_safe = jnp.where(qq == 0, 1.0, qq)
     mu = jnp.where(
         linear,
         -qc / jnp.where(jnp.abs(qb) > 0, qb, 1.0),
-        # clamp rounding-negative discriminants (all copies of this
-        # kernel must agree; see ops.interp.quad_weights)
-        0.5 * (-qb - jnp.sqrt(jnp.maximum(disc, 0.0)))
-        / jnp.where(linear, 1.0, qa),
+        jnp.where(qb >= 0, qq / qa_safe, qc / qq_safe),
     )
 
     denom = b1 + mu * b3  # (3, TILE) via broadcast of (1, TILE)

@@ -60,26 +60,47 @@ def _grid_spec(grid):
 def sharded_interpolate_at(mesh: Mesh, axis_name: str = DATA_AXIS):
     """Build a jitted, shard_mapped version of ``interpolate_at``.
 
-    Returns ``f(grid, r, i_vars, guess) -> (values, i_cell, found)``
+    Returns ``f(grid, r, i_vars, guess=None) -> (values, i_cell, found)``
     with ``r``/``guess`` sharded on the batch axis and the grid
     replicated.  Each device walks only its own queries.
+
+    ``i_vars`` must be concrete (python ints or a host/committed array):
+    it is captured STATICALLY per (i_vars, has-guess) signature — a
+    traced i_vars inside the shard_map body would silently disable the
+    fused candidate-row fast path that answers locate AND interpolation
+    in one gather (CLAUDE.md: static fast-path checks must read raw
+    Python values).  Omit ``guess`` on cold batches for the same
+    reason; pass the previous cells only when warm-starting.
     """
+    import numpy as np
 
-    def local(grid, r, i_vars, guess):
-        return interp.interpolate_at(grid, r, i_vars, guess)
+    cache = {}
 
-    def run(grid, r, i_vars, guess):
-        spec_b = P(axis_name)
-        f = jax.shard_map(
-            local,
-            mesh=mesh,
-            check_vma=False,
-            in_specs=(_grid_spec(grid), P(axis_name, None), P(), spec_b),
-            out_specs=(P(axis_name, None), spec_b, spec_b),
-        )
-        return f(grid, r, i_vars, guess)
+    def run(grid, r, i_vars, guess=None):
+        iv = tuple(int(v) for v in np.asarray(i_vars).reshape(-1))
+        has_guess = guess is not None
+        fn = cache.get((iv, has_guess))
+        if fn is None:
+            def local(grid, r, *g):
+                return interp.interpolate_at(
+                    grid, r, list(iv), g[0] if has_guess else None
+                )
 
-    return jax.jit(run)
+            spec_b = P(axis_name)
+            fn = jax.jit(
+                jax.shard_map(
+                    local,
+                    mesh=mesh,
+                    check_vma=False,
+                    in_specs=(_grid_spec(grid), P(axis_name, None))
+                    + ((spec_b,) if has_guess else ()),
+                    out_specs=(P(axis_name, None), spec_b, spec_b),
+                )
+            )
+            cache[(iv, has_guess)] = fn
+        return fn(*((grid, r) + ((guess,) if has_guess else ())))
+
+    return run
 
 
 def sharded_get_cell(mesh: Mesh, axis_name: str = DATA_AXIS):
@@ -154,9 +175,14 @@ def distribute_queries(r_local, mesh: Mesh, axis_name: str = DATA_AXIS):
     and the only cross-host traffic is metadata.  In a single-process
     run this degrades to :func:`shard_batch`.
 
-    Local blocks are padded (repeating the last row) to a multiple of
-    the per-process device count so every shard is equal-sized, as
-    ``jax.make_array_from_process_local_data`` requires.
+    Local blocks are padded (repeating the last row) so every DEVICE
+    shard is the same size on every process.  The per-device size is
+    agreed on across processes (allgather of each process's ceil
+    requirement): processes may contribute UNEQUAL query counts, but
+    every process must construct the SAME global shape — per-process
+    inferred shapes would make the processes compile different programs
+    around any cross-process collective (undefined behavior under
+    JAX's multi-controller SPMD contract).
 
     Returns ``(r_global, local_b)`` where ``local_b`` is this process's
     unpadded contribution (for :func:`collect_results` trimming).
@@ -169,14 +195,33 @@ def distribute_queries(r_local, mesh: Mesh, axis_name: str = DATA_AXIS):
         1, len([d for d in mesh.devices.flat if d.process_index
                 == jax.process_index()]),
     )
-    pad = (-b_local) % n_local
-    if pad:
-        r_local = np.concatenate(
-            [r_local, np.repeat(r_local[-1:], pad, axis=0)], axis=0
+    per_device = -(-b_local // n_local) if b_local else 1
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        per_device = int(
+            np.max(
+                multihost_utils.process_allgather(
+                    np.asarray([per_device]), tiled=False
+                )
+            )
         )
+    pad = per_device * n_local - b_local
+    if pad:
+        filler = (
+            np.repeat(r_local[-1:], pad, axis=0)
+            if b_local
+            else np.zeros((pad,) + r_local.shape[1:], r_local.dtype)
+        )
+        r_local = np.concatenate([r_local, filler], axis=0)
     spec = P(axis_name, *([None] * (r_local.ndim - 1)))
     sharding = NamedSharding(mesh, spec)
-    r_global = jax.make_array_from_process_local_data(sharding, r_local)
+    global_shape = (
+        per_device * mesh.devices.size,
+    ) + r_local.shape[1:]
+    r_global = jax.make_array_from_process_local_data(
+        sharding, r_local, global_shape
+    )
     return r_global, b_local
 
 

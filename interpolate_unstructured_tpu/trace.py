@@ -247,17 +247,12 @@ def integrate_along_field(
     _fv_off = _vol_off + 1
 
     use_fused = pallas_trace.supported(grid, i_icell_mask, nvar)
-    from .utils.config import tiny_distance
+    from .utils.config import tiny_distance, walk_tolerances
 
     _tiny = tiny_distance(dtype)
-    _nudge = (
-        16.0
-        * jnp.finfo(dtype).eps
-        * jnp.maximum(
-            jnp.max(jnp.abs(grid.rmin)), jnp.max(jnp.abs(grid.rmax))
-        )
-    ).astype(dtype)
-    _eps_arrive = 4.0 * _nudge
+    # Same values locate.walk uses — the fused and generic tracer paths
+    # must agree on arrival/containment at faces
+    _nudge, _eps_arrive = walk_tolerances(dtype, grid.rmin, grid.rmax)
 
     def _fused_stages(anchor, k1, dx, ic_start, act):
         """Stages 2-4 of one RK iteration as a single stage-machine
@@ -615,7 +610,7 @@ def integrate_along_field(
         n_new = jnp.where(accept, s.n_idx + 1, s.n_idx)
         overflow = accept & (n_new >= max_steps)
         write = accept & ~overflow
-        ys_store = clamp_axi_y(ys3)
+        ys_store = clamp_axi(ys3)
         y_buf, yf_buf = write_rows_2(
             s.y_buf, s.yf_buf, n_new, write,
             ys_store.T, field4[:ndim].T,
@@ -661,14 +656,6 @@ def integrate_along_field(
                 n_rounds=s.n_rounds + nr,
             ),
         )
-
-    def clamp_axi_y(ys):
-        """Axisymmetric clamp on (D, B) row state."""
-        if axisymmetric:
-            return jnp.concatenate(
-                [jnp.maximum(ys[0:1], MIN_RADIUS), ys[1:]], axis=0
-            )
-        return ys
 
     _, final = lax.while_loop(cond, body, (jnp.int32(0), init))
     # n_steps: points stored; max_steps+1 flags 'boundary not reached

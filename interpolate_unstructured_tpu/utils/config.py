@@ -167,3 +167,35 @@ def huge_distance(dtype) -> float:
     if np.dtype(dtype) == np.float32:
         return 1e30
     return 1e100
+
+
+def walk_tolerances(dtype, rmin, rmax):
+    """(nudge, eps_arrive) shared by every walk consumer.
+
+    ``nudge``: forward overshoot past a crossed face — under batched f32
+    rounding the post-hop position can land on the wrong side of the
+    face it just crossed, producing zero-length A<->B hop cycles
+    (livelocks the tracer's shrink-and-retry).  A few-ulp overshoot
+    guarantees progress and is far below the inside-test tolerance.
+
+    ``eps_arrive``: arrival band absorbing the walk's own rounding so a
+    target exactly ON a face can't coin-flip between "arrived" and
+    "crossed" (hull points would randomly report as outside).
+    Deliberately a few-ulp band like ``nudge`` — NOT eps_inside: at
+    1e-10 the tracer would accept sub-step positions measurably outside
+    their cell, where the unsigned-area kernels lose linearity
+    (reflection at the face, m_interp_unstructured.f90:542-549).
+
+    One definition on purpose: the generic walk (ops/locate.py) and the
+    fused tracer (trace.py -> ops/pallas_trace.py) must agree on
+    arrival/containment at faces or the two paths diverge exactly at
+    the livelock-prone boundaries these constants exist for.
+    """
+    import jax.numpy as jnp
+
+    nudge = (
+        16.0
+        * jnp.finfo(dtype).eps
+        * jnp.maximum(jnp.max(jnp.abs(rmin)), jnp.max(jnp.abs(rmax)))
+    ).astype(dtype)
+    return nudge, 4.0 * nudge

@@ -67,14 +67,8 @@ r_global, local_b = sh.distribute_queries(r_local, mesh)
 assert local_b == b_local
 
 # Guesses: cold (-1) everywhere, sharded like the queries
-pad = (-b_local) % 2
-g_local = np.full(b_local + pad, -1, dtype=np.int32)
-guess = jax.make_array_from_process_local_data(
-    NamedSharding(mesh, P(sh.DATA_AXIS)), g_local
-)
-
 f = sh.sharded_interpolate_at(mesh)
-vals, ic, found = f(grid, r_global, jnp.asarray([0]), guess)
+vals, ic, found = f(grid, r_global, jnp.asarray([0]))
 
 vals_np = sh.collect_results(vals, local_b)
 found_np = sh.collect_results(found, local_b)

@@ -133,3 +133,31 @@ def test_walk_mode_multivar_matches_bruteforce():
     vb, icb, fb = iu.interpolate_at(g_b, r, iv)
     assert bool(fw.all()) and bool(fb.all())
     np.testing.assert_allclose(np.asarray(vw), np.asarray(vb), atol=1e-12)
+
+
+def test_quad_near_parallelogram_f32_stable():
+    """A float32 NEAR-parallelogram (b3 rounds to ~eps instead of 0):
+    the naive (-B - sqrt(disc))/2A evaluation cancels catastrophically
+    there (~17% weight error measured) while the reference's absolute
+    |A| < 1e-20 fallback never fires in float32 — the stable qc/qq
+    form must reproduce the root to full precision."""
+    p0 = np.array([0.1, 0.2, 0.0])
+    p1 = np.array([1.3, 0.25, 0.0])
+    p3 = np.array([0.15, 1.7, 0.0])
+    p2 = p1 + p3 - p0  # exact parallelogram in f64
+    p32 = np.asarray([p0, p1, p2, p3], dtype=np.float32)[None]
+    # b3 computed in f32 is now ~1e-7, not 0
+    b3 = p32[0, 0] - p32[0, 1] - p32[0, 3] + p32[0, 2]
+    assert 0 < np.abs(b3).max() < 1e-6
+
+    lam, mu = 0.3, 0.6
+    b1 = p32[0, 1] - p32[0, 0]
+    b2 = p32[0, 3] - p32[0, 0]
+    r = (p32[0, 0] + lam * b1 + mu * b2)[None].astype(np.float32)
+    w = np.asarray(interp.quad_weights(jnp.asarray(p32), jnp.asarray(r)))
+    expected = np.asarray(
+        [[(1 - lam) * (1 - mu), lam * (1 - mu), lam * mu, (1 - lam) * mu]]
+    )
+    np.testing.assert_allclose(w, expected, atol=1e-5)
+    rec = (w[0, :, None] * np.asarray(p32)[0]).sum(0)
+    np.testing.assert_allclose(rec, r[0], atol=1e-5)

@@ -45,9 +45,8 @@ def test_sharded_interpolate_walk_mode(test_data_dir, mesh):
     rng = np.random.default_rng(11)
     r = jnp.asarray(sample_points(rng, grid.rmin, grid.rmax, 128))
     r_sh, b = sharding.shard_batch(r, mesh)
-    guess = jnp.full(r_sh.shape[0], -1, dtype=jnp.int32)
     f = sharding.sharded_interpolate_at(mesh)
-    vals, ic, found = f(grid_r, r_sh, jnp.asarray([ivar]), guess)
+    vals, ic, found = f(grid_r, r_sh, jnp.asarray([ivar]))
     assert bool(np.asarray(found)[:b].all())
     exact = np.asarray(r).sum(axis=1) + 1
     np.testing.assert_allclose(np.asarray(vals)[:b, 0], exact, atol=1e-13)
@@ -96,8 +95,7 @@ def test_distribute_and_collect_roundtrip(triangle_grid, mesh):
     assert local_b == 203
     assert r_sh.shape[0] % 8 == 0
     f = sharding.sharded_interpolate_at(mesh)
-    guess = jnp.full(r_sh.shape[0], -1, dtype=jnp.int32)
-    vals, ic, found = f(grid, r_sh, jnp.asarray([ivar]), guess)
+    vals, ic, found = f(grid, r_sh, jnp.asarray([ivar]))
 
     out = sharding.collect_results(vals, local_b)
     assert out.shape[0] == 203
