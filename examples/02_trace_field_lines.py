@@ -86,9 +86,11 @@ def main():
             f"boundary_code={int(result.boundary_material[k])}"
         )
 
-    # Export the grid (with the field) for visualization.
-    iu.write_vtk(grid, "/tmp/trace_example.vtu")
-    print("grid written to /tmp/trace_example.vtu")
+    # Export the grid (with the field) and the traced polylines for
+    # side-by-side visualization.
+    iu.write_vtk(grid, "/tmp/trace_example_grid.vtu")
+    iu.write_trace_vtk(result, "/tmp/trace_example_lines.vtu")
+    print("wrote /tmp/trace_example_grid.vtu + /tmp/trace_example_lines.vtu")
 
 
 if __name__ == "__main__":

@@ -52,7 +52,7 @@ from .ops.interp_acc import (
     prepare_accurate,
 )
 from .ops.kdtree import KdTree, build_kdtree, nearest as kdtree_nearest
-from .trace import TraceResult, integrate_along_field
+from .trace import TraceResult, integrate_along_field, write_trace_vtk
 from .utils.config import DEFAULT_CONFIG, IUConfig
 from .utils.validate import validate_grid
 
@@ -99,5 +99,6 @@ __all__ = [
     "kdtree_nearest",
     "integrate_along_field",
     "TraceResult",
+    "write_trace_vtk",
     "validate_grid",
 ]

@@ -131,3 +131,53 @@ def write_vtu(
     w.close_tag("Piece")
     w.close_tag("UnstructuredGrid")
     w.write(filename)
+
+
+def write_vtu_polylines(
+    filename,
+    points: np.ndarray,
+    offsets: np.ndarray,
+    point_data: dict | None = None,
+    ipoint_data: dict | None = None,
+):
+    """Write polylines (VTK cell type 4) to a .vtu file.
+
+    No reference counterpart (iu_write_vtk exports only the grid,
+    :929-985) — this serves trace-result visualization.
+
+    Args:
+      points: (n_total, 3) concatenated polyline vertices.
+      offsets: (n_lines,) int, cumulative END index of each line.
+      point_data / ipoint_data: name -> (n_total,) per-vertex arrays.
+    """
+    points = np.asarray(points, dtype=np.float64)
+    offsets = np.asarray(offsets, dtype=np.int32)
+    n_points, n_lines = len(points), len(offsets)
+
+    w = VtuWriter()
+    w.open_tag("UnstructuredGrid")
+    w.open_tag(
+        "Piece", f' NumberOfPoints="{n_points}" NumberOfCells="{n_lines}"'
+    )
+    w.open_tag("Points")
+    w.data_array("Float32", "Points", points.astype(np.float32), 3)
+    w.close_tag("Points")
+
+    w.open_tag("Cells")
+    w.data_array(
+        "Int32", "connectivity", np.arange(n_points, dtype=np.int32), None
+    )
+    w.data_array("Int32", "offsets", offsets, None)
+    w.data_array("Int32", "types", np.full(n_lines, 4, dtype=np.int32), None)
+    w.close_tag("Cells")
+
+    w.open_tag("PointData")
+    for name, arr in (point_data or {}).items():
+        w.data_array("Float64", name, np.asarray(arr, dtype=np.float64))
+    for name, arr in (ipoint_data or {}).items():
+        w.data_array("Int32", name, np.asarray(arr, dtype=np.int32))
+    w.close_tag("PointData")
+
+    w.close_tag("Piece")
+    w.close_tag("UnstructuredGrid")
+    w.write(filename)

@@ -671,3 +671,55 @@ def integrate_along_field(
         n_iterations=final.iteration,
         n_rounds=final.n_rounds,
     )
+
+
+def write_trace_vtk(result: TraceResult, filename, ndim: int = None):
+    """Export traced field lines as VTK polylines (.vtu).
+
+    Each trajectory becomes one VTK_POLY_LINE cell over its valid
+    points; extra ODE variables ("var0", ...), the sampled field
+    components ("field_0", ...), per-vertex arc index ("step") and the
+    trajectory id ("trajectory") ride along as point data.  Beyond the
+    reference (iu_write_vtk exports only the grid) — load next to the
+    grid's .vtu to visualize traces through the mesh.
+    """
+    import numpy as np
+
+    from .io.vtk import write_vtu_polylines
+
+    y = np.asarray(result.y)
+    yf = np.asarray(result.y_field)
+    b, max_steps, d = y.shape
+    if ndim is None:
+        ndim = yf.shape[2]
+    # n_steps == max_steps + 1 flags an overflowed buffer (:1167-1168);
+    # drop empty trajectories (invalid starts store nothing)
+    n = np.minimum(np.asarray(result.n_steps), max_steps)
+    keep = np.flatnonzero(n > 0)
+    n = n[keep]
+
+    idx = [ik * max_steps + np.arange(nk) for ik, nk in zip(keep, n)]
+    idx = (
+        np.concatenate(idx) if idx else np.zeros(0, dtype=np.int64)
+    )
+    pts = y.reshape(b * max_steps, d)[idx][:, :ndim]
+    if ndim < 3:
+        pts = np.pad(pts, ((0, 0), (0, 3 - ndim)))
+    point_data = {
+        f"var{i}": y.reshape(b * max_steps, d)[idx][:, ndim + i]
+        for i in range(d - ndim)
+    }
+    for c in range(yf.shape[2]):
+        point_data[f"field_{c}"] = yf.reshape(b * max_steps, -1)[idx][:, c]
+    ipoint_data = {
+        "trajectory": np.repeat(keep.astype(np.int32), n),
+        "step": np.concatenate(
+            [np.arange(nk, dtype=np.int32) for nk in n]
+        )
+        if len(n)
+        else np.zeros(0, np.int32),
+    }
+    write_vtu_polylines(
+        filename, pts, np.cumsum(n).astype(np.int32),
+        point_data, ipoint_data,
+    )

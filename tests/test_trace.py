@@ -186,3 +186,57 @@ def test_trace_mask_region(test_data_dir):
     )
     assert int(resb.n_steps[0]) == 1
     assert int(resb.boundary_material[0]) == 7
+
+
+def test_write_trace_vtk(tmp_path, triangle_grid):
+    """Trace polyline export round-trips through the VTU reader."""
+    import numpy as np
+    from interpolate_unstructured_tpu import add_point_data
+    from interpolate_unstructured_tpu.trace import (
+        integrate_along_field, write_trace_vtk,
+    )
+
+    grid = triangle_grid
+    pts = np.asarray(grid.points)
+    grid, ivx = add_point_data(grid, "wvx", -(pts[:, 1] - 1.0))
+    grid, ivy = add_point_data(grid, "wvy", pts[:, 0] - 1.0)
+    y0 = jnp.asarray([[1.3, 1.0, 0.0], [1.2, 1.0, 0.0]])
+    res = integrate_along_field(
+        grid, y0, (ivx, ivy), nvar=1,
+        sub_int=lambda f, y: jnp.ones(1),
+        min_dx=1e-5, max_dx=0.05, max_steps=16, rtol=1e-3, atol=1e-3,
+    )
+    fn = tmp_path / "traces.vtu"
+    write_trace_vtk(res, fn)
+
+    # Parse with the low-level VTU helpers (read_vtu's Mesh model is
+    # fixed-width cells; polylines are variable-width)
+    from xml.etree import ElementTree
+    from interpolate_unstructured_tpu.io.vtu import (
+        _VTK_TO_NP, _decode_block, _split_appended_blob,
+    )
+
+    xml_text, blob = _split_appended_blob(fn.read_bytes())
+    root = ElementTree.fromstring(xml_text)
+    arrays = {}
+    for da in root.iter("DataArray"):
+        off = int(da.get("offset"))
+        raw = _decode_block(blob[off:], np.uint32, False)
+        arrays[da.get("Name")] = np.frombuffer(
+            raw, dtype=_VTK_TO_NP[da.get("type")]
+        )
+
+    n = np.minimum(np.asarray(res.n_steps), 16)
+    points = arrays["Points"].reshape(-1, 3)
+    assert len(points) == int(n.sum())
+    np.testing.assert_array_equal(arrays["types"], [4, 4])
+    np.testing.assert_array_equal(arrays["offsets"], np.cumsum(n))
+    # first vertex of each polyline is its seed
+    starts = np.concatenate([[0], np.cumsum(n)[:-1]])
+    np.testing.assert_allclose(
+        points[starts, :2], np.asarray(y0)[:, :2], atol=1e-6
+    )
+    # arc-length variable rides along and increases
+    var0 = arrays["var0"]
+    assert (np.diff(var0[: int(n[0])]) > 0).all()
+    np.testing.assert_array_equal(np.unique(arrays["trajectory"]), [0, 1])
