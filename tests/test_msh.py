@@ -170,3 +170,83 @@ def test_read_grid_from_msh(tmp_path):
     np.testing.assert_allclose(
         np.asarray(v), np.asarray(r[:, 0] + r[:, 1] + 1.0), atol=1e-13
     )
+
+
+def _write_msh2_binary(path, endian="<"):
+    """Binary v2.2 of the MSH_V2 square (boundary lines + 2 triangles
+    + Polynomial node data)."""
+    import struct
+
+    e = endian
+    with open(path, "wb") as f:
+        f.write(b"$MeshFormat\n2.2 1 8\n")
+        f.write(struct.pack(e + "i", 1))
+        f.write(b"\n$EndMeshFormat\n")
+        f.write(b"$Nodes\n4\n")
+        pts = [(1, 0, 0, 0), (2, 1, 0, 0), (3, 1, 1, 0), (4, 0, 1, 0)]
+        for i, x, y, z in pts:
+            f.write(struct.pack(e + "i3d", i, x, y, z))
+        f.write(b"\n$EndNodes\n$Elements\n6\n")
+        # group 1: four boundary lines (type 1, 2 tags)
+        f.write(struct.pack(e + "3i", 1, 4, 2))
+        for eid, (a, b) in enumerate([(1, 2), (2, 3), (3, 4), (4, 1)], 1):
+            f.write(struct.pack(e + "5i", eid, 0, 1, a, b))
+        # group 2: two triangles (type 2, 2 tags)
+        f.write(struct.pack(e + "3i", 2, 2, 2))
+        f.write(struct.pack(e + "6i", 5, 0, 1, 1, 2, 3))
+        f.write(struct.pack(e + "6i", 6, 0, 1, 1, 3, 4))
+        f.write(b"\n$EndElements\n")
+        f.write(b'$NodeData\n1\n"Polynomial"\n1\n0.0\n3\n0\n1\n4\n')
+        for tag, v in [(1, 1.0), (2, 2.0), (3, 3.0), (4, 2.0)]:
+            f.write(struct.pack(e + "id", tag, v))
+        f.write(b"\n$EndNodeData\n")
+
+
+def _write_msh4_binary(path, endian="<"):
+    """Binary v4.1 equivalent (one surface entity, 2 triangles)."""
+    import struct
+
+    e = endian
+    with open(path, "wb") as f:
+        f.write(b"$MeshFormat\n4.1 1 8\n")
+        f.write(struct.pack(e + "i", 1))
+        f.write(b"\n$EndMeshFormat\n")
+        f.write(b"$Nodes\n")
+        f.write(struct.pack(e + "4Q", 1, 4, 1, 4))  # blocks, nodes, min, max
+        f.write(struct.pack(e + "3i", 2, 1, 0))  # dim, tag, parametric
+        f.write(struct.pack(e + "Q", 4))
+        f.write(struct.pack(e + "4Q", 1, 2, 3, 4))
+        for x, y, z in [(0, 0, 0), (1, 0, 0), (1, 1, 0), (0, 1, 0)]:
+            f.write(struct.pack(e + "3d", x, y, z))
+        f.write(b"\n$EndNodes\n$Elements\n")
+        f.write(struct.pack(e + "4Q", 1, 2, 1, 2))
+        f.write(struct.pack(e + "3i", 2, 1, 2))  # dim, tag, type=triangle
+        f.write(struct.pack(e + "Q", 2))
+        f.write(struct.pack(e + "4Q", 1, 1, 2, 3))
+        f.write(struct.pack(e + "4Q", 2, 1, 3, 4))
+        f.write(b"\n$EndElements\n")
+        f.write(b'$NodeData\n1\n"Polynomial"\n1\n0.0\n3\n0\n1\n4\n')
+        for tag, v in [(1, 1.0), (2, 2.0), (3, 3.0), (4, 2.0)]:
+            f.write(struct.pack(e + "id", tag, v))
+        f.write(b"\n$EndNodeData\n")
+
+
+@pytest.mark.parametrize(
+    "writer,endian",
+    [
+        (_write_msh2_binary, "<"),
+        (_write_msh2_binary, ">"),
+        (_write_msh4_binary, "<"),
+        (_write_msh4_binary, ">"),
+    ],
+)
+def test_read_msh_binary(tmp_path, writer, endian):
+    fn = tmp_path / f"bin_{writer.__name__}_{'le' if endian == '<' else 'be'}.msh"
+    writer(fn, endian)
+    m = read_msh(fn)
+    assert [cb.type for cb in m.cells] == ["triangle"]
+    np.testing.assert_array_equal(m.cells[0].data, [[0, 1, 2], [0, 2, 3]])
+    np.testing.assert_allclose(
+        m.points, [[0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0]]
+    )
+    np.testing.assert_allclose(m.point_data["Polynomial"], [1, 2, 3, 2])
