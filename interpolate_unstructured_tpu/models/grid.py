@@ -348,14 +348,8 @@ def build_grid(
     # remainder of downcasting coordinates/point data to float32.
     points_lo = point_data_lo = None
     if dtype == jnp.float32:
-        def residual(a64):
-            a64 = np.asarray(a64, np.float64)
-            return (a64 - a64.astype(np.float32).astype(np.float64)).astype(
-                np.float32
-            )
-
-        points_lo = jnp.asarray(residual(points))
-        point_data_lo = jnp.asarray(residual(pd_host))
+        points_lo = jnp.asarray(_f32_residual(points))
+        point_data_lo = jnp.asarray(_f32_residual(pd_host))
 
     grid = UGrid(
         points=jnp.asarray(points, dtype=dtype),
@@ -888,6 +882,33 @@ def reserve_icell_data_storage(grid: UGrid, n: int) -> UGrid:
     return dataclasses.replace(grid, icell_data=_reserve(grid.icell_data, n))
 
 
+def _f32_residual(a64):
+    """Exact f64->f32 downcast remainder, elementwise (any shape)."""
+    a64 = np.asarray(a64, np.float64)
+    return (a64 - a64.astype(np.float32).astype(np.float64)).astype(np.float32)
+
+
+def _f32_residual_column(values, n_points):
+    """Accurate-mode residual of one point-data column: the exact
+    f64->f32 downcast remainder as an (n_points,) f32 array (zeros when
+    the input carries no f64 information).  Single definition — the
+    build-time registry residual, add_point_data and set_point_data
+    must all agree or the hi+lo sums diverge between paths.
+
+    Scalars broadcast; typed non-f64 arrays (incl. device arrays, whose
+    dtype is probed WITHOUT a host transfer) short-circuit to zeros.
+    """
+    if values is None:
+        return jnp.zeros((n_points,), jnp.float32)
+    dt = getattr(values, "dtype", None)
+    if dt is not None and np.dtype(dt) != np.float64:
+        return jnp.zeros((n_points,), jnp.float32)
+    v = np.asarray(values)
+    if v.dtype != np.float64:
+        return jnp.zeros((n_points,), jnp.float32)
+    return jnp.asarray(_f32_residual(np.broadcast_to(v, (n_points,))))
+
+
 def _add_column(data, names, name, values, n_rows):
     """Fill the first reserved column, or grow by one.
 
@@ -934,16 +955,9 @@ def add_point_data(grid: UGrid, name: str, values=None):
     if grid.point_data_lo is not None:
         # Keep the accurate-mode residual registry aligned: exact f64
         # remainder when f64 values were given, zeros otherwise.
-        if values is not None and np.asarray(values).dtype == np.float64:
-            v64 = np.asarray(values, np.float64).reshape(grid.n_points)
-            lo_col = (v64 - v64.astype(np.float32).astype(np.float64)).astype(
-                np.float32
-            )
-        else:
-            lo_col = jnp.zeros((grid.n_points,), jnp.float32)
         lo, _, _ = _add_column(
             grid.point_data_lo, grid.point_data_names[:-1], name,
-            lo_col, grid.n_points,
+            _f32_residual_column(values, grid.n_points), grid.n_points,
         )
         grid = dataclasses.replace(grid, point_data_lo=lo)
     if grid.acc_table is not None:
@@ -975,6 +989,12 @@ def add_icell_data(grid: UGrid, name: str, values=None):
 
 def set_point_data(grid: UGrid, i_var: int, values) -> UGrid:
     """Overwrite one point-data column (test_tetra.f90:37-40 pattern)."""
+    nv = grid.n_point_data
+    i_var = int(i_var)
+    if not -nv <= i_var < nv:
+        raise ValueError(f"i_var {i_var} outside the live point-data range")
+    i_var %= max(nv, 1)  # python-style wrap, normalized so the
+    #                      fused-column skip below sees a real slot
     orig = values
     values = jnp.asarray(values, dtype=grid.point_data.dtype)
     grid = dataclasses.replace(
@@ -983,20 +1003,18 @@ def set_point_data(grid: UGrid, i_var: int, values) -> UGrid:
     if grid.point_data_lo is not None:
         # Keep the accurate-mode residual column in sync (same policy
         # as add_point_data: exact f64 remainder when f64 was given).
-        if np.asarray(orig).dtype == np.float64:
-            v64 = np.asarray(orig, np.float64).reshape(grid.n_points)
-            lo_col = (v64 - v64.astype(np.float32).astype(np.float64)).astype(
-                np.float32
-            )
-        else:
-            lo_col = jnp.zeros((grid.n_points,), jnp.float32)
         grid = dataclasses.replace(
-            grid, point_data_lo=grid.point_data_lo.at[:, i_var].set(lo_col)
+            grid,
+            point_data_lo=grid.point_data_lo.at[:, i_var].set(
+                _f32_residual_column(orig, grid.n_points)
+            ),
         )
     if grid.acc_table is not None:
-        from ..ops.interp_acc import build_acc_table
+        from ..ops.interp_acc import update_acc_table_column
 
-        grid = dataclasses.replace(grid, acc_table=build_acc_table(grid))
+        grid = dataclasses.replace(
+            grid, acc_table=update_acc_table_column(grid, i_var)
+        )
     return _refresh_cand_data(grid, i_var)
 
 

@@ -68,6 +68,32 @@ def _pack_acc_rows_jit(points, points_lo, cells, pd, pd_lo, *, npc, nv, width):
     return jnp.pad(row, ((0, 0), (0, width - row.shape[1])))
 
 
+def update_acc_table_column(grid, i_var: int):
+    """Refresh the packed rows for ONE mutated point-data variable.
+
+    Row layout (see :func:`_pack_acc_rows_jit`):
+    ``[vhi npc*3 | vlo npc*3 | dhi var-major nv*npc | dlo nv*npc]`` —
+    a set_point_data only touches variable ``i_var``'s hi/lo slots, so
+    two column-slice writes replace the full (n_cells, width) rebuild.
+    Reads grid.point_data / point_data_lo, which must already hold the
+    new values.
+    """
+    npc = grid.n_points_per_cell
+    nv = grid.n_point_data
+    t = grid.acc_table
+    base = 6 * npc
+    hi = grid.point_data[grid.cells, i_var].astype(t.dtype)
+    lo_src = grid.point_data_lo
+    lo = (
+        lo_src[grid.cells, i_var].astype(t.dtype)
+        if lo_src is not None
+        else jnp.zeros_like(hi)
+    )
+    t = t.at[:, base + i_var * npc : base + (i_var + 1) * npc].set(hi)
+    off = base + nv * npc
+    return t.at[:, off + i_var * npc : off + (i_var + 1) * npc].set(lo)
+
+
 def build_acc_table(grid):
     """Assemble the packed accurate rows on device (chunked like the
     walk/candidate repack so no whole-table transient materializes)."""

@@ -161,3 +161,69 @@ def test_quad_near_parallelogram_f32_stable():
     np.testing.assert_allclose(w, expected, atol=1e-5)
     rec = (w[0, :, None] * np.asarray(p32)[0]).sum(0)
     np.testing.assert_allclose(rec, r[0], atol=1e-5)
+
+
+def test_quad_near_parallelogram_all_copies_agree():
+    """The stable-root evaluation must hold in ALL five quad-kernel
+    copies (interp, locate, pallas_cand, pallas_interp, interp_acc) —
+    a drift in any one reintroduces the f32 cancellation bug on that
+    path only."""
+    from interpolate_unstructured_tpu.ops import (
+        df32, interp_acc, locate, pallas_cand, pallas_interp,
+    )
+
+    p0 = np.array([0.1, 0.2, 0.0])
+    p1 = np.array([1.3, 0.25, 0.0])
+    p3 = np.array([0.15, 1.7, 0.0])
+    p2 = p1 + p3 - p0
+    p32 = np.asarray([p0, p1, p2, p3], dtype=np.float32)
+    lam, mu = 0.3, 0.6
+    b1, b2 = p32[1] - p32[0], p32[3] - p32[0]
+    r = (p32[0] + lam * b1 + mu * b2).astype(np.float32)
+    expected = np.asarray(
+        [(1 - lam) * (1 - mu), lam * (1 - mu), lam * mu, (1 - lam) * mu]
+    )
+
+    f = jnp.asarray
+    got = {}
+    got["interp"] = np.asarray(
+        interp.quad_weights(f(p32)[None], f(r)[None])
+    )[0]
+    got["locate"] = np.asarray(
+        jnp.stack(
+            locate._quad_weights_c(
+                [f(p32[k, 0][None]) for k in range(4)],
+                [f(p32[k, 1][None]) for k in range(4)],
+                [f(p32[k, 2][None]) for k in range(4)],
+                f(r[0][None]), f(r[1][None]), f(r[2][None]),
+            )
+        )
+    )[:, 0]
+    got["pallas_cand"] = np.asarray(
+        jnp.stack(
+            pallas_cand._quad_weights_rows(
+                [
+                    [f(p32[k, d].reshape(1, 1)) for d in range(3)]
+                    for k in range(4)
+                ],
+                [f(r[d].reshape(1, 1)) for d in range(3)],
+            )
+        )
+    ).reshape(4)
+    got["pallas_interp"] = np.asarray(
+        jnp.concatenate(
+            pallas_interp._quad_weights_rows(
+                f(p32.reshape(12, 1)), f(r.reshape(3, 1))
+            )
+        )
+    ).reshape(4)
+    zero = lambda x: (f(np.float32(x)).reshape(()), jnp.zeros(()))
+    q_df = [zero(r[d]) for d in range(3)]
+    v_df = [[zero(p32[k, d]) for d in range(3)] for k in range(4)]
+    w_df = interp_acc._weights_quad_df(q_df, v_df)
+    got["interp_acc"] = np.asarray(
+        [float(w[0]) + float(w[1]) for w in w_df]
+    )
+
+    for name, w in got.items():
+        np.testing.assert_allclose(w, expected, atol=1e-5, err_msg=name)

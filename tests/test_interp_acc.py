@@ -175,3 +175,32 @@ def test_set_point_data_refreshes_accurate_state(test_data_dir):
         np.float64,
     )
     np.testing.assert_allclose(got, ref, atol=1e-10)
+
+
+def test_set_point_data_scalar_broadcast_f32(test_data_dir):
+    """Scalar values broadcast on f32 grids too (the residual sync must
+    not reshape a 0-d array), and the targeted acc-table column update
+    matches a full rebuild."""
+    from interpolate_unstructured_tpu.ops.interp_acc import build_acc_table
+
+    g32, _, ivar = _f32_and_f64_grids(test_data_dir, "triangle.vtu", 7)
+    g = iu.set_point_data(g32, ivar, 0.1)  # python float -> broadcast
+    np.testing.assert_allclose(
+        np.asarray(g.point_data[:, ivar]), np.float32(0.1)
+    )
+    # residual column carries the exact f64 remainder of 0.1
+    lo = np.asarray(g.point_data_lo[:, ivar], np.float64)
+    np.testing.assert_allclose(
+        lo + np.float64(np.float32(0.1)), 0.1, atol=1e-16
+    )
+    # column update == full rebuild
+    np.testing.assert_array_equal(
+        np.asarray(g.acc_table), np.asarray(build_acc_table(g))
+    )
+    # negative i_var wraps; out-of-range raises
+    g2 = iu.set_point_data(g32, ivar - g32.n_point_data, 0.5)
+    np.testing.assert_allclose(
+        np.asarray(g2.point_data[:, ivar]), np.float32(0.5)
+    )
+    with pytest.raises(ValueError, match="point-data range"):
+        iu.set_point_data(g32, g32.n_point_data, 0.0)
