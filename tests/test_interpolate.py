@@ -195,3 +195,32 @@ def test_jit_and_vmap_compatible(triangle_grid):
     np.testing.assert_allclose(
         np.asarray(f(grid, r)), solution(np.asarray(r)), atol=1e-13
     )
+
+
+def test_interpolation_is_differentiable():
+    """JAX-native bonus over the reference: gradients of interpolated
+    fields w.r.t. query positions (exact for linear data in cell
+    interiors; on cell edges the piecewise-linear interpolant is
+    genuinely non-differentiable)."""
+    import jax
+
+    from interpolate_unstructured_tpu.utils import meshgen
+
+    points, cells, neighbors = meshgen.triangle_rect_mesh(8, 8)
+    g = iu.build_grid(
+        points, cells, neighbors, "triangle",
+        point_data={"f": 2 * points[:, 0] - 3 * points[:, 1] + 1},
+    )
+
+    def f_at(r):
+        v, _, _ = iu.interpolate_scalar_at(g, r[None], 0)
+        return v[0]
+
+    # interior points (off the 0.125-spaced mesh lines)
+    rs = jnp.asarray(
+        [[0.37, 0.61, 0.0], [0.71, 0.52, 0.0], [0.06, 0.94, 0.0]]
+    )
+    grads = jax.vmap(jax.grad(f_at))(rs)
+    np.testing.assert_allclose(
+        np.asarray(grads), np.tile([2.0, -3.0, 0.0], (3, 1)), atol=1e-12
+    )
