@@ -150,6 +150,15 @@ class BindaWriter:
                 f"binda headers hold at most 8 dims, array has {data.ndim}"
             )
         if np.issubdtype(data.dtype, np.integer):
+            info = np.iinfo(np.int32)
+            if data.size and (
+                int(data.min()) < info.min or int(data.max()) > info.max
+            ):
+                raise ValueError(
+                    f"Entry {name!r} has values outside int32 range "
+                    "(the binda format stores integers as int32, "
+                    "convert_to_binary.py:48-49)"
+                )
             data = data.astype(np.int32)
         payload = np.ascontiguousarray(data).tobytes()
         offset = len(self._blob)

@@ -89,9 +89,10 @@ def save_grid(grid, filename) -> None:
         if value is None:  # optional leaves (kd-tree seed backend)
             continue
         arr = np.asarray(value)
+        orig_dtype = str(arr.dtype)  # before the bool cast; one transfer
         if arr.dtype == np.bool_:
             arr = arr.astype(np.int32)
-        w.add_entry(f"grid/{name}", arr, str(np.asarray(value).dtype))
+        w.add_entry(f"grid/{name}", arr, orig_dtype)
     for i, nm in enumerate(grid.point_data_names):
         w.add_entry("point_data_name", np.array([i], dtype=np.int32), nm)
     for i, nm in enumerate(grid.cell_data_names):

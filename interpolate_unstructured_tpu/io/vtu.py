@@ -72,14 +72,18 @@ class Mesh:
 
 
 def _split_appended_blob(raw: bytes):
-    """Split the file into parseable XML text and the appended raw blob.
+    """Split the file into XML text, the appended blob, and its encoding.
 
     A raw-encoded <AppendedData> section is not valid XML, so locate it
-    byte-wise, cut the blob out, and hand ElementTree a sanitized document.
+    byte-wise, cut the blob out, and hand ElementTree a sanitized
+    document.  base64 blobs stay ENCODED: DataArray ``offset``
+    attributes count encoded characters, and each array's header/data
+    are independent base64 blocks — a whole-stream decode would stop at
+    the first block's ``=`` padding and corrupt every later array.
     """
     m = re.search(rb"<AppendedData[^>]*>", raw)
     if m is None:
-        return raw, None
+        return raw, None, None
     enc_m = re.search(rb'encoding="([^"]+)"', m.group(0))
     encoding = enc_m.group(1).decode() if enc_m else "base64"
     start = m.end()
@@ -92,14 +96,13 @@ def _split_appended_blob(raw: bytes):
     if underscore < 0:
         raise ValueError("<AppendedData> has no '_' marker")
     blob = blob[underscore + 1 :]
-    if encoding == "base64":
-        blob = base64.b64decode(blob + b"===")
     xml_text = raw[: m.end()] + raw[end:]
-    return xml_text, blob
+    return xml_text, blob, encoding
 
 
-def _decode_block(buf: bytes, header_dtype, compressed: bool) -> bytes:
-    """Decode one header-prefixed data block (possibly zlib compressed)."""
+def _decode_block(buf, header_dtype, compressed: bool) -> bytes:
+    """Decode one header-prefixed RAW data block (possibly zlib
+    compressed)."""
     hsize = np.dtype(header_dtype).itemsize
     if not compressed:
         (nbytes,) = np.frombuffer(buf[:hsize], dtype=header_dtype)
@@ -118,7 +121,62 @@ def _decode_block(buf: bytes, header_dtype, compressed: bool) -> bytes:
     return bytes(out)
 
 
-def _read_data_array(elem, blob, header_dtype, compressed) -> np.ndarray:
+def _b64_chars(n_bytes: int) -> int:
+    return -(-n_bytes // 3) * 4
+
+
+def _b64_body(buf, header_nbytes: int, body_nbytes: int) -> bytes:
+    """Extract ``body_nbytes`` following a ``header_nbytes`` header from
+    a base64 region, handling BOTH encoding conventions:
+
+    * VTK/meshio: header and data are SEPARATE base64 blocks, each
+      padded to a 4-char boundary — detectable because the header block
+      then ends in '=' padding whenever header_nbytes % 3 != 0;
+    * single stream: header+data encoded together (when
+      header_nbytes % 3 == 0 the two conventions coincide exactly, so
+      the padding probe is only consulted when it is meaningful).
+    """
+    hchars = _b64_chars(header_nbytes)
+    if header_nbytes % 3 == 0 or buf[hchars - 1 : hchars] == b"=":
+        data = base64.b64decode(
+            buf[hchars : hchars + _b64_chars(body_nbytes)]
+        )
+        return data[:body_nbytes]
+    s = bytes(buf[: _b64_chars(header_nbytes + body_nbytes)])
+    whole = base64.b64decode(s + b"=" * ((-len(s)) % 4))
+    return whole[header_nbytes : header_nbytes + body_nbytes]
+
+
+def _decode_block_b64(buf, header_dtype, compressed: bool) -> bytes:
+    """Decode one base64-encoded block starting at ``buf[0]``
+    (see :func:`_b64_body` for the two encoding conventions)."""
+    hsize = np.dtype(header_dtype).itemsize
+    head = base64.b64decode(buf[: _b64_chars(hsize)])
+    if not compressed:
+        (nbytes,) = np.frombuffer(head[:hsize], dtype=header_dtype)
+        return _b64_body(buf, hsize, int(nbytes))
+    (n_blocks,) = np.frombuffer(head[:hsize], dtype=header_dtype)
+    n_blocks = int(n_blocks)
+    nhb = hsize * (3 + n_blocks)
+    # The 4-char-aligned prefix of either convention decodes cleanly to
+    # at least the full compression header (a separate header block is
+    # exactly _b64_chars(nhb) long incl. padding; a single stream's
+    # prefix decodes to >= nhb bytes)
+    header = np.frombuffer(
+        base64.b64decode(buf[: _b64_chars(nhb)])[:nhb],
+        dtype=header_dtype,
+    )
+    comp_sizes = header[3 : 3 + n_blocks].astype(np.int64)
+    data = _b64_body(buf, nhb, int(comp_sizes.sum()))
+    out = bytearray()
+    pos = 0
+    for cs in comp_sizes:
+        out.extend(zlib.decompress(data[pos : pos + int(cs)]))
+        pos += int(cs)
+    return bytes(out)
+
+
+def _read_data_array(elem, blob, encoding, header_dtype, compressed):
     dtype = _VTK_TO_NP[elem.attrib["type"]]
     fmt = elem.attrib.get("format", "ascii")
     if fmt == "ascii":
@@ -132,12 +190,16 @@ def _read_data_array(elem, blob, header_dtype, compressed) -> np.ndarray:
         if blob is None:
             raise ValueError("appended DataArray but no <AppendedData> blob")
         offset = int(elem.attrib.get("offset", "0"))
-        payload = _decode_block(blob[offset:], header_dtype, compressed)
+        if encoding == "base64":
+            payload = _decode_block_b64(
+                blob[offset:], header_dtype, compressed
+            )
+        else:
+            payload = _decode_block(blob[offset:], header_dtype, compressed)
         return np.frombuffer(payload, dtype=np.dtype(dtype).newbyteorder("<"))
     if fmt == "binary":
-        text = "".join((elem.text or "").split())
-        raw = base64.b64decode(text + "===")
-        payload = _decode_block(raw, header_dtype, compressed)
+        text = "".join((elem.text or "").split()).encode()
+        payload = _decode_block_b64(text, header_dtype, compressed)
         return np.frombuffer(payload, dtype=np.dtype(dtype).newbyteorder("<"))
     raise ValueError(f"Unsupported DataArray format {fmt!r}")
 
@@ -146,7 +208,7 @@ def read_vtu(filename) -> Mesh:
     with open(filename, "rb") as f:
         raw = f.read()
 
-    xml_text, blob = _split_appended_blob(raw)
+    xml_text, blob, encoding = _split_appended_blob(raw)
     root = ElementTree.fromstring(xml_text)
     if root.tag != "VTKFile" or root.attrib.get("type") != "UnstructuredGrid":
         raise ValueError(f"{filename} is not a VTK XML UnstructuredGrid file")
@@ -160,12 +222,49 @@ def read_vtu(filename) -> Mesh:
         raise ValueError(f"Unsupported compressor {compressor!r}")
 
     grid = root.find("UnstructuredGrid")
-    piece = grid.find("Piece")
+    pieces = grid.findall("Piece")
+    if len(pieces) > 1:
+        # legal per the VTK XML spec: merge (point indices offset per
+        # piece); silently reading only piece 0 would drop mesh parts
+        parts = [
+            _read_piece(p, blob, encoding, header_dtype, compressed)
+            for p in pieces
+        ]
+        return _merge_meshes(parts)
+    return _read_piece(pieces[0], blob, encoding, header_dtype, compressed)
+
+
+def _merge_meshes(parts) -> Mesh:
+    offset = 0
+    points = []
+    blocks: dict = {}
+    point_data: dict = {}
+    cell_data: dict = {}
+    for m in parts:
+        points.append(m.points)
+        for cb in m.cells:
+            blocks.setdefault(cb.type, []).append(cb.data + offset)
+        for name, arr in m.point_data.items():
+            point_data.setdefault(name, []).append(arr)
+        for name, arr in m.cell_data.items():
+            cell_data.setdefault(name, []).append(arr)
+        offset += len(m.points)
+    return Mesh(
+        points=np.concatenate(points),
+        cells=[
+            CellBlock(t, np.concatenate(bs)) for t, bs in blocks.items()
+        ],
+        point_data={n: np.concatenate(a) for n, a in point_data.items()},
+        cell_data={n: np.concatenate(a) for n, a in cell_data.items()},
+    )
+
+
+def _read_piece(piece, blob, encoding, header_dtype, compressed) -> Mesh:
     n_points = int(piece.attrib["NumberOfPoints"])
     n_cells = int(piece.attrib["NumberOfCells"])
 
     def rd(elem):
-        return _read_data_array(elem, blob, header_dtype, compressed)
+        return _read_data_array(elem, blob, encoding, header_dtype, compressed)
 
     # Points
     pts_elem = piece.find("Points").find("DataArray")

@@ -120,7 +120,9 @@ def nearest(tree: KdTree, r, max_iters: int | None = None):
     b, _ = r.shape
     n = tree.n_nodes
     depth = tree.max_depth
-    big = jnp.asarray(np.finfo(np.float32).max, r.dtype)
+    # Sentinel in the QUERY dtype: an f32-max sentinel under x64 would
+    # silently return node 0 whenever all true distances exceed ~3.4e38
+    big = jnp.asarray(np.finfo(np.dtype(r.dtype)).max, r.dtype)
     if max_iters is None:
         # Provable exactness bound: every node is pushed at most once
         # (only its parent's single visit can push it, plus the root),

@@ -25,20 +25,27 @@ def validate_grid(grid, strict: bool = True):
     normals = np.asarray(grid.face_normals)
     volume = np.asarray(grid.cell_volume)
 
-    if cells.min(initial=0) < 0 or cells.max(initial=-1) >= n_points:
+    cells_ok = not (
+        cells.min(initial=0) < 0 or cells.max(initial=-1) >= n_points
+    )
+    if not cells_ok:
         problems.append("connectivity indices out of range")
-    if neighbors.max(initial=-1) >= n_cells:
+    neighbors_ok = neighbors.max(initial=-1) < n_cells
+    if not neighbors_ok:
         problems.append("neighbor indices out of range")
 
     # Adjacency symmetry: if neighbors[c,k] == d, some face of d -> c
-    valid = neighbors >= 0
-    c_ids = np.repeat(np.arange(n_cells), npc)[valid.reshape(-1)]
-    d_ids = neighbors.reshape(-1)[valid.reshape(-1)]
-    back = (neighbors[d_ids] == c_ids[:, None]).any(axis=1)
-    if not back.all():
-        problems.append(
-            f"{(~back).sum()} asymmetric neighbor links"
-        )
+    # (only checkable once the indices themselves are in range — the
+    # very grids this validator exists to report must not crash it)
+    if neighbors_ok:
+        valid = neighbors >= 0
+        c_ids = np.repeat(np.arange(n_cells), npc)[valid.reshape(-1)]
+        d_ids = neighbors.reshape(-1)[valid.reshape(-1)]
+        back = (neighbors[d_ids] == c_ids[:, None]).any(axis=1)
+        if not back.all():
+            problems.append(
+                f"{(~back).sum()} asymmetric neighbor links"
+            )
 
     # Unit outward normals
     norm_err = np.abs(np.linalg.norm(normals, axis=-1) - 1.0).max()
@@ -57,7 +64,7 @@ def validate_grid(grid, strict: bool = True):
         problems.append(f"{(volume <= 0).sum()} non-positive cell volumes")
 
     # Geometry consistency: cell_points matches points[cells]
-    if not np.allclose(cp, points[cells], atol=0):
+    if cells_ok and not np.allclose(cp, points[cells], atol=0):
         problems.append("cell_points inconsistent with points[cells]")
 
     # Seed tables

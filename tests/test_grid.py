@@ -223,3 +223,24 @@ def test_out_of_range_guess_reseeds(test_data_dir):
     ic_cold, f_cold = iu.get_cell(grid, r)
     np.testing.assert_array_equal(np.asarray(f_bad), np.asarray(f_cold))
     assert bool(iu.point_is_inside_cell(grid, r, ic_bad).all())
+
+
+def test_validate_grid_reports_out_of_range_indices(triangle_grid):
+    """Out-of-range neighbor/cell indices must produce a readable
+    report, not an IndexError from the validator itself."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from interpolate_unstructured_tpu.utils.validate import validate_grid
+
+    g = triangle_grid
+    bad_nb = jnp.asarray(np.asarray(g.neighbors)).at[0, 0].set(g.n_cells + 5)
+    bad = dataclasses.replace(g, neighbors=bad_nb)
+    problems = validate_grid(bad, strict=False)
+    assert any("neighbor indices out of range" in p for p in problems)
+
+    bad_cells = jnp.asarray(np.asarray(g.cells)).at[0, 0].set(g.n_points + 3)
+    bad2 = dataclasses.replace(g, cells=bad_cells)
+    problems2 = validate_grid(bad2, strict=False)
+    assert any("connectivity indices out of range" in p for p in problems2)

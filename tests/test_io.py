@@ -271,3 +271,177 @@ def test_grid_checkpoint_dtype_and_kdtree(tmp_path):
     np.testing.assert_allclose(
         np.asarray(v), np.asarray(r).sum(1) + 1, atol=1e-5
     )
+
+
+def _b64_block(data, header_dtype=np.uint32):
+    """VTK convention: size header and data as SEPARATE base64 blocks."""
+    import base64
+
+    head = np.asarray([len(data)], dtype=header_dtype).tobytes()
+    return base64.b64encode(head) + base64.b64encode(data)
+
+
+def _vtu_appended_base64(tmp_path, single_stream=False):
+    """Two-triangle square with Polynomial data, appended base64 — the
+    encoding VTK emits when binary XML safety is wanted."""
+    import base64
+
+    points = np.asarray(
+        [[0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0]], dtype="<f8"
+    )
+    conn = np.asarray([0, 1, 2, 0, 2, 3], dtype="<i4")
+    offs = np.asarray([3, 6], dtype="<i4")
+    types = np.asarray([5, 5], dtype="<u1")
+    poly = np.asarray([1, 2, 3, 2], dtype="<f8")
+
+    blocks, offsets = [], []
+    pos = 0
+    for arr in (points, conn, offs, types, poly):
+        raw = arr.tobytes()
+        if single_stream:
+            head = np.asarray([len(raw)], dtype=np.uint32).tobytes()
+            b = base64.b64encode(head + raw)
+        else:
+            b = _b64_block(raw)
+        offsets.append(pos)
+        blocks.append(b)
+        pos += len(b)
+    o = offsets
+    xml = f"""<?xml version="1.0"?>
+<VTKFile type="UnstructuredGrid" version="0.1" byte_order="LittleEndian">
+  <UnstructuredGrid>
+    <Piece NumberOfPoints="4" NumberOfCells="2">
+      <Points>
+        <DataArray type="Float64" NumberOfComponents="3" format="appended" offset="{o[0]}"/>
+      </Points>
+      <Cells>
+        <DataArray type="Int32" Name="connectivity" format="appended" offset="{o[1]}"/>
+        <DataArray type="Int32" Name="offsets" format="appended" offset="{o[2]}"/>
+        <DataArray type="UInt8" Name="types" format="appended" offset="{o[3]}"/>
+      </Cells>
+      <PointData>
+        <DataArray type="Float64" Name="Polynomial" format="appended" offset="{o[4]}"/>
+      </PointData>
+    </Piece>
+  </UnstructuredGrid>
+  <AppendedData encoding="base64">
+   _"""
+    fn = tmp_path / ("b64_stream.vtu" if single_stream else "b64.vtu")
+    fn.write_bytes(
+        xml.encode() + b"".join(blocks) + b"\n  </AppendedData>\n</VTKFile>\n"
+    )
+    return fn
+
+
+@pytest.mark.parametrize("single_stream", [False, True])
+def test_read_vtu_appended_base64_multiarray(tmp_path, single_stream):
+    """Offsets count ENCODED chars; each array's header/data blocks are
+    independent (a whole-stream decode truncates at the first '='
+    padding).  Both block conventions must parse."""
+    fn = _vtu_appended_base64(tmp_path, single_stream)
+    m = read_vtu(fn)
+    np.testing.assert_array_equal(m.cells[0].data, [[0, 1, 2], [0, 2, 3]])
+    np.testing.assert_allclose(
+        m.points, [[0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0]]
+    )
+    np.testing.assert_allclose(m.point_data["Polynomial"], [1, 2, 3, 2])
+
+
+def test_read_vtu_inline_compressed(tmp_path):
+    """format="binary" + vtkZLibDataCompressor, VTK block layout."""
+    import base64
+    import zlib
+
+    def inline(arr):
+        raw = arr.tobytes()
+        comp = zlib.compress(raw)
+        head = np.asarray(
+            [1, len(raw), len(raw), len(comp)], dtype=np.uint32
+        ).tobytes()
+        return (base64.b64encode(head) + base64.b64encode(comp)).decode()
+
+    points = np.asarray(
+        [[0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0]], dtype="<f8"
+    )
+    conn = np.asarray([0, 1, 2, 0, 2, 3], dtype="<i4")
+    offs = np.asarray([3, 6], dtype="<i4")
+    types = np.asarray([5, 5], dtype="<u1")
+    xml = f"""<?xml version="1.0"?>
+<VTKFile type="UnstructuredGrid" version="0.1" byte_order="LittleEndian" compressor="vtkZLibDataCompressor">
+  <UnstructuredGrid>
+    <Piece NumberOfPoints="4" NumberOfCells="2">
+      <Points>
+        <DataArray type="Float64" NumberOfComponents="3" format="binary">{inline(points)}</DataArray>
+      </Points>
+      <Cells>
+        <DataArray type="Int32" Name="connectivity" format="binary">{inline(conn)}</DataArray>
+        <DataArray type="Int32" Name="offsets" format="binary">{inline(offs)}</DataArray>
+        <DataArray type="UInt8" Name="types" format="binary">{inline(types)}</DataArray>
+      </Cells>
+    </Piece>
+  </UnstructuredGrid>
+</VTKFile>
+"""
+    fn = tmp_path / "inline_z.vtu"
+    fn.write_text(xml)
+    m = read_vtu(fn)
+    np.testing.assert_array_equal(m.cells[0].data, [[0, 1, 2], [0, 2, 3]])
+    np.testing.assert_allclose(m.points[:, :2], points[:, :2])
+
+
+def test_read_vtu_multi_piece(tmp_path):
+    """Multiple <Piece> elements merge with per-piece point offsets."""
+    xml = """<?xml version="1.0"?>
+<VTKFile type="UnstructuredGrid" version="0.1" byte_order="LittleEndian">
+  <UnstructuredGrid>
+    <Piece NumberOfPoints="3" NumberOfCells="1">
+      <Points>
+        <DataArray type="Float64" NumberOfComponents="3" format="ascii">
+          0 0 0  1 0 0  0 1 0
+        </DataArray>
+      </Points>
+      <Cells>
+        <DataArray type="Int32" Name="connectivity" format="ascii">0 1 2</DataArray>
+        <DataArray type="Int32" Name="offsets" format="ascii">3</DataArray>
+        <DataArray type="UInt8" Name="types" format="ascii">5</DataArray>
+      </Cells>
+      <PointData>
+        <DataArray type="Float64" Name="f" format="ascii">1 2 2</DataArray>
+      </PointData>
+    </Piece>
+    <Piece NumberOfPoints="3" NumberOfCells="1">
+      <Points>
+        <DataArray type="Float64" NumberOfComponents="3" format="ascii">
+          1 0 0  1 1 0  0 1 0
+        </DataArray>
+      </Points>
+      <Cells>
+        <DataArray type="Int32" Name="connectivity" format="ascii">0 1 2</DataArray>
+        <DataArray type="Int32" Name="offsets" format="ascii">3</DataArray>
+        <DataArray type="UInt8" Name="types" format="ascii">5</DataArray>
+      </Cells>
+      <PointData>
+        <DataArray type="Float64" Name="f" format="ascii">2 3 2</DataArray>
+      </PointData>
+    </Piece>
+  </UnstructuredGrid>
+</VTKFile>
+"""
+    fn = tmp_path / "pieces.vtu"
+    fn.write_text(xml)
+    m = read_vtu(fn)
+    assert len(m.points) == 6
+    np.testing.assert_array_equal(
+        m.cells[0].data, [[0, 1, 2], [3, 4, 5]]
+    )
+    np.testing.assert_allclose(m.point_data["f"], [1, 2, 2, 2, 3, 2])
+
+
+def test_binda_rejects_int32_overflow(tmp_path):
+    """Values outside int32 range must raise, not silently wrap
+    (the format stores integers as int32, convert_to_binary.py:48-49)."""
+    from interpolate_unstructured_tpu.io.binda import BindaWriter
+
+    w = BindaWriter()
+    with pytest.raises(ValueError, match="int32 range"):
+        w.add_entry("big", np.asarray([2**31], dtype=np.int64))

@@ -216,7 +216,7 @@ def test_write_trace_vtk(tmp_path, triangle_grid):
         _VTK_TO_NP, _decode_block, _split_appended_blob,
     )
 
-    xml_text, blob = _split_appended_blob(fn.read_bytes())
+    xml_text, blob, _ = _split_appended_blob(fn.read_bytes())
     root = ElementTree.fromstring(xml_text)
     arrays = {}
     for da in root.iter("DataArray"):
