@@ -110,13 +110,14 @@ def read_mesh(filename) -> Mesh:
     Gmsh, MEDIT, TetGen, OFF, PLY, STL, OBJ); falls back to meshio for
     other formats if it happens to be installed."""
     filename = os.fspath(filename)
-    if filename.endswith(".vtu"):
+    ext = os.path.splitext(filename)[1].lower()
+    if ext == ".vtu":
         return read_vtu(filename)
-    if filename.endswith(".vtk"):
+    if ext == ".vtk":
         from .vtk_legacy import read_vtk
 
         return read_vtk(filename)
-    if filename.endswith(".msh"):
+    if ext == ".msh":
         from .msh import read_msh
 
         return read_msh(filename)
@@ -129,7 +130,6 @@ def read_mesh(filename) -> Mesh:
         ".stl": "read_stl",
         ".obj": "read_obj",
     }
-    ext = os.path.splitext(filename)[1].lower()
     if ext in simple:
         from . import simple_formats
 
@@ -142,8 +142,12 @@ def read_mesh(filename) -> Mesh:
             ".node/.ele, .off, .ply, .stl and .obj are supported natively "
             "and meshio is not installed"
         ) from err
+    from .vtu import CellBlock
+
     m = meshio.read(filename)
-    cells = [type("CB", (), {"type": cb.type, "data": cb.data}) for cb in m.cells]
+    cells = [
+        CellBlock(type=cb.type, data=np.asarray(cb.data)) for cb in m.cells
+    ]
     cell_data = {}
     for var, data in m.cell_data.items():
         cell_data[var] = data[0] if isinstance(data, list) else data

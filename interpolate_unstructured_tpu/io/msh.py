@@ -52,13 +52,13 @@ def _section_lines(lines, start, name):
 
 def _parse_nodes_v2(body):
     n = int(body[0])
-    ids = np.empty(n, dtype=np.int64)
-    pts = np.empty((n, 3), dtype=np.float64)
-    for k in range(n):
-        parts = body[1 + k].split()
-        ids[k] = int(parts[0])
-        pts[k] = [float(parts[1]), float(parts[2]), float(parts[3])]
-    return ids, pts
+    # one bulk conversion instead of per-token float() (the vtk_legacy
+    # bulk-parse pattern; per-line loops cost minutes at millions of
+    # nodes)
+    rows = np.array(
+        [line.split()[:4] for line in body[1 : 1 + n]], dtype=np.float64
+    )
+    return rows[:, 0].astype(np.int64), rows[:, 1:4]
 
 
 def _parse_nodes_v4(body):
@@ -70,15 +70,10 @@ def _parse_nodes_v4(body):
         if parametric:
             raise ValueError("Parametric nodes are not supported")
         i += 1
-        ids = np.array(
-            [int(body[i + k]) for k in range(n_in_block)], dtype=np.int64
-        )
+        ids = np.array(body[i : i + n_in_block], dtype=np.int64)
         i += n_in_block
         pts = np.array(
-            [
-                [float(x) for x in body[i + k].split()[:3]]
-                for k in range(n_in_block)
-            ],
+            [body[i + k].split()[:3] for k in range(n_in_block)],
             dtype=np.float64,
         ).reshape(n_in_block, 3)
         i += n_in_block
@@ -119,10 +114,12 @@ def _parse_elements_v4(body):
             continue
         cell_type, n_nodes, _ = _GMSH_CELL_TYPES[etype]
         tags, conn = blocks.setdefault(cell_type, ([], []))
-        for k in range(n_in_block):
-            parts = body[i + k].split()
-            tags.append(int(parts[0]))
-            conn.append([int(x) for x in parts[1 : 1 + n_nodes]])
+        rows = np.array(
+            [body[i + k].split()[: 1 + n_nodes] for k in range(n_in_block)],
+            dtype=np.int64,
+        )
+        tags.extend(int(t) for t in rows[:, 0])
+        conn.extend(rows[:, 1:].tolist())
         i += n_in_block
     return blocks
 
@@ -216,6 +213,11 @@ def read_msh(filename, only_max_dim: bool = True) -> Mesh:
         raise ValueError(f"{filename!r} has no $MeshFormat section")
     if not (2.0 <= version < 3.0 or 4.0 <= version < 5.0):
         raise ValueError(f"Unsupported .msh version {version}")
+    if 4.0 <= version < 4.05:
+        # MSH 4.0's $Nodes interleaves tag+coords per line; only the
+        # 4.1 split layout is implemented — reject cleanly instead of
+        # misparsing (re-export with Gmsh >= 4.1)
+        raise ValueError("MSH 4.0 is not supported; use 4.1 or 2.2")
 
     if is_binary:
         parsed = _read_msh_binary(buf, version)
@@ -246,13 +248,18 @@ def read_msh(filename, only_max_dim: bool = True) -> Mesh:
         }
 
     cells = []
-    elem_tag_to_cell = {}  # gmsh element tag -> (block order, row)
+    # gmsh element tag -> GLOBAL row over the kept blocks in cells
+    # order (per-block rows would collide across blocks and silently
+    # drop data for multi-block meshes)
+    elem_tag_to_cell = {}
+    n_cells_total = 0
     for ct, (tags, conn) in elem_blocks.items():
         data = np.array(
             [[id_to_row[t] for t in row] for row in conn], dtype=np.int64
         )
         for row, tag in enumerate(tags):
-            elem_tag_to_cell[tag] = row
+            elem_tag_to_cell[tag] = n_cells_total + row
+        n_cells_total += len(data)
         cells.append(CellBlock(type=ct, data=data))
 
     point_data = {}
@@ -263,15 +270,13 @@ def read_msh(filename, only_max_dim: bool = True) -> Mesh:
         point_data[name] = col
 
     cell_data = {}
-    if elem_data_raw and len(cells) == 1:
-        n_cells = len(cells[0].data)
-        for name, tags, vals in elem_data_raw:
-            col = np.zeros(n_cells, dtype=np.float64)
-            for t, v in zip(tags, vals):
-                row = elem_tag_to_cell.get(int(t))
-                if row is not None:
-                    col[row] = v
-            cell_data[name] = col
+    for name, tags, vals in elem_data_raw:
+        col = np.zeros(n_cells_total, dtype=np.float64)
+        for t, v in zip(tags, vals):
+            row = elem_tag_to_cell.get(int(t))
+            if row is not None:  # data on dropped boundary elements
+                col[row] = v
+        cell_data[name] = col
 
     return Mesh(
         points=points, cells=cells, point_data=point_data, cell_data=cell_data

@@ -143,12 +143,14 @@ def read_medit(filename) -> Mesh:
         raise ValueError(f"{filename}: no element sections")
     max_dim = max(cdim for _, _, cdim in blocks.values())
     cells = []
-    cell_data: dict = {}
+    all_refs = []
     for ctype, (conn, refs, cdim) in blocks.items():
         if cdim != max_dim:
             continue  # boundary markup below the top dimension
         cells.append(CellBlock(type=ctype, data=conn))
-        cell_data["medit:ref"] = np.asarray(refs, dtype=np.int32)
+        all_refs.append(np.asarray(refs, dtype=np.int32))
+    # one column over all kept blocks, in cells order
+    cell_data = {"medit:ref": np.concatenate(all_refs)}
     return Mesh(points=points, cells=cells, cell_data=cell_data)
 
 

@@ -188,10 +188,13 @@ def _read_attributes(sc: _Scanner, n: int, out: dict):
                 vals = sc.read_array(ntup * ncomp, dtype)
                 _store(out, name, vals, ncomp)
         elif kw == "LOOKUP_TABLE":
-            # standalone color table: name + size, then 4 floats each
+            # standalone color table: name + size, then 4 values per
+            # entry — floats in ASCII, unsigned chars in BINARY mode
+            # (legacy spec; reading f32 here would over-consume 12
+            # bytes/entry and derail the cursor)
             sc.token()
             size = int(sc.token())
-            sc.read_array(4 * size, np.float32)
+            sc.read_array(4 * size, np.uint8 if sc.binary else np.float32)
         else:
             raise ValueError(f"Unsupported legacy VTK attribute {kw!r}")
 

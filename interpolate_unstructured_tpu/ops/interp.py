@@ -124,8 +124,13 @@ def quad_weights(cell_points, r):
     # point misinterpolates on one path only.
     sqrt_d = jnp.sqrt(jnp.maximum(disc, 0.0))
     qq = -0.5 * (qb + jnp.where(qb >= 0, sqrt_d, -sqrt_d))
-    linear = (qb >= 0) & (jnp.abs(qa) < 1e-20)
-    qa_safe = jnp.where(jnp.abs(qa) < 1e-20, 1.0, qa)
+    # Fallback threshold RELATIVE to qb and scaled to the dtype (the
+    # reference's absolute 1e-20, :618, never fires in f32): when
+    # |qa| <~ eps|qb| the chosen root diverges as ~qb/qa, so the finite
+    # -qc/qb root is the meaningful one.
+    tiny_qa = jnp.abs(qa) <= 8.0 * jnp.finfo(r.dtype).eps * jnp.abs(qb)
+    linear = (qb >= 0) & tiny_qa
+    qa_safe = jnp.where(tiny_qa, 1.0, qa)
     qb_safe = jnp.where(jnp.abs(qb) > 0, qb, 1.0)
     qq_safe = jnp.where(qq == 0, 1.0, qq)
     mu = jnp.where(

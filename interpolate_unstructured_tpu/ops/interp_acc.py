@@ -222,7 +222,8 @@ def _weights_quad_df(q, v):
     )
     qq = df32.scale(df32.add(qb, root_s), jnp.float32(-0.5))
     qa_h = qa[0] + qa[1]
-    tiny_qa = jnp.abs(qa_h) < 1e-20
+    # relative threshold at df32 working precision (~2^-48)
+    tiny_qa = jnp.abs(qa_h) <= (8.0 * 2.0**-48) * jnp.abs(qb_h)
     linear = pos & tiny_qa
     qa_safe = (jnp.where(tiny_qa, 1.0, qa[0]), jnp.where(tiny_qa, 0.0, qa[1]))
     qb_safe = (jnp.where(qb_h == 0, 1.0, qb[0]), jnp.where(qb_h == 0, 0.0, qb[1]))
@@ -278,6 +279,11 @@ def interpolate_at_icell_acc(grid, r_hi, i_vars, i_cell, r_lo=None):
     Returns (vals_hi, vals_lo): (B, len(i_vars)) f32 pairs whose f64
     sum carries ~1e-13 accuracy.
     """
+    if not supported(grid):
+        raise ValueError(
+            "grid is not prepared for accurate mode — call "
+            "prepare_accurate on a float32 triangle/quad/tetra grid first"
+        )
     npc = grid.n_points_per_cell
     nv = grid.n_point_data
     i_vars = tuple(int(v) for v in i_vars)

@@ -482,8 +482,9 @@ def _quad_weights_c(px, py, pz, rx, ry, rz):
     # interp.quad_weights (see the comment there)
     sqrt_d = jnp.sqrt(jnp.maximum(disc, 0.0))
     qq = -0.5 * (qb + jnp.where(qb >= 0, sqrt_d, -sqrt_d))
-    linear = (qb >= 0) & (jnp.abs(qa) < 1e-20)
-    qa_safe = jnp.where(jnp.abs(qa) < 1e-20, 1.0, qa)
+    tiny_qa = jnp.abs(qa) <= 8.0 * jnp.finfo(rx.dtype).eps * jnp.abs(qb)
+    linear = (qb >= 0) & tiny_qa
+    qa_safe = jnp.where(tiny_qa, 1.0, qa)
     qb_safe = jnp.where(jnp.abs(qb) > 0, qb, 1.0)
     qq_safe = jnp.where(qq == 0, 1.0, qq)
     mu = jnp.where(

@@ -123,8 +123,9 @@ def _quad_weights_rows(g, rb):
     # interp.quad_weights (see the comment there)
     sqrt_d = jnp.sqrt(jnp.maximum(disc, 0.0))
     qq = -0.5 * (qb + jnp.where(qb >= 0, sqrt_d, -sqrt_d))
-    linear = (qb >= 0) & (jnp.abs(qa) < 1e-20)
-    qa_safe = jnp.where(jnp.abs(qa) < 1e-20, 1.0, qa)
+    tiny_qa = jnp.abs(qa) <= 8.0 * jnp.finfo(qa.dtype).eps * jnp.abs(qb)
+    linear = (qb >= 0) & tiny_qa
+    qa_safe = jnp.where(tiny_qa, 1.0, qa)
     qq_safe = jnp.where(qq == 0, 1.0, qq)
     mu = jnp.where(
         linear,

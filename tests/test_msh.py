@@ -250,3 +250,26 @@ def test_read_msh_binary(tmp_path, writer, endian):
         m.points, [[0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0]]
     )
     np.testing.assert_allclose(m.point_data["Polynomial"], [1, 2, 3, 2])
+
+
+def test_msh_v40_rejected_cleanly(tmp_path):
+    fn = tmp_path / "v40.msh"
+    fn.write_text("$MeshFormat\n4.0 0 8\n$EndMeshFormat\n")
+    with pytest.raises(ValueError, match="4.0 is not supported"):
+        read_msh(fn)
+
+
+def test_msh_element_data_multi_block(tmp_path):
+    """ElementData lands at the right GLOBAL rows when several blocks
+    are kept (only_max_dim=False keeps the boundary triangles too)."""
+    fn = tmp_path / "tet.msh"
+    fn.write_text(MSH_TET)
+    m = read_msh(fn, only_max_dim=False)
+    n_total = sum(len(cb.data) for cb in m.cells)
+    assert len(m.cell_data["rho"]) == n_total
+    # the value 7.5 sits on the tet's global row
+    offset = 0
+    for cb in m.cells:
+        if cb.type == "tetra":
+            assert m.cell_data["rho"][offset] == 7.5
+        offset += len(cb.data)

@@ -295,3 +295,29 @@ def test_ply_ascii_extra_face_props_rejected(tmp_path):
     )
     with pytest.raises(ValueError, match="extra properties"):
         read_ply(fn)
+
+
+def test_medit_mixed_2d_blocks_concat_refs(tmp_path):
+    """Triangles + quadrilaterals (same dimension): refs concatenate in
+    cells order with the total cell count."""
+    fn = tmp_path / "mixed.mesh"
+    fn.write_text(
+        "MeshVersionFormatted 2\nDimension 2\nVertices\n5\n"
+        "0 0 0\n1 0 0\n1 1 0\n0 1 0\n2 0 0\n"
+        "Triangles\n1\n2 5 3 9\n"
+        "Quadrilaterals\n1\n1 2 3 4 8\n"
+        "End\n"
+    )
+    m = read_medit(fn)
+    assert sorted(cb.type for cb in m.cells) == ["quad", "triangle"]
+    assert len(m.cell_data["medit:ref"]) == 2
+    assert sorted(m.cell_data["medit:ref"].tolist()) == [8, 9]
+
+
+def test_uppercase_extension_dispatch(tmp_path):
+    from interpolate_unstructured_tpu.io.convert import read_mesh
+
+    fn = tmp_path / "SQUARE.OFF"
+    fn.write_text(OFF_SQUARE)
+    m = read_mesh(fn)
+    assert m.cells[0].type == "triangle"
