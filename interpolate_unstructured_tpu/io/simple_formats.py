@@ -151,7 +151,73 @@ def read_medit(filename) -> Mesh:
         all_refs.append(np.asarray(refs, dtype=np.int32))
     # one column over all kept blocks, in cells order
     cell_data = {"medit:ref": np.concatenate(all_refs)}
-    return Mesh(points=points, cells=cells, cell_data=cell_data)
+
+    # A sibling .sol file carries per-vertex solution fields
+    sol_path = os.path.splitext(os.fspath(filename))[0] + ".sol"
+    point_data = (
+        _read_medit_sol(sol_path, len(points))
+        if os.path.exists(sol_path)
+        else {}
+    )
+    return Mesh(
+        points=points, cells=cells,
+        point_data=point_data, cell_data=cell_data,
+    )
+
+
+def _read_medit_sol(filename, n_vertices: int) -> dict:
+    """Companion MEDIT ``.sol`` file: per-vertex solution fields.
+
+    Scalars become one column each; vectors/tensors are split into
+    per-component columns (the binda data families are 1-D).  Field
+    type codes: 1 scalar, 2 vector (dim components), 3 symmetric
+    tensor (dim*(dim+1)/2 components).
+    """
+    with open(filename, encoding="latin-1") as f:
+        text = re.sub(r"#[^\n]*", " ", f.read())
+    tokens = text.split()
+    pos = 0
+    dim = 3
+    out: dict = {}
+    while pos < len(tokens):
+        kw = tokens[pos].lower()
+        pos += 1
+        if kw == "end":
+            break
+        if kw == "meshversionformatted":
+            pos += 1
+        elif kw == "dimension":
+            dim = int(tokens[pos])
+            pos += 1
+        elif kw == "solatvertices":
+            n = int(tokens[pos])
+            pos += 1
+            if n != n_vertices:
+                raise ValueError(
+                    f".sol has {n} vertex records for {n_vertices} vertices"
+                )
+            n_fields = int(tokens[pos])
+            pos += 1
+            types = [int(tokens[pos + k]) for k in range(n_fields)]
+            pos += n_fields
+            ncomp = {1: 1, 2: dim, 3: dim * (dim + 1) // 2}
+            widths = [ncomp[t] for t in types]
+            row_w = sum(widths)
+            vals = np.array(
+                tokens[pos : pos + n * row_w], dtype=np.float64
+            ).reshape(n, row_w)
+            pos += n * row_w
+            col = 0
+            for fi, w in enumerate(widths):
+                if w == 1:
+                    out[f"medit:sol{fi}"] = vals[:, col]
+                else:
+                    for c in range(w):
+                        out[f"medit:sol{fi}_{c}"] = vals[:, col + c]
+                col += w
+        else:
+            raise ValueError(f"Unsupported MEDIT .sol section {kw!r}")
+    return out
 
 
 # --------------------------------------------------------------- TetGen

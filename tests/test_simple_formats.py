@@ -321,3 +321,19 @@ def test_uppercase_extension_dispatch(tmp_path):
     fn.write_text(OFF_SQUARE)
     m = read_mesh(fn)
     assert m.cells[0].type == "triangle"
+
+
+def test_medit_sol_companion(tmp_path):
+    """A sibling .sol file loads as point data: scalar + vector fields
+    split into per-component columns."""
+    (tmp_path / "tet.mesh").write_text(MEDIT_TET)
+    (tmp_path / "tet.sol").write_text(
+        "MeshVersionFormatted 2\nDimension 3\n"
+        "SolAtVertices\n4\n2 1 2\n"
+        "1.0  0 0 1\n2.0  0 0 2\n3.0  0 0 3\n4.0  0 0 4\n"
+        "End\n"
+    )
+    m = read_medit(tmp_path / "tet.mesh")
+    np.testing.assert_allclose(m.point_data["medit:sol0"], [1, 2, 3, 4])
+    np.testing.assert_allclose(m.point_data["medit:sol1_2"], [1, 2, 3, 4])
+    np.testing.assert_allclose(m.point_data["medit:sol1_0"], 0.0)
