@@ -381,6 +381,18 @@ def _walk_pallas(grid, table, r0, u, total, degenerate, ic0, max_steps,
     return ic[0, :b], rp_t[:, :b].T, steps[0, :b], status
 
 
+def _walk_origin(grid, starts):
+    """Cell centers of ``starts`` (walk origins, :429) via ONE packed
+    walk-table row gather — the vertex block lives at columns
+    [nf*5, nf*5 + npc*3) of each 512 B row."""
+    nf = grid.n_faces_per_cell
+    npc = grid.n_points_per_cell
+    if grid.walk_table is None:
+        return grid.cell_points[starts].mean(axis=1)
+    cp = grid.walk_table[starts][:, nf * 5 : nf * 5 + npc * 3]
+    return cp.reshape(-1, npc, 3).mean(axis=1)
+
+
 def _found_of(ic, status):
     return (status == STATUS_ARRIVED) & (ic >= 0)
 
@@ -732,10 +744,9 @@ def _candidates_query(grid, r, var_slots=None, max_steps=None):
         """Walk the selected queries from their best candidate's center
         (finished lanes walk degenerately: r0 == r1)."""
         starts = jnp.maximum(id_best[idx], 0)
-        gw = grid.walk_table[starts]
-        cp = gw[:, nf * 5 : nf * 5 + npc * 3]
-        r0 = cp.reshape(-1, npc, 3).mean(axis=1)
-        r0 = jnp.where(active[:, None], r0, r[idx])
+        r0 = jnp.where(
+            active[:, None], _walk_origin(grid, starts), r[idx]
+        )
         ic_o, _, _, st_o = walk(grid, r0, r[idx], starts, max_steps=max_steps)
         found_o = _found_of(ic_o, st_o) & active
         vals_o = None
@@ -862,8 +873,6 @@ def _get_cell_warm(grid, r, guess, max_steps):
     """
     cfg = grid.config
     b = r.shape[0]
-    nf = grid.n_faces_per_cell
-    npc = grid.n_points_per_cell
     guess = jnp.asarray(guess, jnp.int32)
     # Out-of-range guesses fall back to a cold start (the reference
     # error-stops on guess > n_cells, :490)
@@ -874,10 +883,9 @@ def _get_cell_warm(grid, r, guess, max_steps):
 
     def recover(idx, active):
         starts = jnp.maximum(guess[idx], 0)
-        gw = grid.walk_table[starts]
-        cp = gw[:, nf * 5 : nf * 5 + npc * 3]
-        r0 = cp.reshape(-1, npc, 3).mean(axis=1)
-        r0 = jnp.where(active[:, None], r0, r[idx])
+        r0 = jnp.where(
+            active[:, None], _walk_origin(grid, starts), r[idx]
+        )
         ic_w, _, _, st_w = walk(
             grid, r0, r[idx], starts, max_steps=max_steps
         )
@@ -961,8 +969,6 @@ def get_cell(grid, r, guess=None, max_steps=None):
     if guess is not None and grid.cand_table is not None:
         return _get_cell_warm(grid, r, guess, max_steps)
 
-    nf = grid.n_faces_per_cell
-    npc = grid.n_points_per_cell
     use_kd = (
         grid.config.seed_mode == "kdtree" and grid.kd_node_points is not None
     )
@@ -979,15 +985,7 @@ def get_cell(grid, r, guess=None, max_steps=None):
             # a graceful reseed is the batch-friendly equivalent)
             guess = jnp.where(guess >= grid.n_cells, -1, guess)
             start = jnp.where(guess >= 0, guess, cold(grid, r))
-        # Start from the center of the start cell (:429); vertex coords
-        # come from the packed walk table (fast 512B-row gather)
-        starts = jnp.maximum(start, 0)
-        if grid.walk_table is not None:
-            g = grid.walk_table[starts]
-            cp = g[:, nf * 5 : nf * 5 + npc * 3]
-            r0 = cp.reshape(-1, npc, 3).mean(axis=1)
-        else:
-            r0 = grid.cell_points[starts].mean(axis=1)
+        r0 = _walk_origin(grid, jnp.maximum(start, 0))
 
     b = r.shape[0]
     p1 = min(cfg.walk_phase1_steps, max_steps)
