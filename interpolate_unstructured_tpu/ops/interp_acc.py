@@ -332,13 +332,27 @@ def interpolate_at_icell_acc(grid, r_hi, i_vars, i_cell, r_lo=None):
 def interpolate_at_acc(grid, r, i_vars, guess=None, r_lo=None):
     """Accurate-mode public entry: f32 locate + df32 interpolate.
 
-    ``r`` may be float64 (split internally; requires x64) or float32
-    (pass ``r_lo`` when the queries carry known f64 residuals).
+    ``r`` may be float64 — host (numpy) f64 splits on the host, so x64
+    need NOT be enabled (jnp.asarray would silently downcast it to f32
+    and lose the residual); device-resident f64 splits on device
+    (requires x64) — or float32 (pass ``r_lo`` when the queries carry
+    known f64 residuals).
 
     Returns (vals_hi, vals_lo, found, i_cell); missed queries keep
     weights from their nearest candidate but ``found`` is False.
     """
-    if jnp.asarray(r).dtype == jnp.float64:
+    import numpy as np
+
+    if (
+        r_lo is None
+        and not isinstance(r, jax.Array)
+        and np.asarray(r).dtype == np.float64
+    ):
+        host = np.asarray(r)
+        hi = host.astype(np.float32)
+        r_hi = jnp.asarray(hi)
+        r_lo = jnp.asarray((host - hi.astype(np.float64)).astype(np.float32))
+    elif jnp.asarray(r).dtype == jnp.float64:
         r_hi, r_lo = split_queries(r)
     else:
         r_hi = jnp.asarray(r, jnp.float32)

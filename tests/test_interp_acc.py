@@ -204,3 +204,21 @@ def test_set_point_data_scalar_broadcast_f32(test_data_dir):
     )
     with pytest.raises(ValueError, match="point-data range"):
         iu.set_point_data(g32, g32.n_point_data, 0.0)
+
+
+def test_acc_host_f64_split_without_x64(test_data_dir):
+    """Host (numpy) float64 queries split on the HOST: jnp.asarray
+    would silently downcast to f32 when x64 is off — exactly the
+    sessions accurate mode exists for.  Passing the same queries as a
+    host array must match the device-split path bit-for-bit."""
+    g32, _, ivar = _f32_and_f64_grids(test_data_dir, "triangle.vtu", 8)
+    rng = np.random.default_rng(80)
+    r_np = sample_points(rng, g32.rmin, g32.rmax, 128)  # numpy f64
+
+    vh1, vl1, f1, ic1 = iu.interpolate_at_acc(g32, r_np, (ivar,))
+    vh2, vl2, f2, ic2 = iu.interpolate_at_acc(
+        g32, jnp.asarray(r_np), (ivar,)  # device f64 (x64 on in tests)
+    )
+    np.testing.assert_array_equal(np.asarray(vh1), np.asarray(vh2))
+    np.testing.assert_array_equal(np.asarray(vl1), np.asarray(vl2))
+    np.testing.assert_array_equal(np.asarray(ic1), np.asarray(ic2))
