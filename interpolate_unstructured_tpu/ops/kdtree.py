@@ -130,11 +130,14 @@ def nearest(tree: KdTree, r, max_iters: int | None = None):
         # earlier in practice; this cap only backstops the while_loop.
         max_iters = 2 * n + 2
 
-    # Per-query stack of (node, squared plane distance at push time);
-    # one extra column serves as a scratch slot for masked pushes
-    scratch = depth + 1
-    stack_node = jnp.zeros((b, depth + 2), jnp.int32)
-    stack_pd2 = jnp.zeros((b, depth + 2), r.dtype)
+    # Per-query stack of (node, squared plane distance at push time).
+    # All stack reads/writes are one-hot broadcast-compare selects over
+    # the (small) stack width — per-row take_along_axis / scatters in a
+    # device loop are the slow path this repo's conventions forbid.
+    width = depth + 2  # one slack column above the DFS depth bound
+    cols = jnp.arange(width, dtype=jnp.int32)[None, :]
+    stack_node = jnp.zeros((b, width), jnp.int32)
+    stack_pd2 = jnp.zeros((b, width), r.dtype)
     sp = jnp.ones(b, jnp.int32)  # root pushed with pd2 = 0
     best_idx = jnp.zeros(b, jnp.int32)
     best_d2 = jnp.full(b, big)
@@ -148,8 +151,13 @@ def nearest(tree: KdTree, r, max_iters: int | None = None):
         stack_node, stack_pd2, sp, best_idx, best_d2, it = state
         active = sp > 0
         top = jnp.maximum(sp - 1, 0)
-        node = jnp.take_along_axis(stack_node, top[:, None], axis=1)[:, 0]
-        pd2 = jnp.take_along_axis(stack_pd2, top[:, None], axis=1)[:, 0]
+        sel_top = cols == top[:, None]
+        node = jnp.sum(
+            jnp.where(sel_top, stack_node, 0), axis=1, dtype=jnp.int32
+        )
+        pd2 = jnp.sum(
+            jnp.where(sel_top, stack_pd2, 0), axis=1, dtype=stack_pd2.dtype
+        )
         sp = jnp.where(active, sp - 1, sp)
 
         # Prune subtrees that cannot contain a closer point
@@ -173,28 +181,31 @@ def nearest(tree: KdTree, r, max_iters: int | None = None):
         v = v | (v >> 8)
         v = v | (v >> 16)
         dim = (lax.population_count(v) - 1) % 3
-        delta = jnp.take_along_axis(diff, dim[:, None], axis=1)[:, 0]
+        delta = jnp.where(
+            dim == 0, diff[:, 0], jnp.where(dim == 1, diff[:, 1], diff[:, 2])
+        )
         near = jnp.where(delta < 0, 2 * node + 1, 2 * node + 2)
         far = jnp.where(delta < 0, 2 * node + 2, 2 * node + 1)
         plane_d2 = delta * delta
 
         # Push far child (pruned later via its plane distance), then
-        # near child; masked pushes land in the scratch column
-        rows = jnp.arange(b)
+        # near child — one-hot column writes; masked pushes touch no
+        # column (sel is all-False)
+        def push(sn, sd, sp, do, node_val, pd2_val):
+            sel = do[:, None] & (cols == sp[:, None])
+            sn = jnp.where(sel, node_val[:, None], sn)
+            sd = jnp.where(sel, pd2_val[:, None], sd)
+            return sn, sd, jnp.where(do, sp + 1, sp)
 
         do_far = visit & (far < n)
-        slot = jnp.where(do_far, sp, scratch)
-        stack_node = stack_node.at[rows, slot].set(far, mode="drop")
-        stack_pd2 = stack_pd2.at[rows, slot].set(plane_d2, mode="drop")
-        sp = jnp.where(do_far, sp + 1, sp)
-
-        do_near = visit & (near < n)
-        slot = jnp.where(do_near, sp, scratch)
-        stack_node = stack_node.at[rows, slot].set(near, mode="drop")
-        stack_pd2 = stack_pd2.at[rows, slot].set(
-            jnp.zeros_like(plane_d2), mode="drop"
+        stack_node, stack_pd2, sp = push(
+            stack_node, stack_pd2, sp, do_far, far, plane_d2
         )
-        sp = jnp.where(do_near, sp + 1, sp)
+        do_near = visit & (near < n)
+        stack_node, stack_pd2, sp = push(
+            stack_node, stack_pd2, sp, do_near, near,
+            jnp.zeros_like(plane_d2),
+        )
 
         return stack_node, stack_pd2, sp, best_idx, best_d2, it + 1
 
