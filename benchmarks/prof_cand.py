@@ -57,7 +57,11 @@ def main():
     r = jnp.asarray(rng.random((b, 3)), grid.dtype)
 
     def dep(r, x):
-        return r + 1e-12 * x.astype(r.dtype)[:1, None]
+        # The dep MUST consume a FULL reduction of x: a first-element
+        # dep (x[:1]) lets XLA dead-code-eliminate every unrolled chunk
+        # whose output the carry doesn't touch — measured as a bogus 7x
+        # "speedup" of the chunked candidate path in round 3.
+        return r + (1e-12 * x.astype(r.dtype).sum()) * jnp.ones_like(r)
 
     # -- A: bin index + row gather only ------------------------------
     def gather_only(grid, r, n):

@@ -69,7 +69,9 @@ def main():
     r_h = rng.random((b, 3))
 
     def dep(r, x):
-        return r + 1e-12 * x.astype(r.dtype)[:1, None]
+        # Full-reduction dep: a first-element dep lets XLA DCE unrolled
+        # chunks whose outputs the carry doesn't touch (see prof_cand)
+        return r + (1e-12 * x.astype(r.dtype).sum()) * jnp.ones_like(r)
 
     print(f"{'rowB':>5} {'bpc':>4} {'K':>3} {'bins':>9} {'ovfl%':>6} "
           f"{'fbq%':>6} {'load_s':>7} {'ms/1M':>7} {'q/s':>10}",

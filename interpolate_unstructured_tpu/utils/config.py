@@ -105,10 +105,16 @@ class IUConfig:
     # overflow-miss rate; batches that overflow it take the chunked
     # full-width path (slower, still correct).
     cand_fallback_divisor: int = 32
-    # Candidate-phase query tiling: the gathered rows materialize
-    # row_bytes per query, so a 10M-query batch at 1KB rows would need
-    # 10 GB of HBM unchunked
-    cand_chunk_queries: int = 1 << 21
+    # Candidate-phase query tiling.  Two effects set the sweet spot:
+    # the gathered rows materialize row_bytes per query (a 10M-query
+    # batch at 1KB rows would need 10 GB of HBM unchunked), and — the
+    # dominant one, measured on v5e round 3 — a chunk whose gathered
+    # buffer fits VMEM (64k rows x 1KB = 64 MB vs the 128 MB v5e VMEM)
+    # skips the HBM round-trip between XLA's gather and the Pallas
+    # candidate kernel: 17.3 -> 14.0 ms/1M end-to-end.  128k-row chunks
+    # (128 MB, no VMEM headroom left) lose the entire win; the benefit
+    # survives the sequential lax.map path used above 32 chunks.
+    cand_chunk_queries: int = 1 << 16
 
     # Two-phase walk: run phase1 steps on the full batch, then compact
     # the (few) still-walking queries into a batch//divisor buffer so
