@@ -218,8 +218,8 @@ def bench_trace_tet(n_side, n_traj):
         0.3 + 0.4 * rng.random((n_traj, 3)), grid.dtype
     )
 
-    f = jax.jit(
-        lambda g, y0: integrate_along_field(
+    def run(g, y0):
+        return integrate_along_field(
             g,
             y0,
             (ivx, ivy, ivz),
@@ -230,13 +230,24 @@ def bench_trace_tet(n_side, n_traj):
             rtol=1e-3,
             atol=1e-3,
         )
-    )
-    res = f(grid, y0)
+
+    res = jax.jit(run)(grid, y0)
     total_pts = int(np.asarray(res.n_steps).clip(max=256).sum())
-    t0 = time.perf_counter()
-    res = f(grid, y0)
-    n = int(np.asarray(res.n_steps).clip(max=256).sum())
-    dt = time.perf_counter() - t0
+
+    # Chained dependent passes (same protocol as every other config):
+    # each pass re-traces the same bundle from imperceptibly perturbed
+    # starts — single-call wall-clock through the tunnel pays ~25 ms
+    # of transport on a measurement of the same order
+    def step(g, state):
+        y0, _ = state
+        r = run(g, y0)
+        # n_steps is a per-lane outcome of the whole integration: the
+        # perturbation keeps every trajectory on the dependency path
+        d = r.n_steps.astype(y0.dtype)[:, None]
+        return (y0 + 1e-12 * d, r.n_steps)
+
+    dt = chain_timer(step, grid, (y0, jnp.zeros(n_traj, jnp.int32)),
+                     n0=1, n1=11)
     emit(
         f"trace {n_traj} field lines, tet mesh {grid.n_cells} cells",
         total_pts / dt,
@@ -289,6 +300,7 @@ def main():
     else:
         bench_large_tet(55, 10_000_000)  # ~1M cells, 10M queries
         bench_trace_tet(16, 1024)
+        bench_trace_tet(16, 65536)  # throughput regime (VERDICT r2 #3)
 
 
 if __name__ == "__main__":

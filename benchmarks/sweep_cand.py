@@ -20,12 +20,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 CONFIGS = [
     # (cand_row_bytes, cand_bins_per_cell, cand_min_k, fallback_div)
-    # smaller K -> higher overflow-miss rate -> wider fallback buffer
-    (1024, 2.0, 7, 32),   # round-2 baseline: K=10
-    (768, 3.0, 7, 16),    # K=7
-    (640, 4.0, 5, 16),    # K=6
-    (512, 4.0, 5, 8),     # K=5
-    (512, 6.0, 5, 8),     # K=5, finer bins
+    # Round-3 note: keep fallback_div at 32 — 128 starved the compact
+    # buffer (n_act > m every batch -> the chunked full-width path,
+    # 75 ms/1M); and all rows here fit the 64k-query VMEM chunks.
+    (1024, 2.0, 7, 32),   # baseline: K=10
+    (768, 3.0, 7, 32),    # K=7, finer bins
+    (640, 4.0, 5, 32),    # K=6
+    (512, 6.0, 5, 32),    # K=5, finest bins
 ]
 
 
