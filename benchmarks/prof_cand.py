@@ -61,7 +61,13 @@ def main():
         # dep (x[:1]) lets XLA dead-code-eliminate every unrolled chunk
         # whose output the carry doesn't touch — measured as a bogus 7x
         # "speedup" of the chunked candidate path in round 3.
-        return r + (1e-12 * x.astype(r.dtype).sum()) * jnp.ones_like(r)
+        # The scale MUST keep the perturbation below one ulp of the
+        # queries: cell-id outputs sum to ~5e11, and at 1e-12 that
+        # drifted r by ~0.5/pass — the queries walked out of the domain
+        # and the "measurement" timed the all-miss path (C read 68 ms
+        # while the strictly-bigger D read 14.5).  5e-30 * 5e11 = 2e-18
+        # adds exactly 0.0 in f32 while keeping the data dependency.
+        return r + (5e-30 * x.astype(r.dtype).sum()) * jnp.ones_like(r)
 
     # -- A: bin index + row gather only ------------------------------
     def gather_only(grid, r, n):
@@ -82,7 +88,7 @@ def main():
     k_max = grid.cand_ids.shape[1]
     nv = cand_fused_nv(grid)
     is_quad = grid.cell_type == "quad"
-    id_role = 4 * nf + (3 * npc if is_quad else nf)
+    id_role = 4 * nf + (3 * npc if is_quad else 0)
     count_col = k_max * (id_role + 1 + npc * nv)
 
     eps = grid.config.eps_inside
@@ -114,6 +120,54 @@ def main():
         _, acc = lax.fori_loop(0, n, body, (r, jnp.zeros((), grid.dtype)))
         return acc
 
+    # -- A64/B64: gather / gather+kernel at the PRODUCTION chunk size
+    # (A and B above run one full-batch tile; the shipped path tiles
+    # queries at locate._cand_chunk(grid) so the gathered rows stay
+    # VMEM-resident — these stages isolate that regime)
+    chunk = locate._cand_chunk(grid)
+
+    def _chunked(tile):
+        def run(r_t):
+            bq = r_t.shape[1]
+            pad = (-bq) % chunk
+            rp_t = jnp.pad(r_t, ((0, 0), (0, pad)))
+            return lax.map(
+                tile, jnp.moveaxis(rp_t.reshape(3, -1, chunk), 1, 0)
+            )
+        return run
+
+    def gather_chunked(grid, r, n):
+        def tile(rt_t):
+            idx = locate._cand_bin_index_t(grid, rt_t)
+            return grid.cand_table[idx][:, 0]
+
+        run = _chunked(tile)
+
+        def body(i, carry):
+            r, acc = carry
+            s = run(r.T).reshape(-1)
+            return (dep(r, s), acc + s[0])
+        _, acc = lax.fori_loop(0, n, body, (r, jnp.zeros((), grid.dtype)))
+        return acc
+
+    def phase0_chunked(grid, r, n):
+        def tile(rt_t):
+            idx = locate._cand_bin_index_t(grid, rt_t)
+            id_best, aux, _ = pallas_cand.cand_rows_query(
+                grid, grid.cand_table, idx, rt_t, (), count_col,
+                eps, k_max, k_max=k_max,
+            )
+            return id_best + aux
+
+        run = _chunked(tile)
+
+        def body(i, carry):
+            r, acc = carry
+            s = run(r.T).reshape(-1)
+            return (dep(r, s), acc + s[0])
+        _, acc = lax.fori_loop(0, n, body, (r, jnp.zeros((), jnp.int32)))
+        return acc
+
     # -- C: full locate ----------------------------------------------
     def locate_full(grid, r, n):
         def body(i, carry):
@@ -128,7 +182,7 @@ def main():
         def body(i, carry):
             r, acc = carry
             ic, found, vals = locate._candidates_query(grid, r, (0,))
-            return (dep(r, vals[:, 0]), acc + vals[0, 0])
+            return (dep(r, vals[0]), acc + vals[0, 0])
         _, acc = lax.fori_loop(0, n, body, (r, jnp.zeros((), grid.dtype)))
         return acc
 
@@ -149,6 +203,8 @@ def main():
         ("A gather-only", gather_only, (grid, r)),
         ("B gather+kernel", phase0, (grid, r)),
         ("B2 +fused vals", phase0v, (grid, r)),
+        ("A64 gather@chunk", gather_chunked, (grid, r)),
+        ("B64 kernel@chunk", phase0_chunked, (grid, r)),
         ("C locate_full", locate_full, (grid, r)),
         ("D interp_fused", interp_fused, (grid, r)),
         ("E compaction", compact_only, (mask, r)),

@@ -19,14 +19,25 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 CONFIGS = [
-    # (cand_row_bytes, cand_bins_per_cell, cand_min_k, fallback_div)
+    # (cand_row_bytes, cand_bins_per_cell, cand_min_k, fallback_div,
+    #  cand_cover_row_bytes)
     # Round-3 note: keep fallback_div at 32 — 128 starved the compact
     # buffer (n_act > m every batch -> the chunked full-width path,
-    # 75 ms/1M); and all rows here fit the 64k-query VMEM chunks.
-    (1024, 2.0, 7, 32),   # baseline: K=10
-    (768, 3.0, 7, 32),    # K=7, finer bins
-    (640, 4.0, 5, 32),    # K=6
-    (512, 6.0, 5, 32),    # K=5, finest bins
+    # 75 ms/1M).  The chunked gather is issue-bound per ROW BYTE
+    # (prof_cand A64: 2 KB rows 12.3 ms/1M) so the sweep is now a
+    # two-tier ladder: small premultiplied main rows for the dense
+    # phase-0 probe, cover-wide extension rows (ext_max_k=32 >= worst
+    # bin 24) absorbing overflow-bin misses exactly.  cover=0 disables
+    # whole-table cover widening so row_bytes controls the main tier.
+    (768, 2.0, 7, 32, 0),    # K=9: covers 65% of bins at 0.75x gather
+    (1024, 2.0, 7, 32, 0),   # K=12: same 65% here (counts jump 9->13)
+    (768, 3.0, 7, 32, 0),    # K=9, finer bins: lower overflow rate
+    (1024, 3.0, 7, 32, 0),   # K=12, finer bins
+    # fbq at (1024, 3.0) is 5.6% — above b/32 so the full-width
+    # fallback runs (+2.6 ms flat, why all rows above read ~14.5).
+    # Wider compact buffers let the cheap small path absorb it:
+    (1024, 3.0, 7, 16, 0),   # m = 6.25% > 5.6% miss rate
+    (1024, 3.0, 7, 8, 0),    # m = 12.5%: headroom for chunk variance
 ]
 
 
@@ -78,12 +89,13 @@ def main():
           f"{'fbq%':>6} {'load_s':>7} {'ms/1M':>7} {'q/s':>10}",
           file=sys.stderr)
 
-    for rb, bpc, mink, fbdiv in configs:
+    for rb, bpc, mink, fbdiv, cover in configs:
         from interpolate_unstructured_tpu.utils.config import IUConfig
 
         cfg = IUConfig(
             cand_row_bytes=rb, cand_bins_per_cell=bpc, cand_min_k=mink,
             cand_fallback_divisor=fbdiv, cand_max_bins=1 << 23,
+            cand_cover_row_bytes=cover,
         )
         t0 = time.perf_counter()
         grid = load_grid(cache, config=cfg)
@@ -103,7 +115,7 @@ def main():
         )(grid, r)
         assert bool(found.all()), "unit-box queries must all be found"
         err = float(jnp.abs(
-            vals[:, 0] - (r.sum(1) + 1.0)
+            vals[0] - (r.sum(1) + 1.0)
         ).max())
         assert err < 5e-5, f"linear exactness broke: {err}"
         bin_counts = counts[np.asarray(locate._cand_bin_index(grid, r))]
@@ -113,7 +125,7 @@ def main():
             def body(i, carry):
                 r, acc = carry
                 ic, found, vals = locate._candidates_query(grid, r, (0,))
-                return (dep(r, vals[:, 0]), acc + vals[0, 0])
+                return (dep(r, vals[0]), acc + vals[0, 0])
             _, acc = lax.fori_loop(0, n, body, (r, jnp.zeros((), grid.dtype)))
             return acc
 

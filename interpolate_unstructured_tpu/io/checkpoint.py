@@ -197,9 +197,19 @@ def load_grid(filename, config=None, dtype=None, resave_on_rebuild=False):
         from ..models.grid import candidate_row_capacity
         from ..ops.geometry import NDIM_OF_CELL_TYPE, _bin_grid_shape
 
-        k_max, _ = candidate_row_capacity(
+        k_max, _cap_nv = candidate_row_capacity(
             cell_type, target, config, n_point_data=grid.n_point_data
         )
+        # The stored K is legitimate either as this session's capacity
+        # K or as a cover-widened K (= the worst bin's exact count,
+        # IUConfig.cand_cover_row_bytes) — recompute what this config
+        # would choose so a cover checkpoint doesn't rebuild on every
+        # load.
+        from ..models.grid import _make_cover_ok
+
+        cover_ok = _make_cover_ok(cell_type, target, config, _cap_nv, k_max)
+        max_count = int(np.asarray(grid.cand_count).max(initial=0))
+        want_k = max_count if cover_ok(max_count) else k_max
         # Bin shape this session's config would choose (deterministic
         # in (bbox, ndim, target count)) — a mismatch means the save
         # used a different cand_bins_per_cell / cand_max_bins
@@ -222,7 +232,7 @@ def load_grid(filename, config=None, dtype=None, resave_on_rebuild=False):
         )
     if grid.cand_ids is not None and (
         target != saved_dtype
-        or grid.cand_ids.shape[1] != k_max
+        or grid.cand_ids.shape[1] != want_k
         or shape_changed
         or (grid.cand_ext_slot is None and config.cand_ext_max_k > 0)
     ):
@@ -249,6 +259,7 @@ def load_grid(filename, config=None, dtype=None, resave_on_rebuild=False):
             k_max,
             target,
             config,
+            cover_ok=cover_ok,
         )
         grid = dataclasses.replace(
             grid,
@@ -261,9 +272,11 @@ def load_grid(filename, config=None, dtype=None, resave_on_rebuild=False):
                 jnp.asarray(ext_ids) if ext_ids.shape[1] else None
             ),
             cand_ext_slot=jnp.asarray(ext_slot),
+            # cand_ids.shape[1], not the capacity k_max: the builder
+            # may have cover-widened K to the worst bin
             cand_ext_covers=bool(
                 int(np.asarray(cand_count).max(initial=0))
-                <= k_max + ext_ids.shape[1]
+                <= cand_ids.shape[1] + ext_ids.shape[1]
             ),
         )
         if resave_on_rebuild and target == saved_dtype:

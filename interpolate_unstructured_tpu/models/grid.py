@@ -399,6 +399,7 @@ def build_grid(
             ) = build_candidate_bins_dispatch(
                 cell_points, normals, face_offsets, rmin, rmax, ndim,
                 k_max, dtype, config,
+                cover_ok=_make_cover_ok(cell_type, dtype, config, _nv, k_max),
             )
             grid = dataclasses.replace(
                 grid,
@@ -411,9 +412,11 @@ def build_grid(
                     jnp.asarray(ext_ids) if ext_ids.shape[1] else None
                 ),
                 cand_ext_slot=jnp.asarray(ext_slot),
+                # cand_ids.shape[1], not the capacity k_max: the
+                # builder may have cover-widened K to the worst bin
                 cand_ext_covers=bool(
                     int(np.asarray(cand_count).max(initial=0))
-                    <= k_max + ext_ids.shape[1]
+                    <= cand_ids.shape[1] + ext_ids.shape[1]
                 ),
             )
             grid = dataclasses.replace(grid, **_build_cand_tables(grid))
@@ -430,9 +433,39 @@ def build_grid(
     return grid
 
 
+def _make_cover_ok(cell_type, dtype, config, nv, k_max):
+    """Predicate deciding cover-all K widening (see
+    IUConfig.cand_cover_row_bytes): the builders call it with the worst
+    bin's exact candidate count once that is known.
+
+    Widening to ``max_count`` is allowed when the widened row (with the
+    same ``nv`` fused variables) fits the cover budget AND the widened
+    K stays out of the post-hoc derivation hole — cand_fused_nv infers
+    cover mode from "K doesn't fit cand_row_bytes bare", so a K that
+    fits config rows bare but not with data would repack with nv = 0
+    and silently drop the fused-interpolation path."""
+    its = jnp.dtype(dtype).itemsize
+    cfg_f = config.cand_row_bytes // its
+    cov_f = config.cand_cover_row_bytes // its
+    pern = _cand_floats_per(cell_type, nv)
+    per0 = _cand_floats_per(cell_type, 0)
+
+    def cover_ok(max_count: int) -> bool:
+        if cov_f <= 0 or max_count <= k_max:
+            return False
+        need = pern * max_count + 1
+        if need <= cfg_f:
+            return True  # widens within the config row — always safe
+        if need > cov_f:
+            return False  # worst bin doesn't fit a cover row
+        return per0 * max_count + 1 > cfg_f  # hole check
+
+    return cover_ok
+
+
 def build_candidate_bins_dispatch(
     cell_points, normals, face_offsets, rmin, rmax, ndim, k_max,
-    dtype, config,
+    dtype, config, cover_ok=None,
 ):
     """Candidate-bin construction with backend dispatch: the device
     pipeline (ops/cand_build.py) for large meshes, the host reference
@@ -451,6 +484,7 @@ def build_candidate_bins_dispatch(
         max_bins=config.cand_max_bins,
         eps=2.0 * config.eps_inside,
         ext_max_k=config.cand_ext_max_k,
+        cover_ok=cover_ok,
     )
     res = None
     if mode == "device" or (
@@ -477,17 +511,21 @@ def build_candidate_bins_dispatch(
 def _cand_floats_per(cell_type: str, nv: int) -> int:
     """Floats per candidate in a fused row (see _pack_cand_rows_jit).
 
-    Rows carry PRECOMPUTED unit face planes (and inverse heights /
-    vertices for weights): margins then cost 2 fused multiply-adds per
-    face in the probe kernel.  A vertex-only row (npc*3+1+npc*nv = 17
-    floats for tets, K 15 at 1 KB) was tried in round 3 and reverted:
-    deriving planes in-kernel cost 8.6 ms/1M vs 3.6 for this layout —
-    kernel VPU time, not gather bytes, bounds the candidate probe
-    (benchmarks/RESULTS.md)."""
+    Rows carry PRECOMPUTED unit face planes: margins then cost 2 fused
+    multiply-adds per face in the probe kernel.  A vertex-only row
+    (npc*3+1+npc*nv = 17 floats for tets, K 15 at 1 KB) was tried in
+    round 3 and reverted: deriving planes in-kernel cost 8.6 ms/1M vs
+    3.6 for this layout — kernel VPU time, not gather bytes, bounds the
+    candidate probe (benchmarks/RESULTS.md).
+
+    Simplex rows carry NO separate inverse-height role: the fused data
+    is PREMULTIPLIED by the opposite vertex's inverse height at pack
+    time (value = sum_v margin_{(v+1)%npc} * packed_data_v), saving nf
+    floats per candidate — at 1 KB that lifts tet K from 10 to 12."""
     nf = npc = geometry.N_POINTS_PER_CELL[cell_type]
-    per = 5 * nf + 1 + npc * nv  # planes + inv-heights + id + data
+    per = 4 * nf + 1 + npc * nv  # planes + id + premultiplied data
     if cell_type == "quad":
-        # inverse-bilinear weights need the vertices, not inv-heights
+        # inverse-bilinear weights need the vertices and RAW data
         per = 4 * nf + 3 * npc + 1 + npc * nv
     return per
 
@@ -515,13 +553,20 @@ def _pack_cand_rows(grid: UGrid, ids, count_vals, row_floats, nv):
     a ~7 GB transient on a 2M-bin table that OOMs the device during
     load_grid).
 
-    The chunk body runs JITTED with every grid array as an explicit
+    The whole repack runs as ONE jit with every grid array an explicit
     argument (closures would ship the arrays as constants through the
-    remote-compile tunnel — HTTP 413) and the last chunk padded to the
-    fixed chunk shape, so an 11-chunk repack costs ONE compile + 11
-    device calls.  The previous eager per-op dispatch paid the
-    ~25 ms tunnel latency (and compile churn) per operation — measured
-    533 s for a 2M-bin load_grid repack vs ~20 s jitted."""
+    remote-compile tunnel — HTTP 413): a ``lax.map`` over the padded
+    chunk stack writes each chunk's rows straight into the single
+    preallocated output.  The earlier python-loop-of-jit-calls +
+    ``jnp.concatenate(parts)[:n]`` version kept all chunk outputs, the
+    concatenated table AND the sliced copy live at once — ~3x the table
+    bytes, which on a 4 GB cover table exceeded device memory; the
+    failure surfaced as a deferred async RESOURCE_EXHAUSTED poisoning
+    every later use of ``cand_table``.
+
+    The returned table keeps the padded tail rows (ids -1, count 0):
+    bin indices are always < n_bins so the pad rows are never gathered,
+    and dropping them would cost another whole-table slice copy."""
     chunk = 1 << 18
     n = ids.shape[0]
     args = (
@@ -536,18 +581,35 @@ def _pack_cand_rows(grid: UGrid, ids, count_vals, row_floats, nv):
         return _pack_cand_rows_jit(
             *args, jnp.asarray(ids), jnp.asarray(count_vals), **statics
         )
-    parts = []
-    ids = jnp.asarray(ids)
-    count_vals = jnp.asarray(count_vals)
-    for i in range(0, n, chunk):
-        ids_c = ids[i : i + chunk]
-        cnt_c = count_vals[i : i + chunk]
-        pad = chunk - ids_c.shape[0]
-        if pad:
-            ids_c = jnp.pad(ids_c, ((0, pad), (0, 0)), constant_values=-1)
-            cnt_c = jnp.pad(cnt_c, (0, pad))
-        parts.append(_pack_cand_rows_jit(*args, ids_c, cnt_c, **statics))
-    return jnp.concatenate(parts, axis=0)[:n]
+    pad = (-n) % chunk
+    ids = jnp.pad(jnp.asarray(ids), ((0, pad), (0, 0)), constant_values=-1)
+    count_vals = jnp.pad(jnp.asarray(count_vals), (0, pad))
+    return _pack_cand_rows_mapped(
+        *args,
+        ids.reshape(-1, chunk, ids.shape[1]),
+        count_vals.reshape(-1, chunk),
+        **statics,
+    ).reshape(-1, row_floats)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cell_type", "row_floats", "nv", "dtype"),
+)
+def _pack_cand_rows_mapped(
+    face_normals, face_offsets, cell_points, cells, point_data,
+    ids3, cnt2, *, cell_type, row_floats, nv, dtype
+):
+    """lax.map over chunk-stacked (n_chunks, chunk, ...) inputs — one
+    compile, one output allocation, chunk-bounded temporaries."""
+    return jax.lax.map(
+        lambda ic: _pack_cand_rows_jit(
+            face_normals, face_offsets, cell_points, cells, point_data,
+            ic[0], ic[1], cell_type=cell_type, row_floats=row_floats,
+            nv=nv, dtype=dtype,
+        ),
+        (ids3, cnt2),
+    )
 
 
 @functools.partial(
@@ -615,16 +677,22 @@ def _pack_cand_rows_jit(
     cp = cell_points[safe]  # (n_rows, K, npc, 3)
     if cell_type == "quad":
         parts.append(roles(cp.reshape(n_rows, k_max, npc * 3)))
-    else:
-        # inverse height of the vertex opposite each face
-        opp = (jnp.arange(nf) - 1) % npc
-        p_opp = cp[:, :, opp]  # (n_rows, K, nf, 3)
-        m_opp = offs - (normals * p_opp).sum(-1)
-        parts.append(roles(1.0 / jnp.where(m_opp == 0, 1.0, m_opp)))
     parts.append(ids.astype(dtype))
     if nv:
         pd = point_data[:, :nv]  # (n_points, nv)
         vtx_data = pd[cells[safe]]  # (n_rows, K, npc, nv)
+        if cell_type != "quad":
+            # Premultiply by the inverse height of each vertex (face
+            # (v+1)%npc's opposite vertex is v): the barycentric weight
+            # of vertex v is margin_{(v+1)%npc} * inv_height_v, so the
+            # query side forms values straight from margins x data —
+            # no inverse-height role in the row.
+            opp = (jnp.arange(nf) - 1) % npc
+            p_opp = cp[:, :, opp]  # (n_rows, K, nf, 3)
+            m_opp = offs - (normals * p_opp).sum(-1)
+            inv_f = 1.0 / jnp.where(m_opp == 0, 1.0, m_opp)
+            iv_vertex = inv_f[..., (jnp.arange(npc) + 1) % npc]
+            vtx_data = vtx_data * iv_vertex[..., None]
         parts.append(
             roles(vtx_data.transpose(0, 1, 3, 2).reshape(n_rows, k_max, -1))
         )
@@ -641,10 +709,18 @@ def _build_cand_tables(grid: UGrid) -> dict:
     side recovers both the overflow flag and the extension row from the
     value it already reads.  The extension rows' count column carries
     the bin's exact total count (drives the residual-walk decision on
-    grids where a bin exceeds K + k_ext)."""
+    grids where a bin exceeds K + k_ext).
+
+    The physical row width is the NEEDED floats for this grid's K
+    rounded up to a 512-byte multiple (fast gather DMA) — cover-all
+    grids (K widened to the worst bin count, cand_cover_row_bytes)
+    get wider rows than config.cand_row_bytes, small-K grids narrower
+    ones."""
     k_max = grid.cand_ids.shape[1]
-    row_floats = grid.config.cand_row_bytes // jnp.dtype(grid.dtype).itemsize
     nv = cand_fused_nv(grid)
+    step = 512 // jnp.dtype(grid.dtype).itemsize
+    need = _cand_floats_per(grid.cell_type, nv) * k_max + 1
+    row_floats = -(-need // step) * step
 
     if grid.cand_ext_ids is not None:
         count_enc = jnp.where(
@@ -683,11 +759,18 @@ def _build_cand_tables(grid: UGrid) -> dict:
 
 def cand_fused_nv(grid: UGrid) -> int:
     """How many leading point-data variables are fused into the
-    candidate rows (derived, so checkpoints need no extra metadata)."""
+    candidate rows (derived, so checkpoints need no extra metadata).
+
+    The budget is ``cand_row_bytes`` normally; a grid whose K doesn't
+    even fit that row bare (nv = 0) is a cover-all build (K widened to
+    the worst bin count) and budgets ``cand_cover_row_bytes``."""
     if grid.cand_ids is None:
         return 0
-    row_floats = grid.config.cand_row_bytes // jnp.dtype(grid.dtype).itemsize
+    itemsize = jnp.dtype(grid.dtype).itemsize
+    row_floats = grid.config.cand_row_bytes // itemsize
     k_max = grid.cand_ids.shape[1]
+    if _cand_floats_per(grid.cell_type, 0) * k_max + 1 > row_floats:
+        row_floats = grid.config.cand_cover_row_bytes // itemsize
     nv = 0
     while (
         nv < grid.n_point_data

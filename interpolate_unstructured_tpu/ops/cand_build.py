@@ -175,6 +175,7 @@ def build_candidate_bins_device(
     max_bins: int = 1 << 21,
     eps: float = 0.0,
     ext_max_k: int = 0,
+    cover_ok=None,
 ):
     """Device-pipeline equivalent of geometry.build_candidate_bins.
 
@@ -239,6 +240,10 @@ def build_candidate_bins_device(
     )
     # Two host scalars size the static extension shapes
     max_count = int(counts.max())
+    if cover_ok is not None and cover_ok(max_count):
+        # Cover-all rows: widen K to the worst bin so every bin's list
+        # is complete — no extension table, no query-side fallback
+        k_max = max_count
     n_over = int((counts > k_max).sum())
     k_ext = (
         min(max_count - k_max, ext_max_k)

@@ -206,6 +206,7 @@ def build_candidate_bins(
     eps: float = 0.0,
     pair_chunk: int = 1 << 23,
     ext_max_k: int = 0,
+    cover_ok=None,
 ):
     """Per-bin candidate-cell lists: which cells intersect each bin of a
     regular grid over the bounding box.
@@ -350,6 +351,11 @@ def build_candidate_bins(
     first = np.zeros(n_bins + 1, dtype=np.int64)
     first[1:] = np.cumsum(cand_count)
     rank_in_bin = np.arange(len(pbin), dtype=np.int64) - first[pbin]
+    max_count = int(cand_count.max()) if n_bins else 0
+    if cover_ok is not None and cover_ok(max_count):
+        # Cover-all rows: widen K to the worst bin so every bin's list
+        # is complete — no extension table, no query-side fallback
+        k_max = max_count
     keep = rank_in_bin < k_max
 
     _tick("rank")

@@ -336,12 +336,39 @@ def interpolate_at(grid, r, i_vars, guess=None, fill_value=jnp.nan):
       i_cell: (B,) containing cell, negative if not found
       found: (B,) bool
     """
+    valsT, i_cell, found = _interpolate_at_T(
+        grid, r, i_vars, guess, fill_value
+    )
+    return valsT.T, i_cell, found
+
+
+def _interpolate_at_T(grid, r, i_vars, guess=None, fill_value=jnp.nan):
+    """interpolate_at with TRANSPOSED (V, B) values.
+
+    The scalar wrapper reads ``valsT[0]`` from this, never touching a
+    (B, 1) layout: a (B, 1) f32 buffer tiles as (8, 128) blocks on TPU
+    — 128x physical padding, ~512 MB per 1M queries — and the fused
+    candidate path produces its values row-shaped (V, B) anyway.
+    """
     # Capture concrete variable indices BEFORE the jnp conversion: under
     # jit tracing jnp.asarray yields a Tracer and the fused-row fast
     # path would silently never engage
     slots = _static_slots(i_vars)
     # int32 keeps an empty list a valid indexer (asarray([]) is float)
     i_vars = jnp.asarray(i_vars, jnp.int32)
+
+    def fill_T(valsT, found):
+        if isinstance(fill_value, (int, float)):
+            fill = jnp.full_like(valsT, fill_value)
+        else:
+            # array fills keep the documented (B, V)-broadcastable
+            # contract (e.g. previous values); broadcast in caller
+            # shape, then relayout once
+            fill = jnp.broadcast_to(
+                jnp.asarray(fill_value, valsT.dtype), valsT.shape[::-1]
+            ).T
+        return jnp.where(found[None, :], valsT, fill)
+
     if grid.locate_mode == "bruteforce":
         # Fused gather-free pipeline (the guess is irrelevant here:
         # containment is exact in one shot)
@@ -353,14 +380,7 @@ def interpolate_at(grid, r, i_vars, guess=None, fill_value=jnp.nan):
             )
         else:
             values, i_cell, found = _interpolate_bruteforce(grid, r, i_vars)
-        if isinstance(fill_value, (int, float)):
-            fill = jnp.full_like(values, fill_value)
-        else:
-            fill = jnp.broadcast_to(
-                jnp.asarray(fill_value, values.dtype), values.shape
-            )
-        values = jnp.where(found[:, None], values, fill)
-        return values, i_cell, found
+        return fill_T(values.T, found), i_cell, found
 
     # Fused cold path: walk-mode grids with candidate tables answer
     # locate AND interpolate from the SAME gathered row when every
@@ -377,24 +397,12 @@ def interpolate_at(grid, r, i_vars, guess=None, fill_value=jnp.nan):
         # wrap into point_data) but would slice packed-row role columns
         # at bogus offsets here — they must fall through.
         if all(0 <= s < cand_fused_nv(grid) for s in slots):
-            i_cell, found, values = locate._candidates_query(grid, r, slots)
-            if isinstance(fill_value, (int, float)):
-                fill = jnp.full_like(values, fill_value)
-            else:
-                fill = jnp.broadcast_to(
-                    jnp.asarray(fill_value, values.dtype), values.shape
-                )
-            values = jnp.where(found[:, None], values, fill)
-            return values, i_cell, found
+            i_cell, found, valsT = locate._candidates_query(grid, r, slots)
+            return fill_T(valsT, found), i_cell, found
 
     i_cell, found = locate.get_cell(grid, r, guess)
     values = interpolate_at_icell(grid, r, i_vars, i_cell)
-    if isinstance(fill_value, (int, float)):
-        fill = jnp.full_like(values, fill_value)
-    else:
-        fill = jnp.broadcast_to(jnp.asarray(fill_value, values.dtype), values.shape)
-    values = jnp.where(found[:, None], values, fill)
-    return values, i_cell, found
+    return fill_T(values.T, found), i_cell, found
 
 
 def _static_slots(i_vars):
@@ -418,11 +426,13 @@ def interpolate_scalar_at(grid, r, i_var, guess=None, fill_value=jnp.nan):
     if not isinstance(fv, (int, float)):
         fv = jnp.asarray(fv)[:, None]
     # Pass the raw index: a jnp conversion here would hide the
-    # concrete value from interpolate_at's fused-row fast path
-    values, i_cell, found = interpolate_at(
+    # concrete value from interpolate_at's fused-row fast path.
+    # The transposed internal keeps the whole pipeline on (1, B)
+    # layouts — values come back as one lane-major row.
+    valsT, i_cell, found = _interpolate_at_T(
         grid, r, [i_var], guess, fill_value=fv
     )
-    return values[:, 0], i_cell, found
+    return valsT[0], i_cell, found
 
 
 def get_cell_scalar_at(grid, r, i_var, guess=None, fill_value=jnp.nan):

@@ -543,7 +543,7 @@ def _probe_rows_xla(grid, g, rt_t, k, count_col, var_slots, eps,
     nf = grid.n_faces_per_cell
     npc = grid.n_points_per_cell
     is_quad = grid.cell_type == "quad"
-    id_role = 4 * nf + (3 * npc if is_quad else nf)
+    id_role = 4 * nf + (3 * npc if is_quad else 0)
     data_role0 = id_role + 1
     bt = rt_t.shape[1]
     gT = g.T  # (W, bt): one transpose per tile, then sublane slices
@@ -591,19 +591,32 @@ def _probe_rows_xla(grid, g, rt_t, k, count_col, var_slots, eps,
                 sum(w[v] * pick(role(dr + v)) for v in range(npc))
             )
     else:
-        # barycentric weights for ALL candidates, winner picked last
-        lam = [
-            m_faces[(v + 1) % npc] * role(4 * nf + (v + 1) % npc)
-            for v in range(npc)
-        ]
+        # barycentric straight from margins for ALL candidates, winner
+        # picked last: the packed data of vertex v is PREMULTIPLIED by
+        # its inverse height at build time (_pack_cand_rows_jit)
         vals = []
         for slot in var_slots:
             dr = data_role0 + slot * npc
-            acc = lam[0] * role(dr)
+            acc = m_faces[1 % npc] * role(dr)
             for v in range(1, npc):
-                acc = acc + lam[v] * role(dr + v)
+                acc = acc + m_faces[(v + 1) % npc] * role(dr + v)
             vals.append(pick(acc))
     return id_best, aux, jnp.stack(vals, axis=0)
+
+
+def _cand_chunk(grid) -> int:
+    """Per-chunk query count for the candidate probe.
+
+    Sized so the gathered rows (chunk * physical row bytes) stay in the
+    VMEM-resident regime (~64 MB on v5e; IUConfig.cand_chunk_bytes):
+    1 KB rows chunk at 64k queries, 2 KB cover rows at 32k.  Rounded to
+    an 8k multiple for tile alignment; config.cand_chunk_queries
+    overrides."""
+    cfg = grid.config
+    if cfg.cand_chunk_queries is not None:
+        return cfg.cand_chunk_queries
+    row_b = grid.cand_table.shape[1] * jnp.dtype(grid.dtype).itemsize
+    return max(1 << 13, (cfg.cand_chunk_bytes // row_b) >> 13 << 13)
 
 
 def _candidates_query(grid, r, var_slots=None, max_steps=None):
@@ -638,7 +651,9 @@ def _candidates_query(grid, r, var_slots=None, max_steps=None):
     lane-shaped intermediates pad K up to 128 lanes and cost ~10x their
     size in HBM traffic (measured 18.7 vs 11 ms/1M).
 
-    Returns (ic, found, values) — values is None when var_slots is.
+    Returns (ic, found, valsT) — valsT is TRANSPOSED (n_vars, B)
+    (a (B, 1) f32 buffer tiles to 128x its logical size on TPU), and
+    None when var_slots is.
     """
     cfg = grid.config
     if max_steps is None:
@@ -651,7 +666,7 @@ def _candidates_query(grid, r, var_slots=None, max_steps=None):
     from ..models.grid import cand_fused_nv
 
     is_quad = grid.cell_type == "quad"
-    id_role = 4 * nf + (3 * npc if is_quad else nf)
+    id_role = 4 * nf + (3 * npc if is_quad else 0)
     data_role0 = id_role + 1
     # The count column sits after the fused data columns whether or not
     # this call reads them — derive it from the physical table layout.
@@ -701,7 +716,7 @@ def _candidates_query(grid, r, var_slots=None, max_steps=None):
     # are contiguous (a per-chunk transpose costs ~1-2 ms each on TPU)
     r_t = r.T
     # Tile big batches so the gathered rows stay bounded in HBM
-    chunk = cfg.cand_chunk_queries
+    chunk = _cand_chunk(grid)
     if b <= chunk:
         id_best, aux, valsT = tile_fn(r_t)
     else:
@@ -720,6 +735,11 @@ def _candidates_query(grid, r, var_slots=None, max_steps=None):
             aux = jnp.concatenate([o[1] for o in outs])[:b]
             valsT = jnp.concatenate([o[2] for o in outs], axis=1)[:, :b]
         else:
+            # NOTE round 3: mapping over GROUPS of 4 unrolled tiles
+            # (hoping XLA would overlap one tile's row gather with the
+            # previous tile's kernel) measured exactly equal to the
+            # plain sequential map — the TPU HLO schedule does not
+            # overlap independent gathers across fusion boundaries.
             id_best, aux, valsT = lax.map(
                 tile_fn,
                 jnp.moveaxis(rp_t.reshape(3, -1, chunk), 1, 0),
@@ -738,7 +758,18 @@ def _candidates_query(grid, r, var_slots=None, max_steps=None):
     # point is outside the mesh.
     need_fb = aux >= 0
     ic = jnp.where(found, id_best, -1)
-    values = valsT.T if var_slots is not None else None
+    if grid.cand_ext_table is None and grid.cand_ext_covers:
+        # Cover-all grids (every bin's complete list fits its row,
+        # IUConfig.cand_cover_row_bytes): a phase-0 miss is exact, so
+        # no fallback machinery enters the graph at all — no miss
+        # compaction, no extension probe, no merge scatters.
+        return ic, found, valsT if var_slots is not None else None
+    # Values stay TRANSPOSED (nv, B) through the fallback and out the
+    # return: a (B, 1) f32 buffer tiles as (8, 128) blocks on TPU —
+    # 128x physical padding, ~512 MB per 1M queries — and the old
+    # valsT.T here put every downstream pass (merge, fill, squeeze)
+    # on that layout.
+    values = valsT if var_slots is not None else None
 
     def walk_and_interp(idx, active):
         """Walk the selected queries from their best candidate's center
@@ -756,7 +787,7 @@ def _candidates_query(grid, r, var_slots=None, max_steps=None):
             vals_o = interp_mod.interpolate_at_icell(
                 grid, r[idx], jnp.asarray(list(var_slots)),
                 jnp.maximum(ic_o, 0),
-            )
+            ).T  # (nv, m)
         return ic_o, found_o, vals_o
 
     def ext_probe(idx, active):
@@ -778,7 +809,7 @@ def _candidates_query(grid, r, var_slots=None, max_steps=None):
         )
         found2 = (aux2 == -2) & active
         ic2 = jnp.where(found2, id2, -1)
-        vals2 = vals2T.T if var_slots is not None else None
+        vals2 = vals2T if var_slots is not None else None
         if not grid.cand_ext_covers:
             # aux2 >= 0: the bin's true count exceeds K + k_ext, so
             # even the extension row didn't hold the complete list
@@ -787,7 +818,7 @@ def _candidates_query(grid, r, var_slots=None, max_steps=None):
             ic2 = jnp.where(found_w, ic_w, ic2)
             found2 = found2 | found_w
             if vals2 is not None:
-                vals2 = jnp.where(found_w[:, None], vals_w, vals2)
+                vals2 = jnp.where(found_w[None, :], vals_w, vals2)
         return ic2, found2, vals2
 
     fallback = ext_probe if grid.cand_ext_table is not None else (
@@ -802,8 +833,8 @@ def _candidates_query(grid, r, var_slots=None, max_steps=None):
         ic_o = jnp.where(found_o, ic_o, ic[idx])
         ic = ic.at[idx].set(ic_o)
         if values is not None:
-            vals_o = jnp.where(found_o[:, None], vals_o, values[idx])
-            values = values.at[idx].set(vals_o)
+            vals_o = jnp.where(found_o[None, :], vals_o, values[:, idx])
+            values = values.at[:, idx].set(vals_o)
         return ic, values
 
     n_act = jnp.sum(need_fb.astype(jnp.int32))
@@ -813,7 +844,7 @@ def _candidates_query(grid, r, var_slots=None, max_steps=None):
         ic_o, found_o, vals_o = fallback(idx, need_fb)
         ic = jnp.where(need_fb, jnp.where(found_o, ic_o, -1), ic)
         if values is not None:
-            values = jnp.where(found_o[:, None], vals_o, values)
+            values = jnp.where(found_o[None, :], vals_o, values)
         return ic, ic >= 0, values
 
     def small_path(args):
@@ -839,8 +870,11 @@ def _candidates_query(grid, r, var_slots=None, max_steps=None):
         found_o = found_o.reshape(-1)[:b]
         ic = jnp.where(found_o, ic_o, ic)
         if values is not None:
-            vals_o = vals_o.reshape(-1, values.shape[1])[:b]
-            values = jnp.where(found_o[:, None], vals_o, values)
+            # stacked (n_iter, nv, m) -> (nv, b)
+            vals_o = jnp.moveaxis(vals_o, 1, 0).reshape(
+                values.shape[0], -1
+            )[:, :b]
+            values = jnp.where(found_o[None, :], vals_o, values)
         return ic, values
 
     ic, values = lax.cond(n_act <= m, small_path, full_path, (ic, values))

@@ -16,10 +16,12 @@ margins, argmax, one-hot picks, barycentric / inverse-bilinear values —
 as (K, TILE) sublane-sliced ops at full lane utilization.  Only
 ~16 B/query of results go back to HBM.
 
-Row layout (models/grid._build_cand_table; cols role-major, K wide):
-  simplex: [nx_f | ny_f | nz_f | off_f | invm_f | id | data | count]
+Row layout (models/grid._pack_cand_rows_jit; cols role-major, K wide):
+  simplex: [nx_f | ny_f | nz_f | off_f | id | pdata | count]
   quad:    [nx_f | ny_f | nz_f | off_f | vtx(v,dim) | id | data | count]
-Column of role j, candidate k is ``j*K + k``.
+Column of role j, candidate k is ``j*K + k``.  Simplex ``pdata`` is
+vertex data premultiplied by the vertex's inverse height, so values
+are formed straight from margins (no inverse-height role).
 
 Semantics match ops.locate._candidates_query's XLA tile path exactly
 (m_interp_unstructured.f90:766-786 containment, :529-641 weights).
@@ -100,7 +102,7 @@ def _kernel(
 ):
     K = k_max
     is_quad = cell_type == "quad"
-    id_role = 4 * nf + (3 * npc if is_quad else nf)
+    id_role = 4 * nf + (3 * npc if is_quad else 0)
 
     # One on-chip transpose instead of lane-padding every small-K op
     GT = jnp.transpose(g_ref[:])  # (W, T)
@@ -157,6 +159,8 @@ def _kernel(
         vals_ref[:] = jnp.zeros_like(vals_ref)
         return
 
+    data_role0 = id_role + 1
+    rows = []
     if is_quad:
         v0 = 4 * nf  # first vertex role
         p = [
@@ -164,21 +168,23 @@ def _kernel(
             for v in range(npc)
         ]
         w = _quad_weights_rows(p, (rx, ry, rz))
+        for slot in var_slots:
+            acc = w[0] * pick(role(data_role0 + slot * npc))
+            for v in range(1, npc):
+                acc = acc + w[v] * pick(role(data_role0 + slot * npc + v))
+            rows.append(acc)
     else:
-        # barycentric: weight of vertex v = margin of face (v+1)%npc
-        # times that face's fused inverse height
-        w = [
-            pick(m_faces[(v + 1) % npc] * role(4 * nf + (v + 1) % npc))
-            for v in range(npc)
-        ]
-
-    data_role0 = id_role + 1
-    rows = []
-    for slot in var_slots:
-        acc = w[0] * pick(role(data_role0 + slot * npc))
-        for v in range(1, npc):
-            acc = acc + w[v] * pick(role(data_role0 + slot * npc + v))
-        rows.append(acc)
+        # barycentric straight from margins: the packed data of vertex
+        # v is PREMULTIPLIED by its inverse height at build time
+        # (models/grid._pack_cand_rows_jit), so the weight of vertex v
+        # is just the margin of face (v+1)%npc
+        for slot in var_slots:
+            dr = data_role0 + slot * npc
+            acc = None
+            for v in range(npc):
+                term = m_faces[(v + 1) % npc] * role(dr + v)
+                acc = term if acc is None else acc + term
+            rows.append(pick(acc))
     vals_ref[:] = jnp.concatenate(rows, axis=0)
 
 

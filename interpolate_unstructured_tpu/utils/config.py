@@ -91,6 +91,16 @@ class IUConfig:
     # fallback walks).  7 lets f32 quads (29+4*nv floats/candidate)
     # keep one fused variable; 2D bins rarely exceed 4-5 cells anyway.
     cand_min_k: int = 7
+    # Cover-all rows: when the worst bin's COMPLETE candidate list fits
+    # a row of at most this many bytes, K widens to that worst count
+    # and the overflow machinery (extension table, miss compaction,
+    # fallback probe) vanishes from the query path entirely — every
+    # miss is exact.  Random row gathers on v5e are per-row
+    # issue-bound, NOT bandwidth-bound (640 B and 1024 B rows cost the
+    # same ~10.5 ms/1M; benchmarks/RESULTS.md round 3), so doubling the
+    # row is nearly free while the fallback it deletes costs ~2-3
+    # ms/1M.  Set to 0 to disable (always use K from cand_row_bytes).
+    cand_cover_row_bytes: int = 2048
     # Candidate-bin construction backend: "auto" runs the device
     # pipeline (ops/cand_build.py, ~50x the single-core host loop on
     # million-cell meshes) above the cell-count threshold and the host
@@ -114,7 +124,14 @@ class IUConfig:
     # candidate kernel: 17.3 -> 14.0 ms/1M end-to-end.  128k-row chunks
     # (128 MB, no VMEM headroom left) lose the entire win; the benefit
     # survives the sequential lax.map path used above 32 chunks.
-    cand_chunk_queries: int = 1 << 16
+    # The chunk is therefore sized in gathered BYTES and divided by the
+    # grid's physical row width at query time (locate._cand_chunk):
+    # 1 KB rows -> 64k queries, 2 KB cover rows -> 32k.
+    cand_chunk_bytes: int = 64 << 20
+    # Explicit per-chunk query count; None derives it from
+    # cand_chunk_bytes (the default, keeps the VMEM-resident regime
+    # across row widths).
+    cand_chunk_queries: int | None = None
 
     # Two-phase walk: run phase1 steps on the full batch, then compact
     # the (few) still-walking queries into a batch//divisor buffer so

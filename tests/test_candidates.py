@@ -294,3 +294,39 @@ def test_empty_ivars_and_unfused_set_point_data():
         2.0 * np.asarray(rf.sum(1))[np.asarray(f)],
         atol=1e-4,
     )
+
+
+def test_cover_all_rows():
+    """When the worst bin's complete list fits cand_cover_row_bytes, K
+    widens to that count: no extension table, no fallback machinery,
+    found-ness and values exact (the layout the 1M-cell bench hits)."""
+    pts, cells, nbrs = meshgen.tet_box_mesh(8, 8, 8)
+    kw = dict(point_data={"Polynomial": pts.sum(1) + 1.0})
+    g_brute = iu.build_grid(
+        pts, cells, nbrs, "tetra", locate_mode="bruteforce", **kw
+    )
+    # f64 under the test conftest: a covering row for the worst 24-cell
+    # bin needs 505 doubles, so budget 4 KB (the f32 default covers the
+    # same mesh at 2 KB)
+    cfg = IUConfig(cand_cover_row_bytes=4096)
+    g = iu.build_grid(
+        pts, cells, nbrs, "tetra", locate_mode="walk", config=cfg, **kw
+    )
+    max_count = int(np.asarray(g.cand_count).max())
+    assert g.cand_ids.shape[1] == max_count  # widened to the worst bin
+    assert g.cand_ext_table is None and g.cand_ext_covers
+    # one fused variable survived the widening
+    from interpolate_unstructured_tpu.models.grid import cand_fused_nv
+
+    assert cand_fused_nv(g) == 1
+
+    rng = np.random.default_rng(46)
+    r = jnp.asarray(
+        _mixed_queries(rng, 4096, np.zeros(3), np.ones(3)), g.dtype
+    )
+    found = _check_parity(g, g_brute, r)
+    vals, _, f = jax.jit(lambda g, r: iu.interpolate_scalar_at(g, r, 0))(g, r)
+    exact = np.asarray(r).sum(1) + 1.0
+    np.testing.assert_allclose(
+        np.asarray(vals)[found], exact[found], atol=1e-12
+    )

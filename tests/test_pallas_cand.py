@@ -22,7 +22,7 @@ def _count_col(grid):
     nf, npc = grid.n_faces_per_cell, grid.n_points_per_cell
     k = grid.cand_ids.shape[1]
     is_quad = grid.cell_type == "quad"
-    data_role0 = 4 * nf + (3 * npc if is_quad else nf) + 1
+    data_role0 = 4 * nf + (3 * npc if is_quad else 0) + 1
     return k * (data_role0 + npc * cand_fused_nv(grid))
 
 
