@@ -290,9 +290,54 @@ def interpolate_at_icell_acc(grid, r_hi, i_vars, i_cell, r_lo=None):
     if any(v >= nv or v < -nv for v in i_vars):
         raise ValueError("i_vars outside the live point-data range")
     i_vars = tuple(v % max(nv, 1) for v in i_vars)  # python-style wrap
-    g = grid.acc_table[jnp.maximum(i_cell, 0)]
     if r_lo is None:
         r_lo = jnp.zeros_like(r_hi)
+
+    if jax.default_backend() == "tpu":
+        # The df32 DAG is ~2000 elementwise nodes — XLA splits it into
+        # hundreds of fusions and spills every (B,) temporary to HBM
+        # (~29 ms/1M of pure math).  The Pallas kernel holds the whole
+        # computation per query tile in VMEM (see ops/pallas_acc.py).
+        from . import pallas_acc
+
+        b = r_hi.shape[0]
+        # Chunk so the gathered rows + kernel stay VMEM-resident (the
+        # candidate-probe regime, locate._cand_chunk).
+        chunk = 1 << 16
+
+        def tile(rh_t, rl_t, ic):
+            rows = grid.acc_table[jnp.maximum(ic, 0)]
+            return pallas_acc.interp_acc_rows(
+                rows, rh_t, rl_t, cell_type=grid.cell_type,
+                npc=npc, nv=nv, i_vars=i_vars,
+            )
+
+        if b > chunk:
+            pad = (-b) % chunk
+            rh_t = jnp.pad(r_hi, ((0, pad), (0, 0))).T
+            rl_t = jnp.pad(r_lo, ((0, pad), (0, 0))).T
+            icp = jnp.pad(jnp.maximum(i_cell, 0), (0, pad))
+            vh, vl = jax.lax.map(
+                lambda t: tile(*t),
+                (
+                    jnp.moveaxis(rh_t.reshape(3, -1, chunk), 1, 0),
+                    jnp.moveaxis(rl_t.reshape(3, -1, chunk), 1, 0),
+                    icp.reshape(-1, chunk),
+                ),
+            )
+            n_out = vh.shape[1]
+            vh = jnp.moveaxis(vh, 1, 0).reshape(n_out, -1)[:, :b]
+            vl = jnp.moveaxis(vl, 1, 0).reshape(n_out, -1)[:, :b]
+        else:
+            vh, vl = tile(r_hi.T, r_lo.T, i_cell)
+        return vh.T, vl.T
+    return _interp_acc_tile(grid, r_hi, i_vars, i_cell, r_lo)
+
+
+def _interp_acc_tile(grid, r_hi, i_vars, i_cell, r_lo):
+    npc = grid.n_points_per_cell
+    nv = grid.n_point_data
+    g = grid.acc_table[jnp.maximum(i_cell, 0)]
 
     def col(j):
         return g[:, j]

@@ -222,3 +222,50 @@ def test_acc_host_f64_split_without_x64(test_data_dir):
     np.testing.assert_array_equal(np.asarray(vh1), np.asarray(vh2))
     np.testing.assert_array_equal(np.asarray(vl1), np.asarray(vl2))
     np.testing.assert_array_equal(np.asarray(ic1), np.asarray(ic2))
+
+
+@pytest.mark.parametrize("mesh", ["triangle.vtu", "quad.vtu", "tetra.vtu"])
+def test_pallas_acc_kernel_matches_f64(test_data_dir, mesh):
+    """The fused Pallas df32 kernel (interpret mode on CPU) must hit
+    the same ~1e-12 accuracy vs the f64 reference as the XLA tile.
+
+    NOT a bit-parity test against the XLA tile: XLA contracts mul+add
+    into FMA when it compiles a fused graph, which (harmlessly —
+    FMA residuals are exact) perturbs the df32 lo terms at ~2^-48, so
+    eager and jitted evaluations of the same df32 code differ by an
+    ulp.  Truth is the f64 interpolation at the same cells."""
+    from interpolate_unstructured_tpu.ops import interp_acc, locate, pallas_acc
+
+    g32, g64, ivar = _f32_and_f64_grids(test_data_dir, mesh, 21)
+    rng = np.random.default_rng(22)
+    r = sample_points(rng, g32.rmin, g32.rmax, 700).astype(np.float32)
+    r_hi = jnp.asarray(r)
+    r_lo = jnp.zeros_like(r_hi)
+
+    ic, found = locate.get_cell(g32, r_hi)
+    ic = jnp.maximum(ic, 0)
+    truth = np.asarray(
+        iu.interpolate_at_icell(
+            g64, jnp.asarray(r, jnp.float64), jnp.asarray([ivar]), ic
+        )
+    )[:, 0]
+    scale = max(1.0, np.abs(truth[np.asarray(found)]).max())
+
+    rows = g32.acc_table[ic]
+    vh_p, vl_p = pallas_acc.interp_acc_rows(
+        rows, r_hi.T, r_lo.T,
+        cell_type=g32.cell_type, npc=g32.n_points_per_cell,
+        nv=g32.n_point_data, i_vars=(ivar,), interpret=True,
+    )
+    got = np.asarray(vh_p[0], np.float64) + np.asarray(vl_p[0], np.float64)
+    f = np.asarray(found)
+    err_kernel = np.abs(got[f] - truth[f]).max() / scale
+    assert err_kernel < 2e-12, f"pallas df32 kernel drifted: {err_kernel}"
+
+    # the XLA tile meets the same bound on the same queries
+    vh_x, vl_x = interp_acc._interp_acc_tile(g32, r_hi, (ivar,), ic, r_lo)
+    got_x = np.asarray(vh_x[:, 0], np.float64) + np.asarray(
+        vl_x[:, 0], np.float64
+    )
+    err_tile = np.abs(got_x[f] - truth[f]).max() / scale
+    assert err_tile < 2e-12, f"XLA df32 tile drifted: {err_tile}"
