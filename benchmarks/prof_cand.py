@@ -83,24 +83,39 @@ def main():
     from interpolate_unstructured_tpu.models.grid import cand_fused_nv
     from interpolate_unstructured_tpu.ops import pallas_cand
 
+    from interpolate_unstructured_tpu.models.grid import (
+        _qcand_floats_per, cand_is_quantized)
+
     nf = grid.n_faces_per_cell
     npc = grid.n_points_per_cell
     k_max = grid.cand_ids.shape[1]
     nv = cand_fused_nv(grid)
-    is_quad = grid.cell_type == "quad"
-    id_role = 4 * nf + (3 * npc if is_quad else 0)
-    count_col = k_max * (id_role + 1 + npc * nv)
+    quantized = cand_is_quantized(grid.cell_type, grid.dtype, grid.config)
+    if quantized:
+        count_col = k_max * _qcand_floats_per(grid.cell_type, nv)
+    else:
+        is_quad = grid.cell_type == "quad"
+        id_role = 4 * nf + (3 * npc if is_quad else 0)
+        count_col = k_max * (id_role + 1 + npc * nv)
 
-    eps = grid.config.eps_inside
+    eps = grid.config.eps_inside + grid.cand_qeps
+
+    def queries_t(rt_t):
+        if not quantized:
+            return locate._cand_bin_index_t(grid, rt_t), rt_t
+        ijk = locate._cand_bin_ijk_t(grid, rt_t)
+        nby, nbz = grid.cand_shape[1], grid.cand_shape[2]
+        idx = (ijk[0] * nby + ijk[1]) * nbz + ijk[2]
+        return idx, locate._cand_local_t(grid, rt_t, ijk)
 
     def phase0(grid, r, n):
         def body(i, carry):
             r, acc = carry
-            rt_t = r.T
-            idx = locate._cand_bin_index_t(grid, rt_t)
+            idx, rq_t = queries_t(r.T)
             id_best, _, _ = pallas_cand.cand_rows_query(
-                grid, grid.cand_table, idx, rt_t, (), count_col,
-                eps, k_max, k_max=k_max,
+                grid, grid.cand_table, idx, rq_t, (), count_col,
+                eps, k_max, k_max=k_max, quantized=quantized,
+                nv_fused=nv,
             )
             return (dep(r, id_best), acc + id_best[0])
         _, acc = lax.fori_loop(0, n, body, (r, jnp.zeros((), jnp.int32)))
@@ -110,11 +125,11 @@ def main():
     def phase0v(grid, r, n):
         def body(i, carry):
             r, acc = carry
-            rt_t = r.T
-            idx = locate._cand_bin_index_t(grid, rt_t)
+            idx, rq_t = queries_t(r.T)
             _, _, vals = pallas_cand.cand_rows_query(
-                grid, grid.cand_table, idx, rt_t, (0,), count_col,
-                eps, k_max, k_max=k_max,
+                grid, grid.cand_table, idx, rq_t, (0,), count_col,
+                eps, k_max, k_max=k_max, quantized=quantized,
+                nv_fused=nv,
             )
             return (dep(r, vals[0]), acc + vals[0, 0])
         _, acc = lax.fori_loop(0, n, body, (r, jnp.zeros((), grid.dtype)))
@@ -152,10 +167,11 @@ def main():
 
     def phase0_chunked(grid, r, n):
         def tile(rt_t):
-            idx = locate._cand_bin_index_t(grid, rt_t)
+            idx, rq_t = queries_t(rt_t)
             id_best, aux, _ = pallas_cand.cand_rows_query(
-                grid, grid.cand_table, idx, rt_t, (), count_col,
-                eps, k_max, k_max=k_max,
+                grid, grid.cand_table, idx, rq_t, (), count_col,
+                eps, k_max, k_max=k_max, quantized=quantized,
+                nv_fused=nv,
             )
             return id_best + aux
 

@@ -69,6 +69,7 @@ UNDEFINED_NAME = "UNDEFINED_NAME"
         "bin_shape",
         "cand_shape",
         "cand_ext_covers",
+        "cand_qeps",
         "kd_max_depth",
         "point_data_names",
         "cell_data_names",
@@ -141,6 +142,10 @@ class UGrid:
     # True when every bin's candidate count fits K + k_ext, i.e. the
     # extension probe is exhaustive and no residual walk can be needed
     cand_ext_covers: bool = True
+    # Quantized-probe margin fuzz bound (0.0 for f32/f64 row layouts):
+    # added to the inside tolerance so interior points can never be
+    # lost to int16 rounding (see IUConfig.cand_quantized)
+    cand_qeps: float = 0.0
     kd_max_depth: int = 0  # static traversal stack bound
     point_data_names: tuple = ()
     cell_data_names: tuple = ()
@@ -447,6 +452,19 @@ def _make_cover_ok(cell_type, dtype, config, nv, k_max):
     its = jnp.dtype(dtype).itemsize
     cfg_f = config.cand_row_bytes // its
     cov_f = config.cand_cover_row_bytes // its
+    if cand_is_quantized(cell_type, dtype, config):
+        # Quantized grids reconstruct nv deterministically from the
+        # current config (cand_fused_nv), so the derivation-hole check
+        # below doesn't apply — widening is allowed whenever the
+        # widened row fits either budget.
+        pern = _qcand_floats_per(cell_type, nv)
+
+        def cover_ok_q(max_count: int) -> bool:
+            if cov_f <= 0 or max_count <= k_max:
+                return False
+            return pern * max_count + 2 <= max(cfg_f, cov_f)
+
+        return cover_ok_q
     pern = _cand_floats_per(cell_type, nv)
     per0 = _cand_floats_per(cell_type, 0)
 
@@ -508,6 +526,28 @@ def build_candidate_bins_dispatch(
     return res
 
 
+def cand_is_quantized(cell_type: str, dtype, config) -> bool:
+    """Whether this grid's candidate rows use the int16-quantized
+    layout (IUConfig.cand_quantized).  Simplices only: the quad
+    inverse-bilinear weights need f32 vertices, and f64 grids keep the
+    f64 layout (quantization fuzz would dwarf their tolerance)."""
+    return bool(
+        config.cand_quantized
+        and cell_type in ("triangle", "tetra")
+        and jnp.dtype(dtype) == jnp.float32
+    )
+
+
+def _qcand_floats_per(cell_type: str, nv: int) -> int:
+    """Floats per candidate in a QUANTIZED row (_pack_qcand_rows_jit):
+    ceil(3nf/2) int16-pair normal slots + ceil(nf/2) local-offset
+    slots + one f32 value plane (gx, gy, gz, c) per fused variable +
+    id.  Rows also carry TWO trailing columns (count, dscale) instead
+    of one — capacity callers use overhead 2."""
+    nf = geometry.N_POINTS_PER_CELL[cell_type]
+    return -(-3 * nf // 2) + -(-nf // 2) + 4 * nv + 1
+
+
 def _cand_floats_per(cell_type: str, nv: int) -> int:
     """Floats per candidate in a fused row (see _pack_cand_rows_jit).
 
@@ -540,14 +580,129 @@ def candidate_row_capacity(cell_type, dtype, config, n_point_data=0):
     """
     row_floats = config.cand_row_bytes // jnp.dtype(dtype).itemsize
     min_k = max(1, config.cand_min_k)
+    if cand_is_quantized(cell_type, dtype, config):
+        per_fn, overhead = _qcand_floats_per, 2
+    else:
+        per_fn, overhead = _cand_floats_per, 1
     for nv in range(n_point_data, -1, -1):
-        k = (row_floats - 1) // _cand_floats_per(cell_type, nv)
+        k = (row_floats - overhead) // per_fn(cell_type, nv)
         if k >= min_k or nv == 0:
             return k, nv
     return 0, 0
 
 
-def _pack_cand_rows(grid: UGrid, ids, count_vals, row_floats, nv):
+QCAND_NSCALE = 32767.0  # int16 full scale for unit normal components
+
+
+def _pack_i16_pairs(comp):
+    """(n, K, m) int32 in [-32767, 32767] -> (n, K, ceil(m/2)) f32
+    words: two int16 halves per 4-byte slot (lo = even comp, hi = odd),
+    bitcast so the slot rides the f32 row unchanged."""
+    m = comp.shape[-1]
+    if m % 2:
+        comp = jnp.pad(comp, ((0, 0), (0, 0), (0, 1)))
+    lo = comp[..., 0::2] & 0xFFFF
+    hi = comp[..., 1::2] & 0xFFFF
+    return jax.lax.bitcast_convert_type(lo | (hi << 16), jnp.float32)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cell_type", "row_floats", "nv", "dtype"),
+)
+def _pack_qcand_rows_jit(
+    face_normals, face_offsets, cell_points, cells, point_data,
+    ids, count_vals, centers, *, cell_type, row_floats, nv, dtype
+):
+    """Quantized candidate rows (simplices; see IUConfig.cand_quantized).
+
+    Role layout (K-wide roles, column role*K + k; _qcand_floats_per):
+
+      [qn (ceil(3nf/2) int16-pair slots) | qd (ceil(nf/2) slots)
+       | plane (gx gy gz c) per fused var | id] * K  | count | dscale
+
+    ``qn`` = round(n * 32767) of the unit face normals, face-major
+    component order (f*3 + d).  ``qd`` = round(d_local / dscale) with
+    ``d_local = off_f - n_f . c_bin`` the face offset in the query
+    bin's local frame (centers passed per row; the query side computes
+    r_local = r - c_bin with the SAME formula,
+    geometry.cand_bin_center_cols) and ``dscale`` the row's max
+    |d_local| / 32767.  The probe margin is then
+    ``qd * dscale - (qn . r_local) / 32767`` — an exactly-representable
+    plane within ~h/2e4 of the true face (the fuzz bound rides the
+    grid as cand_qeps and widens the inside tolerance).
+
+    Values come from exact f32 per-cell planes: for a simplex the
+    interpolant is linear, value(r) = g . r_local + c with
+    g = -sum_v (data_v - mean) * inv_height_v * n_f(v) (mean-shifted so
+    no 1/h cancellation inflates f32 rounding) and c anchored at the
+    bin center.  Invalid (padding) slots keep id -1; the kernel masks
+    their margins by the id sign, so no huge-offset encoding is needed
+    (int16 cannot hold one)."""
+    n_rows, k_max = ids.shape
+    nf = geometry.N_POINTS_PER_CELL[cell_type]
+    npc = cell_points.shape[1]
+
+    safe = jnp.maximum(ids, 0)
+    valid = ids >= 0
+    normals = face_normals[safe]  # (n, K, nf, 3)
+    offs = face_offsets[safe]  # (n, K, nf)
+
+    d_loc = offs - (normals * centers[:, None, None, :]).sum(-1)
+    absd = jnp.where(valid[..., None], jnp.abs(d_loc), 0.0)
+    ds = absd.max(axis=(1, 2)) / QCAND_NSCALE  # (n,)
+    ds_safe = jnp.maximum(ds, jnp.asarray(np.finfo(np.float32).tiny))
+    qd = jnp.clip(
+        jnp.round(d_loc / ds_safe[:, None, None]), -32767, 32767
+    ).astype(jnp.int32)
+    qn = jnp.clip(
+        jnp.round(normals * QCAND_NSCALE), -32767, 32767
+    ).astype(jnp.int32)
+
+    def roles(x):  # (n_rows, K, m) -> (n_rows, m*K), column = j*K + k
+        return x.transpose(0, 2, 1).reshape(n_rows, -1)
+
+    parts = [
+        roles(_pack_i16_pairs(qn.reshape(n_rows, k_max, nf * 3))),
+        roles(_pack_i16_pairs(qd)),
+    ]
+    if nv:
+        cp = cell_points[safe]  # (n, K, npc, 3)
+        fv = (jnp.arange(npc) + 1) % npc  # face paired with vertex v
+        opp = (jnp.arange(nf) - 1) % npc  # vertex opposite face f
+        p_opp = cp[:, :, opp]
+        m_opp = offs - (normals * p_opp).sum(-1)
+        inv_f = 1.0 / jnp.where(m_opp == 0, 1.0, m_opp)
+        iv_vertex = inv_f[..., fv]  # (n, K, npc)
+        n_fv = normals[:, :, fv]  # (n, K, npc, 3)
+        off_fv = offs[..., fv]  # (n, K, npc)
+
+        pd = point_data[:, :nv]
+        vtx = pd[cells[safe]]  # (n, K, npc, nv)
+        d_mean = vtx.mean(axis=2)  # (n, K, nv)
+        coef = (vtx - d_mean[:, :, None, :]) * iv_vertex[..., None]
+        # elementwise multiply-reduce per component (batched tiny
+        # einsums lower to catastrophically slow MXU loops)
+        g = [
+            -(coef * n_fv[..., d : d + 1]).sum(axis=2)  # (n, K, nv)
+            for d in range(3)
+        ]
+        c0 = (coef * off_fv[..., None]).sum(axis=2) + d_mean
+        c_loc = c0 + sum(
+            g[d] * centers[:, None, d : d + 1] for d in range(3)
+        )
+        plane = jnp.stack(g + [c_loc], axis=-1)  # (n, K, nv, 4)
+        parts.append(roles(plane.reshape(n_rows, k_max, nv * 4)))
+    parts.append(ids.astype(jnp.float32))
+    parts.append(count_vals.astype(jnp.float32)[:, None])
+    parts.append(ds.astype(jnp.float32)[:, None])
+    rows = jnp.concatenate(parts, axis=1)
+    pad = max(row_floats, rows.shape[1]) - rows.shape[1]
+    return jnp.pad(rows, ((0, 0), (0, pad)))
+
+
+def _pack_cand_rows(grid: UGrid, ids, count_vals, row_floats, nv,
+                    centers=None):
     """Memory-bounded wrapper: pack in row chunks (the unchunked body
     materializes ~6 vertex/plane gathers of the whole table at once —
     a ~7 GB transient on a 2M-bin table that OOMs the device during
@@ -569,6 +724,7 @@ def _pack_cand_rows(grid: UGrid, ids, count_vals, row_floats, nv):
     and dropping them would cost another whole-table slice copy."""
     chunk = 1 << 18
     n = ids.shape[0]
+    quantized = centers is not None
     args = (
         grid.face_normals, grid.face_offsets, grid.cell_points,
         grid.cells, grid.point_data,
@@ -578,16 +734,26 @@ def _pack_cand_rows(grid: UGrid, ids, count_vals, row_floats, nv):
         dtype=grid.dtype,
     )
     if n <= chunk:
+        if quantized:
+            return _pack_qcand_rows_jit(
+                *args, jnp.asarray(ids), jnp.asarray(count_vals),
+                jnp.asarray(centers), **statics
+            )
         return _pack_cand_rows_jit(
             *args, jnp.asarray(ids), jnp.asarray(count_vals), **statics
         )
     pad = (-n) % chunk
     ids = jnp.pad(jnp.asarray(ids), ((0, pad), (0, 0)), constant_values=-1)
     count_vals = jnp.pad(jnp.asarray(count_vals), (0, pad))
+    if quantized:
+        centers = jnp.pad(jnp.asarray(centers), ((0, pad), (0, 0)))
     return _pack_cand_rows_mapped(
         *args,
         ids.reshape(-1, chunk, ids.shape[1]),
         count_vals.reshape(-1, chunk),
+        (
+            centers.reshape(-1, chunk, 3) if quantized else None
+        ),
         **statics,
     ).reshape(-1, row_floats)
 
@@ -598,15 +764,25 @@ def _pack_cand_rows(grid: UGrid, ids, count_vals, row_floats, nv):
 )
 def _pack_cand_rows_mapped(
     face_normals, face_offsets, cell_points, cells, point_data,
-    ids3, cnt2, *, cell_type, row_floats, nv, dtype
+    ids3, cnt2, centers3, *, cell_type, row_floats, nv, dtype
 ):
     """lax.map over chunk-stacked (n_chunks, chunk, ...) inputs — one
     compile, one output allocation, chunk-bounded temporaries."""
+    statics = dict(
+        cell_type=cell_type, row_floats=row_floats, nv=nv, dtype=dtype
+    )
+    if centers3 is not None:
+        return jax.lax.map(
+            lambda ic: _pack_qcand_rows_jit(
+                face_normals, face_offsets, cell_points, cells,
+                point_data, ic[0], ic[1], ic[2], **statics,
+            ),
+            (ids3, cnt2, centers3),
+        )
     return jax.lax.map(
         lambda ic: _pack_cand_rows_jit(
             face_normals, face_offsets, cell_points, cells, point_data,
-            ic[0], ic[1], cell_type=cell_type, row_floats=row_floats,
-            nv=nv, dtype=dtype,
+            ic[0], ic[1], **statics,
         ),
         (ids3, cnt2),
     )
@@ -718,10 +894,31 @@ def _build_cand_tables(grid: UGrid) -> dict:
     ones."""
     k_max = grid.cand_ids.shape[1]
     nv = cand_fused_nv(grid)
+    quantized = cand_is_quantized(grid.cell_type, grid.dtype, grid.config)
     step = 512 // jnp.dtype(grid.dtype).itemsize
-    need = _cand_floats_per(grid.cell_type, nv) * k_max + 1
-    row_floats = -(-need // step) * step
+    if quantized:
+        per = _qcand_floats_per(grid.cell_type, nv)
+        overhead = 2  # count + dscale columns
+    else:
+        per = _cand_floats_per(grid.cell_type, nv)
+        overhead = 1
+    row_floats = -(-(per * k_max + overhead) // step) * step
 
+    def bin_centers(bin_idx):
+        nby, nbz = grid.cand_shape[1], grid.cand_shape[2]
+        i = bin_idx // (nby * nbz)
+        j = (bin_idx // nbz) % nby
+        k = bin_idx % nbz
+        cx, cy, cz = geometry.cand_bin_center_cols(
+            grid.cand_rmin, grid.cand_inv_h, i, j, k
+        )
+        return jnp.stack([cx, cy, cz], axis=1)
+
+    centers = (
+        bin_centers(jnp.arange(grid.cand_ids.shape[0], dtype=jnp.int32))
+        if quantized
+        else None
+    )
     if grid.cand_ext_ids is not None:
         count_enc = jnp.where(
             grid.cand_count > k_max,
@@ -732,26 +929,44 @@ def _build_cand_tables(grid: UGrid) -> dict:
         count_enc = grid.cand_count
     out = {
         "cand_table": _pack_cand_rows(
-            grid, grid.cand_ids, count_enc, row_floats, nv
+            grid, grid.cand_ids, count_enc, row_floats, nv,
+            centers=centers,
         )
     }
+    ds_max = 0.0
+    if quantized:
+        ds_max = float(out["cand_table"][:, per * k_max + 1].max())
     if grid.cand_ext_ids is not None:
         k_ext = grid.cand_ext_ids.shape[1]
-        per = _cand_floats_per(grid.cell_type, nv)
         # pad extension rows to a 512-byte multiple (fast gather DMA)
-        step = 512 // jnp.dtype(grid.dtype).itemsize
-        ext_floats = -(-(k_ext * per + 1) // step) * step
-        over_count = grid.cand_count[
-            jnp.argsort(grid.cand_ext_slot < 0, stable=True)
-        ][: grid.cand_ext_ids.shape[0]]
-        # ^ counts of the overflow bins in ext-slot order: ext_slot is
+        ext_floats = -(-(k_ext * per + overhead) // step) * step
+        over_order = jnp.argsort(grid.cand_ext_slot < 0, stable=True)[
+            : grid.cand_ext_ids.shape[0]
+        ]
+        # ^ overflow-bin indices in ext-slot order: ext_slot is
         # assigned in ascending bin order, and stable argsort of the
         # "not overflow" flag lists those bins first in that same order
+        over_count = grid.cand_count[over_order]
         out["cand_ext_table"] = _pack_cand_rows(
-            grid, grid.cand_ext_ids, over_count, ext_floats, nv
+            grid, grid.cand_ext_ids, over_count, ext_floats, nv,
+            centers=bin_centers(over_order) if quantized else None,
         )
+        if quantized:
+            ds_max = max(
+                ds_max,
+                float(out["cand_ext_table"][:, per * k_ext + 1].max()),
+            )
     else:
         out["cand_ext_table"] = None
+    if quantized:
+        # Margin fuzz bound of the quantized probe: offset rounding
+        # (0.5 dscale) + normal rounding over |r_local| <= h/2 per dim.
+        # Widens the query-side inside tolerance (ops/locate).
+        inv_h = np.asarray(grid.cand_inv_h, np.float64)
+        h_sum = float(np.where(inv_h > 0, 1.0 / np.where(inv_h > 0, inv_h, 1), 0.0).sum())
+        out["cand_qeps"] = 0.5 * ds_max + (0.25 / QCAND_NSCALE) * h_sum
+    else:
+        out["cand_qeps"] = 0.0
     return out
 
 
@@ -767,8 +982,23 @@ def cand_fused_nv(grid: UGrid) -> int:
     if grid.cand_ids is None:
         return 0
     itemsize = jnp.dtype(grid.dtype).itemsize
-    row_floats = grid.config.cand_row_bytes // itemsize
     k_max = grid.cand_ids.shape[1]
+    if cand_is_quantized(grid.cell_type, grid.dtype, grid.config):
+        # Deterministic reconstruction of the build's choice: the
+        # capacity nv survives cover-widening iff the widened row fits
+        # the larger of the two row budgets (mirrors cover_ok_q).
+        k_cfg, nv_cfg = candidate_row_capacity(
+            grid.cell_type, grid.dtype, grid.config, grid.n_point_data
+        )
+        if k_max == k_cfg:
+            return nv_cfg
+        budget = (
+            max(grid.config.cand_row_bytes, grid.config.cand_cover_row_bytes)
+            // itemsize
+        )
+        ok = _qcand_floats_per(grid.cell_type, nv_cfg) * k_max + 2 <= budget
+        return nv_cfg if ok else 0
+    row_floats = grid.config.cand_row_bytes // itemsize
     if _cand_floats_per(grid.cell_type, 0) * k_max + 1 > row_floats:
         row_floats = grid.config.cand_cover_row_bytes // itemsize
     nv = 0

@@ -155,6 +155,23 @@ def build_bin_seed_table(
         inv_h,
     )
 
+def cand_bin_center_cols(rmin, inv_h, i, j, k):
+    """Candidate-bin center components from integer bin coordinates.
+
+    THE single definition of the bin-local frame origin: the quantized
+    candidate packer (models/grid._pack_qcand_rows_jit) and the query
+    side (ops/locate) must produce bitwise-identical centers or the
+    stored local offsets drift against the query's local coordinates.
+    Inactive dims (inv_h == 0) anchor at rmin."""
+    import jax.numpy as jnp
+
+    def c(idx, d):
+        h = jnp.where(inv_h[d] > 0, 1.0 / jnp.where(inv_h[d] > 0, inv_h[d], 1.0), 0.0)
+        return rmin[d] + (idx.astype(rmin.dtype) + 0.5) * h
+
+    return c(i, 0), c(j, 1), c(k, 2)
+
+
 def _bin_grid_shape(rmin, rmax, ndim, n_bins_target):
     """Regular bin grid over the bbox: shape, sizes, inverse sizes.
 

@@ -401,12 +401,11 @@ def _cand_bin_index(grid, r):
     return _cand_bin_index_t(grid, r.T)
 
 
-def _cand_bin_index_t(grid, r_t):
-    """Candidate-bin index from TRANSPOSED queries (3, B): three (B,)
-    component computations instead of lane-padded (B, 3) ops."""
+def _cand_bin_ijk_t(grid, r_t):
+    """Clipped integer bin coordinates of TRANSPOSED queries (3, B)."""
     nbx, nby, nbz = grid.cand_shape
     shape = (nbx, nby, nbz)
-    ijk = [
+    return [
         jnp.clip(
             jnp.floor(
                 (r_t[d] - grid.cand_rmin[d]) * grid.cand_inv_h[d]
@@ -416,7 +415,27 @@ def _cand_bin_index_t(grid, r_t):
         )
         for d in range(3)
     ]
+
+
+def _cand_bin_index_t(grid, r_t):
+    """Candidate-bin index from TRANSPOSED queries (3, B): three (B,)
+    component computations instead of lane-padded (B, 3) ops."""
+    _, nby, nbz = grid.cand_shape
+    ijk = _cand_bin_ijk_t(grid, r_t)
     return (ijk[0] * nby + ijk[1]) * nbz + ijk[2]
+
+
+def _cand_local_t(grid, r_t, ijk):
+    """(idx, r_local) for the quantized probe: bin index plus queries
+    in the bin-local frame (bin centers via the shared
+    geometry.cand_bin_center_cols definition, bitwise-matching the
+    packer's)."""
+    from . import geometry as geometry_mod
+
+    cx, cy, cz = geometry_mod.cand_bin_center_cols(
+        grid.cand_rmin, grid.cand_inv_h, ijk[0], ijk[1], ijk[2]
+    )
+    return jnp.stack([r_t[0] - cx, r_t[1] - cy, r_t[2] - cz])
 
 
 def _compact_indices(mask, m):
@@ -528,7 +547,7 @@ def _quad_weights_c(px, py, pz, rx, ry, rz):
 
 
 def _probe_rows_xla(grid, g, rt_t, k, count_col, var_slots, eps,
-                    ovf_base):
+                    ovf_base, quantized=False, nv_fused=0):
     """XLA fallback for the candidate-row probe (f64 grids / non-TPU
     backends; the TPU path is ops/pallas_cand.py with identical
     semantics).  All per-tile math runs TRANSPOSED — (k, bt)
@@ -543,7 +562,12 @@ def _probe_rows_xla(grid, g, rt_t, k, count_col, var_slots, eps,
     nf = grid.n_faces_per_cell
     npc = grid.n_points_per_cell
     is_quad = grid.cell_type == "quad"
-    id_role = 4 * nf + (3 * npc if is_quad else 0)
+    s_n = -(-3 * nf // 2)
+    s_d = -(-nf // 2)
+    if quantized:
+        id_role = s_n + s_d + 4 * nv_fused
+    else:
+        id_role = 4 * nf + (3 * npc if is_quad else 0)
     data_role0 = id_role + 1
     bt = rt_t.shape[1]
     gT = g.T  # (W, bt): one transpose per tile, then sublane slices
@@ -554,11 +578,46 @@ def _probe_rows_xla(grid, g, rt_t, k, count_col, var_slots, eps,
     rx, ry, rz = rt_t[0], rt_t[1], rt_t[2]
     m_faces = []
     margins = None
-    for f in range(nf):
-        proj = role(f) * rx + role(nf + f) * ry + role(2 * nf + f) * rz
-        mf = role(3 * nf + f) - proj
-        m_faces.append(mf)
-        margins = mf if margins is None else jnp.minimum(margins, mf)
+    if quantized:
+        # int16-quantized probe in the bin-local frame (layout and
+        # semantics: models/grid._pack_qcand_rows_jit and
+        # pallas_cand._kernel — rt_t here is r_local)
+        inv = jnp.float32(1.0 / 32767.0)
+        ds = gT[count_col + 1]  # (bt,) per-row dscale
+
+        def unpack(j):
+            w = lax.bitcast_convert_type(role(j), jnp.int32)
+            # jnp shifts keep int32 under x64; >> on signed ints is
+            # arithmetic (sign-extended int16 halves)
+            lo = jnp.right_shift(jnp.left_shift(w, 16), 16)
+            hi = jnp.right_shift(w, 16)
+            return lo.astype(jnp.float32), hi.astype(jnp.float32)
+
+        comps = []
+        for s in range(s_n):
+            comps.extend(unpack(s))
+        dcomps = []
+        for s in range(s_d):
+            dcomps.extend(unpack(s_n + s))
+        idv = role(id_role)
+        for f in range(nf):
+            proj = (
+                comps[3 * f] * rx
+                + comps[3 * f + 1] * ry
+                + comps[3 * f + 2] * rz
+            ) * inv
+            mf = dcomps[f] * ds - proj
+            m_faces.append(mf)
+            margins = mf if margins is None else jnp.minimum(margins, mf)
+        margins = jnp.where(idv < 0, jnp.float32(-1e30), margins)
+    else:
+        for f in range(nf):
+            proj = (
+                role(f) * rx + role(nf + f) * ry + role(2 * nf + f) * rz
+            )
+            mf = role(3 * nf + f) - proj
+            m_faces.append(mf)
+            margins = mf if margins is None else jnp.minimum(margins, mf)
     k_best = jnp.argmax(margins, axis=0)  # (bt,)
     m_best = jnp.max(margins, axis=0)
     onehot = (
@@ -578,6 +637,18 @@ def _probe_rows_xla(grid, g, rt_t, k, count_col, var_slots, eps,
     if var_slots is None:
         return id_best, aux, jnp.zeros((0, bt), rt_t.dtype)
 
+    if quantized:
+        # exact f32 per-cell value planes: value = g . r_local + c
+        vals = []
+        for slot in var_slots:
+            pr = s_n + s_d + 4 * slot
+            vals.append(
+                pick(
+                    role(pr) * rx + role(pr + 1) * ry
+                    + role(pr + 2) * rz + role(pr + 3)
+                )
+            )
+        return id_best, aux, jnp.stack(vals, axis=0)
     if is_quad:
         vrole = 4 * nf
         px = [pick(role(vrole + v * 3 + 0)) for v in range(npc)]
@@ -666,12 +737,26 @@ def _candidates_query(grid, r, var_slots=None, max_steps=None):
     from ..models.grid import cand_fused_nv
 
     is_quad = grid.cell_type == "quad"
-    id_role = 4 * nf + (3 * npc if is_quad else 0)
-    data_role0 = id_role + 1
+    from ..models.grid import cand_is_quantized
+
+    quantized = cand_is_quantized(grid.cell_type, grid.dtype, grid.config)
     # The count column sits after the fused data columns whether or not
     # this call reads them — derive it from the physical table layout.
     nv = cand_fused_nv(grid)
-    count_col = k_max * (data_role0 + npc * nv)
+    if quantized:
+        from ..models.grid import _qcand_floats_per
+
+        count_col = k_max * _qcand_floats_per(grid.cell_type, nv)
+        per_cand = _qcand_floats_per(grid.cell_type, nv)
+        # int16 rounding makes the stored planes fuzzy within
+        # grid.cand_qeps of the true faces; widen the inside tolerance
+        # so interior points can never be lost to quantization.
+        eps = eps + grid.cand_qeps
+    else:
+        id_role = 4 * nf + (3 * npc if is_quad else 0)
+        data_role0 = id_role + 1
+        count_col = k_max * (data_role0 + npc * nv)
+        per_cand = data_role0 + npc * nv
     if var_slots is not None and any(v >= nv for v in var_slots):
         raise ValueError("var_slots outside the fused variable range")
 
@@ -696,6 +781,7 @@ def _candidates_query(grid, r, var_slots=None, max_steps=None):
             id_b, aux, vals = pallas_cand.cand_rows_query(
                 grid, tab, idx, rt_t, var_slots or (), ccol,
                 eps, ovf_base, k_max=k,
+                quantized=quantized, nv_fused=nv,
             )
             if var_slots is None:
                 return id_b, aux, jnp.zeros(
@@ -703,13 +789,18 @@ def _candidates_query(grid, r, var_slots=None, max_steps=None):
                 )
             return id_b, aux, vals
         return _probe_rows_xla(
-            grid, tab[idx], rt_t, k, ccol, var_slots, eps, ovf_base
+            grid, tab[idx], rt_t, k, ccol, var_slots, eps, ovf_base,
+            quantized=quantized, nv_fused=nv,
         )
 
     def tile_fn(rt_t):
+        ijk = _cand_bin_ijk_t(grid, rt_t)
+        nby, nbz = grid.cand_shape[1], grid.cand_shape[2]
+        idx = (ijk[0] * nby + ijk[1]) * nbz + ijk[2]
+        # the quantized probe works in the bin-local frame
+        rq_t = _cand_local_t(grid, rt_t, ijk) if quantized else rt_t
         return probe(
-            grid.cand_table, _cand_bin_index_t(grid, rt_t), rt_t,
-            k_max, count_col, k_max,
+            grid.cand_table, idx, rq_t, k_max, count_col, k_max,
         )
 
     # ONE (B, 3) -> (3, B) transpose up front; per-chunk column slices
@@ -797,12 +888,15 @@ def _candidates_query(grid, r, var_slots=None, max_steps=None):
         exact; otherwise the rare count > K + k_ext stragglers resume
         with a walk."""
         k_ext = grid.cand_ext_ids.shape[1]
-        ext_ccol = k_ext * (data_role0 + npc * nv)
+        ext_ccol = k_ext * per_cand
         # aux of an overflow miss IS the extension slot
         slots = jnp.where(active, jnp.maximum(aux[idx], 0), 0)
         # (3, m) subset via three 1-D gathers (cheap; a (m, 3) gather
         # + transpose is not)
         rt_t = jnp.stack([r_t[0][idx], r_t[1][idx], r_t[2][idx]])
+        if quantized:
+            # ext rows share the query bin's local frame
+            rt_t = _cand_local_t(grid, rt_t, _cand_bin_ijk_t(grid, rt_t))
         id2, aux2, vals2T = probe(
             grid.cand_ext_table, slots, rt_t, k_ext, ext_ccol,
             k_max + k_ext,

@@ -16,12 +16,20 @@ margins, argmax, one-hot picks, barycentric / inverse-bilinear values —
 as (K, TILE) sublane-sliced ops at full lane utilization.  Only
 ~16 B/query of results go back to HBM.
 
-Row layout (models/grid._pack_cand_rows_jit; cols role-major, K wide):
-  simplex: [nx_f | ny_f | nz_f | off_f | id | pdata | count]
+Row layouts (cols role-major, K wide; column of role j, candidate k is
+``j*K + k``):
+  f32 simplex (models/grid._pack_cand_rows_jit):
+           [nx_f | ny_f | nz_f | off_f | id | pdata | count]
   quad:    [nx_f | ny_f | nz_f | off_f | vtx(v,dim) | id | data | count]
-Column of role j, candidate k is ``j*K + k``.  Simplex ``pdata`` is
-vertex data premultiplied by the vertex's inverse height, so values
-are formed straight from margins (no inverse-height role).
+  QUANTIZED simplex (grid._pack_qcand_rows_jit, the f32 default —
+  int16 probe geometry in the query bin's local frame + exact f32
+  value planes; ~1.3-1.6x fewer row bytes and the random row gather
+  is ~94% of the cold query):
+           [qn pairs | qd pairs | (gx gy gz c)*nv | id | count | dscale]
+Simplex f32 ``pdata`` is vertex data premultiplied by the vertex's
+inverse height, so values are formed straight from margins (no
+inverse-height role).  For the quantized layout ``r_ref`` carries
+r_local = r - bin_center instead of r.
 
 Semantics match ops.locate._candidates_query's XLA tile path exactly
 (m_interp_unstructured.f90:766-786 containment, :529-641 weights).
@@ -98,11 +106,17 @@ def _quad_weights_rows(p, q):
 
 def _kernel(
     g_ref, r_ref, ic_ref, aux_ref, vals_ref,
-    *, cell_type, nf, npc, k_max, var_slots, count_col, eps, ovf_base
+    *, cell_type, nf, npc, k_max, var_slots, count_col, eps, ovf_base,
+    quantized=False, nv_fused=0
 ):
     K = k_max
     is_quad = cell_type == "quad"
-    id_role = 4 * nf + (3 * npc if is_quad else 0)
+    s_n = -(-3 * nf // 2)
+    s_d = -(-nf // 2)
+    if quantized:
+        id_role = s_n + s_d + 4 * nv_fused
+    else:
+        id_role = 4 * nf + (3 * npc if is_quad else 0)
 
     # One on-chip transpose instead of lane-padding every small-K op
     GT = jnp.transpose(g_ref[:])  # (W, T)
@@ -114,20 +128,58 @@ def _kernel(
     ry = r_ref[1:2, :]
     rz = r_ref[2:3, :]
 
-    # Margins from PRECOMPUTED unit face planes: 2 fused
-    # multiply-adds per face vs ~40 VPU ops for vertex-derived planes.
-    # A vertex-only row (17 floats/candidate, K 15 at 1 KB) was
-    # measured 8.6 ms/1M in-kernel vs 3.6 for this layout — the gather
-    # bytes saved never paid for the in-kernel cross products
-    # (benchmarks/RESULTS.md round 3).
     m_faces = []
     margins = None
-    for f in range(nf):
-        mf = role(3 * nf + f) - (
-            role(f) * rx + role(nf + f) * ry + role(2 * nf + f) * rz
-        )
-        m_faces.append(mf)
-        margins = mf if margins is None else jnp.minimum(margins, mf)
+    if quantized:
+        # int16-quantized probe (models/grid._pack_qcand_rows_jit):
+        # unit normals at 1/32767 scale, face offsets in the query
+        # bin's LOCAL frame at the row's dscale.  r_ref carries
+        # r_local = r - bin_center.  Margins are exact planes within
+        # grid.cand_qeps of the true faces; eps already includes that.
+        inv = jnp.float32(1.0 / 32767.0)
+        ds = GT[count_col + 1:count_col + 2]  # (1, T) row dscale
+
+        def unpack(j):  # slot j -> (even, odd) int16 comps as f32
+            w = jax.lax.bitcast_convert_type(role(j), jnp.int32)
+            # jnp shifts keep int32 under x64 (weak-typed literals);
+            # >> on signed ints is arithmetic, giving the sign-extended
+            # int16 halves
+            lo = jnp.right_shift(jnp.left_shift(w, 16), 16)
+            hi = jnp.right_shift(w, 16)
+            return lo.astype(jnp.float32), hi.astype(jnp.float32)
+
+        comps = []
+        for s in range(s_n):
+            comps.extend(unpack(s))
+        dcomps = []
+        for s in range(s_d):
+            dcomps.extend(unpack(s_n + s))
+        idv = role(id_role)
+        for f in range(nf):
+            proj = (
+                comps[3 * f] * rx
+                + comps[3 * f + 1] * ry
+                + comps[3 * f + 2] * rz
+            ) * inv
+            mf = dcomps[f] * ds - proj
+            m_faces.append(mf)
+            margins = mf if margins is None else jnp.minimum(margins, mf)
+        # padding slots carry no huge-offset sentinel (int16 can't);
+        # mask them out by the id sign instead
+        margins = jnp.where(idv < 0, jnp.float32(-1e30), margins)
+    else:
+        # Margins from PRECOMPUTED unit face planes: 2 fused
+        # multiply-adds per face vs ~40 VPU ops for vertex-derived
+        # planes.  A vertex-only row (17 floats/candidate, K 15 at
+        # 1 KB) was measured 8.6 ms/1M in-kernel vs 3.6 for this
+        # layout — the gather bytes saved never paid for the in-kernel
+        # cross products (benchmarks/RESULTS.md round 3).
+        for f in range(nf):
+            mf = role(3 * nf + f) - (
+                role(f) * rx + role(nf + f) * ry + role(2 * nf + f) * rz
+            )
+            m_faces.append(mf)
+            margins = mf if margins is None else jnp.minimum(margins, mf)
 
     k_best = jnp.argmax(margins, axis=0, keepdims=True).astype(jnp.int32)
     m_best = jnp.max(margins, axis=0, keepdims=True)
@@ -161,6 +213,17 @@ def _kernel(
 
     data_role0 = id_role + 1
     rows = []
+    if quantized:
+        # Exact f32 per-cell value planes: value = g . r_local + c
+        for slot in var_slots:
+            pr = s_n + s_d + 4 * slot
+            val = (
+                role(pr) * rx + role(pr + 1) * ry + role(pr + 2) * rz
+                + role(pr + 3)
+            )
+            rows.append(pick(val))
+        vals_ref[:] = jnp.concatenate(rows, axis=0)
+        return
     if is_quad:
         v0 = 4 * nf  # first vertex role
         p = [
@@ -197,7 +260,8 @@ def supported(grid) -> bool:
 
 def cand_rows_query(grid, table, idx, rt_t, var_slots, count_col,
                     eps, ovf_base, k_max=None, tile: int = 1024,
-                    interpret: bool | None = None):
+                    interpret: bool | None = None,
+                    quantized: bool = False, nv_fused: int = 0):
     """Gather candidate rows and run the kernel over them.
 
     The gather happens HERE so tile-alignment padding applies to the
@@ -251,6 +315,8 @@ def cand_rows_query(grid, table, idx, rt_t, var_slots, count_col,
         count_col=count_col,
         eps=float(eps),
         ovf_base=int(ovf_base),
+        quantized=bool(quantized),
+        nv_fused=int(nv_fused),
     )
 
     n_tiles = b_pad // tile

@@ -79,6 +79,18 @@ class IUConfig:
     cand_bins_per_cell: float = 2.0
     cand_max_bins: int = 1 << 22
     cand_row_bytes: int = 1024
+    # Quantized candidate rows (f32 tri/tet grids): the probe geometry
+    # is stored as int16 — unit face normals at a fixed 1/32767 scale
+    # and face offsets in the query bin's LOCAL frame at a per-row
+    # scale — while interpolation comes from exact f32 per-cell value
+    # PLANES (value = g . r_local + c, linear for simplices).  13 vs 21
+    # floats per tet candidate cuts the gathered row ~1.5-2x, and the
+    # random row gather is ~94% of the cold query cost
+    # (benchmarks/RESULTS.md).  The quantization fuzz (~h/2e4, grid
+    # scalar cand_qeps) widens the inside tolerance: sub-fuzz boundary
+    # verdicts may differ from the f32 planes, interior points never
+    # (their true margin >= 0 keeps every containing cell in reach).
+    cand_quantized: bool = True
     # Overflow bins store their remaining candidates (rank K..K+k_ext)
     # in an extension table probed by the same kernel — the cold path
     # never walks unless a bin exceeds K + cand_ext_max_k candidates.

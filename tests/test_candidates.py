@@ -272,11 +272,17 @@ def test_empty_ivars_and_unfused_set_point_data():
 
     from interpolate_unstructured_tpu.models.grid import cand_fused_nv
 
-    # f32 rows fuse the leading variable (f64 rows are too narrow)
+    # f32 rows fuse the leading variable (f64 rows are too narrow).
+    # Legacy (unquantized) layout here: its 21-float candidates cannot
+    # fuse a second variable, which is what the no-repack-for-unfused
+    # assertion below relies on (quantized 13-float candidates CAN fuse
+    # it — covered separately at the end).
+    from interpolate_unstructured_tpu.utils.config import IUConfig
+
     gf = iu.build_grid(
         pts, cells, nbrs, "tetra",
         point_data={"Polynomial": pts.sum(1) + 1.0}, locate_mode="walk",
-        dtype=jnp.float32,
+        dtype=jnp.float32, config=IUConfig(cand_quantized=False),
     )
     assert cand_fused_nv(gf) >= 1
     g2, i_v = iu.add_point_data(gf, "extra", np.zeros(gf.n_points))
@@ -292,6 +298,25 @@ def test_empty_ivars_and_unfused_set_point_data():
     np.testing.assert_allclose(
         np.asarray(v)[np.asarray(f)],
         2.0 * np.asarray(rf.sum(1))[np.asarray(f)],
+        atol=1e-4,
+    )
+
+    # Quantized layout: the slimmer candidates fit BOTH variables, so
+    # adding a second column fuses it (repack) and both interpolate
+    # through the fused path consistently.
+    gq = iu.build_grid(
+        pts, cells, nbrs, "tetra",
+        point_data={"Polynomial": pts.sum(1) + 1.0}, locate_mode="walk",
+        dtype=jnp.float32,
+    )
+    gq2, i_q = iu.add_point_data(
+        gq, "extra", np.asarray(pts.sum(1) * 3.0)
+    )
+    assert cand_fused_nv(gq2) == 2
+    v2, _, f2 = iu.interpolate_scalar_at(gq2, rf, i_q)
+    np.testing.assert_allclose(
+        np.asarray(v2)[np.asarray(f2)],
+        3.0 * np.asarray(rf.sum(1))[np.asarray(f2)],
         atol=1e-4,
     )
 

@@ -18,12 +18,21 @@ from interpolate_unstructured_tpu.ops import interp, locate, pallas_cand
 from interpolate_unstructured_tpu.utils import meshgen
 
 
-def _count_col(grid):
+def _layout(grid):
+    """(quantized, count_col, nv) for the grid's actual row layout."""
+    from interpolate_unstructured_tpu.models.grid import (
+        _qcand_floats_per,
+        cand_is_quantized,
+    )
+
     nf, npc = grid.n_faces_per_cell, grid.n_points_per_cell
     k = grid.cand_ids.shape[1]
+    nv = cand_fused_nv(grid)
+    if cand_is_quantized(grid.cell_type, grid.dtype, grid.config):
+        return True, k * _qcand_floats_per(grid.cell_type, nv), nv
     is_quad = grid.cell_type == "quad"
     data_role0 = 4 * nf + (3 * npc if is_quad else 0) + 1
-    return k * (data_role0 + npc * cand_fused_nv(grid))
+    return False, k * (data_role0 + npc * nv), nv
 
 
 MESHES = {
@@ -54,11 +63,17 @@ def test_pallas_cand_parity(cell_type):
         r[:, 2] = 0.0
     r = jnp.asarray(r, jnp.float32)
 
-    idx = locate._cand_bin_index(grid, r)
+    quantized, ccol, nv = _layout(grid)
+    r_t = r.T
+    ijk = locate._cand_bin_ijk_t(grid, r_t)
+    nby, nbz = grid.cand_shape[1], grid.cand_shape[2]
+    idx = (ijk[0] * nby + ijk[1]) * nbz + ijk[2]
+    rq_t = locate._cand_local_t(grid, r_t, ijk) if quantized else r_t
     K = grid.cand_ids.shape[1]
     id_best, aux, vals_t = pallas_cand.cand_rows_query(
-        grid, grid.cand_table, idx, r.T, (0,), _count_col(grid),
-        grid.config.eps_inside, K, interpret=True
+        grid, grid.cand_table, idx, rq_t, (0,), ccol,
+        grid.config.eps_inside + grid.cand_qeps, K, interpret=True,
+        quantized=quantized, nv_fused=nv,
     )
     vals = vals_t.T
     aux = np.asarray(aux)
