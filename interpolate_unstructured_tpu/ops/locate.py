@@ -971,7 +971,16 @@ def _candidates_query(grid, r, var_slots=None, max_steps=None):
             values = jnp.where(found_o[None, :], vals_o, values)
         return ic, values
 
-    ic, values = lax.cond(n_act <= m, small_path, full_path, (ic, values))
+    # Zero-miss fast branch: on well-ranked tables whole batches often
+    # resolve in phase 0, and the compacted fallback probe costs ~2-3
+    # ms/1M even when it recovers nothing (the m-lane ext gather +
+    # merge run regardless once entered).
+    ic, values = lax.cond(
+        n_act == 0,
+        lambda args: args,
+        lambda args: lax.cond(n_act <= m, small_path, full_path, args),
+        (ic, values),
+    )
     if var_slots is None:
         return ic, ic >= 0, None
     return ic, ic >= 0, values
