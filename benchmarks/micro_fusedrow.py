@@ -30,6 +30,15 @@ Semantics mirror models/grid._pack_qcand_rows_jit /
 ops/locate._probe_rows_xla; here the table is synthetic (the bench
 measures the memory system + fusion behavior, with a small numpy
 cross-check of the wiring).
+
+Variants (--variants): V2 gathers a flat (n, 384) table and reshapes
+after the gather (is slice-of-gather folding layout dependent?); V3
+forces the gather to materialize through an optimization_barrier (the
+honest cost of gather + buffer round-trip + unpadded math).  All three
+share ONE probe body (_probe_from) so they can never drift apart.
+
+PRODUCTIONIZED in round 4 as ops/fused_probe.py +
+models/grid._pack_lcand_rows (IUConfig.cand_lane_planned).
 """
 
 import argparse
@@ -44,6 +53,7 @@ from jax import lax
 K = 24
 NF = 4
 NPAIR = K * NF  # 96
+FOUND_EPS = -1e-6  # margin threshold shared by probe and oracle
 
 
 def make_table(n_rows, rng):
@@ -70,154 +80,10 @@ def make_table(n_rows, rng):
     return np.stack([p0, p1, p2], axis=1)  # (n_rows, 3, 128)
 
 
-def probe(table, idx, rt):
-    """The fused probe: table (n, 3, 128) int32, idx (B,) int32,
-    rt (3, B) local query coords.  Returns (id_best, found, value)."""
-    g = table[idx]  # (B, 3, 128) — must stay fused into the consumers
-    w0 = g[:, 0, :]
-    w1 = g[:, 1, :]
-    inv = jnp.float32(1.0 / 32767.0)
-
-    def lo(w):
-        return jnp.right_shift(jnp.left_shift(w, 16), 16).astype(jnp.float32)
-
-    def hi(w):
-        return jnp.right_shift(w, 16).astype(jnp.float32)
-
-    qnx, qny = lo(w0), hi(w0)
-    qnz, qd = lo(w1), hi(w1)
-    f32p = lax.bitcast_convert_type(g[:, 2, :], jnp.float32)
-    ds = f32p[:, 121:122]
-    rx = rt[0][:, None]
-    ry = rt[1][:, None]
-    rz = rt[2][:, None]
-    proj = (qnx * rx + qny * ry + qnz * rz) * inv
-    mf = qd * ds - proj  # (B, 128) margins for every (face, cand) pair
-    margins = jnp.minimum(
-        jnp.minimum(mf[:, 0:K], mf[:, K : 2 * K]),
-        jnp.minimum(mf[:, 2 * K : 3 * K], mf[:, 3 * K : 4 * K]),
-    )  # (B, K)
-    idv = f32p[:, 96 : 96 + K]
-    margins = jnp.where(idv < 0, jnp.float32(-1e30), margins)
-    k_best = jnp.argmax(margins, axis=1)
-    m_best = jnp.max(margins, axis=1)
-    onehot = lax.broadcasted_iota(jnp.int32, (1, K), 1) == k_best[:, None]
-
-    def pick(x):
-        return jnp.sum(jnp.where(onehot, x, 0), axis=1)
-
-    id_best = pick(idv).astype(jnp.int32)
-    val = pick(
-        f32p[:, 0:K] * rx + f32p[:, K : 2 * K] * ry
-        + f32p[:, 2 * K : 3 * K] * rz + f32p[:, 3 * K : 4 * K]
-    )
-    found = (m_best >= -1e-6) & (id_best >= 0)
-    return id_best, found, val
-
-
-def probe_np(table, idx, rt):
-    """numpy oracle for the wiring."""
-    g = table[idx]
-    w0, w1 = g[:, 0, :], g[:, 1, :]
-    lo = lambda w: ((w << 16) >> 16).astype(np.float32)
-    hi = lambda w: (w >> 16).astype(np.float32)
-    qnx, qny, qnz, qd = lo(w0), hi(w0), lo(w1), hi(w1)
-    f32p = g[:, 2, :].view(np.float32)
-    ds = f32p[:, 121:122]
-    rx, ry, rz = rt[0][:, None], rt[1][:, None], rt[2][:, None]
-    proj = (qnx * rx + qny * ry + qnz * rz) * np.float32(1 / 32767.0)
-    mf = qd * ds - proj
-    margins = np.minimum(
-        np.minimum(mf[:, 0:K], mf[:, K : 2 * K]),
-        np.minimum(mf[:, 2 * K : 3 * K], mf[:, 3 * K : 4 * K]),
-    )
-    idv = f32p[:, 96 : 96 + K]
-    margins = np.where(idv < 0, np.float32(-1e30), margins)
-    k = np.argmax(margins, axis=1)
-    b = np.arange(len(k))
-    val = (
-        f32p[b, k] * rt[0] + f32p[b, K + k] * rt[1]
-        + f32p[b, 2 * K + k] * rt[2] + f32p[b, 3 * K + k]
-    )
-    return idv[b, k].astype(np.int32), val
-
-
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--rows", type=int, default=2_000_000)
-    ap.add_argument("--queries", type=int, default=1_000_000)
-    ap.add_argument("--iters", type=int, default=20)
-    args = ap.parse_args()
-
-    rng = np.random.default_rng(0)
-
-    # wiring check on a small case (CPU-side numpy vs jitted probe)
-    small = make_table(64, rng)
-    sidx = rng.integers(0, 64, size=256).astype(np.int32)
-    srt = rng.random((3, 256), dtype=np.float32) * 1e-3
-    jid, _, jval = jax.jit(probe)(
-        jnp.asarray(small), jnp.asarray(sidx), jnp.asarray(srt)
-    )
-    nid, nval = probe_np(small, sidx, srt)
-    assert np.array_equal(np.asarray(jid), nid), "id wiring mismatch"
-    np.testing.assert_allclose(np.asarray(jval), nval, rtol=1e-5)
-    print("wiring ok")
-
-    table = jnp.asarray(make_table(args.rows, rng))
-    print(
-        f"table {table.shape} = "
-        f"{table.size * 4 / 1e9:.2f} GB, row {3 * 128 * 4} B"
-    )
-    idx = jnp.asarray(
-        rng.integers(0, args.rows, size=args.queries).astype(np.int32)
-    )
-    rt = jnp.asarray(rng.random((3, args.queries), dtype=np.float32) * 1e-3)
-
-    @jax.jit
-    def chained(table, idx, rt, n_iter):
-        # dependent iterations: fold a data-dependent perturbation into
-        # the indices so no pass can be elided or overlapped away
-        def body(i, carry):
-            acc, idx = carry
-            id_best, found, val = probe(table, idx, rt)
-            acc = acc + val.sum() + found.sum()
-            idx = (idx + id_best) % table.shape[0]
-            return acc, idx
-
-        return lax.fori_loop(0, n_iter, body, (jnp.float32(0), idx))[0]
-
-    # warm-up / compile
-    chained(table, idx, rt, 2).block_until_ready()
-    t0 = time.perf_counter()
-    out = chained(table, idx, rt, args.iters)
-    out.block_until_ready()
-    dt = time.perf_counter() - t0
-    ms_per_m = dt / args.iters / (args.queries / 1e6) * 1e3
-    print(
-        f"fused lane-planned probe: {ms_per_m:.2f} ms/1M "
-        f"({1e3 / ms_per_m * 1e6:.3e} q/s)  [{args.iters} chained iters]"
-    )
-
-
-if __name__ == "__main__":
-    main()
-
-
-def probe_flat(table2d, idx, rt):
-    """V2: flat (n, 384) table, reshape after gather — tests whether
-    slice-of-gather folding is layout dependent."""
-    g = table2d[idx].reshape(-1, 3, 128)
-    return _probe_from(g, rt)
-
-
-def probe_barrier(table2d, idx, rt):
-    """V3: one gather forced to materialize (optimization_barrier) —
-    the honest cost of gather + buffer round-trip + unpadded math."""
-    g = lax.optimization_barrier(table2d[idx]).reshape(-1, 3, 128)
-    return _probe_from(g, rt)
-
-
 def _probe_from(g, rt):
+    """THE probe body, shared by every variant: g (B, 3, 128) int32
+    lane planes, rt (3, B) local query coords.  Returns
+    (id_best, found, value)."""
     w0 = g[:, 0, :]
     w1 = g[:, 1, :]
     inv = jnp.float32(1.0 / 32767.0)
@@ -247,38 +113,126 @@ def _probe_from(g, rt):
         f32p[:, 0:K] * rx + f32p[:, K : 2 * K] * ry
         + f32p[:, 2 * K : 3 * K] * rz + f32p[:, 3 * K : 4 * K]
     )
-    found = (m_best >= -1e-6) & (id_best >= 0)
+    found = (m_best >= FOUND_EPS) & (id_best >= 0)
     return id_best, found, val
 
 
-def variants():
-    import time as _t
+def probe(table, idx, rt):
+    """V1: gather from the (n, 3, 128) lane-plane table, fused probe."""
+    return _probe_from(table[idx], rt)
+
+
+def probe_flat(table2d, idx, rt):
+    """V2: flat (n, 384) table, reshape after gather — tests whether
+    slice-of-gather folding is layout dependent."""
+    g = table2d[idx].reshape(-1, 3, 128)
+    return _probe_from(g, rt)
+
+
+def probe_barrier(table2d, idx, rt):
+    """V3: one gather forced to materialize (optimization_barrier) —
+    the honest cost of gather + buffer round-trip + unpadded math."""
+    g = lax.optimization_barrier(table2d[idx]).reshape(-1, 3, 128)
+    return _probe_from(g, rt)
+
+
+def probe_np(table, idx, rt):
+    """numpy oracle for the wiring — including the found flag (same
+    FOUND_EPS threshold and id >= 0 mask as the probe)."""
+    g = table[idx]
+    w0, w1 = g[:, 0, :], g[:, 1, :]
+    lo = lambda w: ((w << 16) >> 16).astype(np.float32)
+    hi = lambda w: (w >> 16).astype(np.float32)
+    qnx, qny, qnz, qd = lo(w0), hi(w0), lo(w1), hi(w1)
+    f32p = g[:, 2, :].view(np.float32)
+    ds = f32p[:, 121:122]
+    rx, ry, rz = rt[0][:, None], rt[1][:, None], rt[2][:, None]
+    proj = (qnx * rx + qny * ry + qnz * rz) * np.float32(1 / 32767.0)
+    mf = qd * ds - proj
+    margins = np.minimum(
+        np.minimum(mf[:, 0:K], mf[:, K : 2 * K]),
+        np.minimum(mf[:, 2 * K : 3 * K], mf[:, 3 * K : 4 * K]),
+    )
+    idv = f32p[:, 96 : 96 + K]
+    margins = np.where(idv < 0, np.float32(-1e30), margins)
+    k = np.argmax(margins, axis=1)
+    b = np.arange(len(k))
+    val = (
+        f32p[b, k] * rt[0] + f32p[b, K + k] * rt[1]
+        + f32p[b, 2 * K + k] * rt[2] + f32p[b, 3 * K + k]
+    )
+    id_best = idv[b, k].astype(np.int32)
+    found = (margins[b, k] >= FOUND_EPS) & (id_best >= 0)
+    return id_best, found, val
+
+
+def _bench(fn, tab, idx, rt, iters, nq, name):
+    @jax.jit
+    def chained(tab, idx, rt, n_iter):
+        # dependent iterations: fold a data-dependent perturbation into
+        # the indices so no pass can be elided or overlapped away
+        def body(i, carry):
+            acc, idx = carry
+            id_best, found, val = fn(tab, idx, rt)
+            acc = acc + val.sum() + found.sum()
+            idx = (idx + id_best) % tab.shape[0]
+            return acc, idx
+
+        return lax.fori_loop(0, n_iter, body, (jnp.float32(0), idx))[0]
+
+    chained(tab, idx, rt, 2).block_until_ready()
+    t0 = time.perf_counter()
+    chained(tab, idx, rt, iters).block_until_ready()
+    dt = time.perf_counter() - t0
+    ms = dt / iters / (nq / 1e6) * 1e3
+    print(f"{name}: {ms:.2f} ms/1M ({1e3 / ms * 1e6:.3e} q/s)  "
+          f"[{iters} chained iters]", flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows", type=int, default=2_000_000)
+    ap.add_argument("--queries", type=int, default=1_000_000)
+    ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--variants", action="store_true",
+                    help="also run V2 (flat+reshape) and V3 (barrier)")
+    args = ap.parse_args()
 
     rng = np.random.default_rng(0)
-    n_rows, nq, iters = 2_000_000, 1_000_000, 20
-    table = make_table(n_rows, rng)
-    t2d = jnp.asarray(table.reshape(n_rows, -1))
-    idx = jnp.asarray(rng.integers(0, n_rows, size=nq).astype(np.int32))
-    rt = jnp.asarray(rng.random((3, nq), dtype=np.float32) * 1e-3)
 
-    def bench(fn, name):
-        @jax.jit
-        def chained(tab, idx, rt, n_iter):
-            def body(i, carry):
-                acc, idx = carry
-                id_best, found, val = fn(tab, idx, rt)
-                acc = acc + val.sum() + found.sum()
-                idx = (idx + id_best) % tab.shape[0]
-                return acc, idx
+    # wiring check on a small case (CPU-side numpy vs jitted probe),
+    # including the found flag so the margin threshold is cross-checked
+    small = make_table(64, rng)
+    sidx = rng.integers(0, 64, size=256).astype(np.int32)
+    srt = rng.random((3, 256), dtype=np.float32) * 1e-3
+    jid, jfound, jval = jax.jit(probe)(
+        jnp.asarray(small), jnp.asarray(sidx), jnp.asarray(srt)
+    )
+    nid, nfound, nval = probe_np(small, sidx, srt)
+    assert np.array_equal(np.asarray(jid), nid), "id wiring mismatch"
+    assert np.array_equal(np.asarray(jfound), nfound), "found wiring mismatch"
+    np.testing.assert_allclose(np.asarray(jval), nval, rtol=1e-5)
+    print("wiring ok (id, found, value)")
 
-            return lax.fori_loop(0, n_iter, body, (jnp.float32(0), idx))[0]
+    table = jnp.asarray(make_table(args.rows, rng))
+    print(
+        f"table {table.shape} = "
+        f"{table.size * 4 / 1e9:.2f} GB, row {3 * 128 * 4} B"
+    )
+    idx = jnp.asarray(
+        rng.integers(0, args.rows, size=args.queries).astype(np.int32)
+    )
+    rt = jnp.asarray(rng.random((3, args.queries), dtype=np.float32) * 1e-3)
 
-        chained(t2d, idx, rt, 2).block_until_ready()
-        t0 = _t.perf_counter()
-        chained(t2d, idx, rt, iters).block_until_ready()
-        dt = _t.perf_counter() - t0
-        ms = dt / iters / (nq / 1e6) * 1e3
-        print(f"{name}: {ms:.2f} ms/1M ({1e3 / ms * 1e6:.3e} q/s)")
+    _bench(probe, table, idx, rt, args.iters, args.queries,
+           "V1 fused lane-planned probe")
+    if args.variants:
+        t2d = jnp.reshape(table, (args.rows, -1))
+        _bench(probe_flat, t2d, idx, rt, args.iters, args.queries,
+               "V2 flat+reshape")
+        _bench(probe_barrier, t2d, idx, rt, args.iters, args.queries,
+               "V3 barrier")
 
-    bench(probe_flat, "V2 flat+reshape")
-    bench(probe_barrier, "V3 barrier")
+
+if __name__ == "__main__":
+    main()

@@ -31,64 +31,37 @@ from . import locate
 _PRECISION = lax.Precision.HIGHEST
 
 
-def _cross(a, b):
-    """Explicit 3D cross product on the last axis.
-
-    Component-wise like the reference's cross_product (:644-651);
-    avoids jnp.cross's generic path and its extra rounding.
-    """
-    ax, ay, az = a[..., 0], a[..., 1], a[..., 2]
-    bx, by, bz = b[..., 0], b[..., 1], b[..., 2]
-    return jnp.stack(
-        [ay * bz - az * by, az * bx - ax * bz, ax * by - ay * bx], axis=-1
-    )
-
-
-def _norm(a):
-    """Plain sqrt(a.a): one rounding per element, like Fortran norm2.
-
-    jnp.linalg.norm's overflow-safe rescaling costs ~4 ulp — enough to
-    break the 1e-14 linear-exactness oracle (SURVEY.md §4).  Geometry
-    values here are O(domain size), so the naive form is safe.
-    """
-    return jnp.sqrt(jnp.sum(a * a, axis=-1))
+def _vq_components(cell_points, r, npc):
+    """(B, npc, 3) vertices + (B, 3) query -> per-component lists for
+    the shared weight kernels (ops/wkern.py).  Component slices are
+    elementwise-identical math and avoid lane-padded (B, 3) minor-dim
+    ops on TPU."""
+    v = [[cell_points[:, k, d] for d in range(3)] for k in range(npc)]
+    q = [r[:, d] for d in range(3)]
+    return v, q
 
 
 def triangle_weights(cell_points, area, r):
-    """(B,3,3) vertices, (B,) area, (B,3) query -> (B,3) weights."""
-    p = cell_points
-    a0 = 0.5 * _norm(_cross(r - p[:, 1], r - p[:, 2]))
-    a1 = 0.5 * _norm(_cross(r - p[:, 2], r - p[:, 0]))
-    a2 = 0.5 * _norm(_cross(r - p[:, 0], r - p[:, 1]))
-    return jnp.stack([a0, a1, a2], axis=1) / area[:, None]
+    """(B,3,3) vertices, (B,) area, (B,3) query -> (B,3) weights.
+
+    Opposite sub-triangle areas over the cell area (:529-551); the
+    area math is the shared kernel in ops/wkern.py."""
+    from . import wkern
+
+    v, q = _vq_components(cell_points, r, 3)
+    a2 = wkern.triangle_areas2(v, q, wkern.Plain(r.dtype))
+    return jnp.stack([0.5 * a for a in a2], axis=1) / area[:, None]
 
 
 def tetra_weights(cell_points, volume, r):
-    """(B,4,3) vertices, (B,) signed volume, (B,3) query -> (B,4) weights."""
-    p = cell_points
-    v1r = r - p[:, 0]
-    v2r = r - p[:, 1]
-    v12 = p[:, 1] - p[:, 0]
-    v13 = p[:, 2] - p[:, 0]
-    v14 = p[:, 3] - p[:, 0]
-    v23 = p[:, 2] - p[:, 1]
-    v24 = p[:, 3] - p[:, 1]
+    """(B,4,3) vertices, (B,) signed volume, (B,3) query -> (B,4)
+    weights.  Signed triple products over 6*volume (:553-586); the
+    triple-product math is the shared kernel in ops/wkern.py."""
+    from . import wkern
 
-    def triple(a, b, c):
-        # elementwise dot (VPU) — batched einsum would hit the MXU as
-        # millions of tiny matmuls
-        return (a * _cross(b, c)).sum(-1)
-
-    w = jnp.stack(
-        [
-            triple(v2r, v24, v23),
-            triple(v1r, v13, v14),
-            triple(v1r, v14, v12),
-            triple(v1r, v12, v13),
-        ],
-        axis=1,
-    )
-    return w / (6.0 * volume)[:, None]
+    v, q = _vq_components(cell_points, r, 4)
+    w = wkern.tetra_triples(v, q, wkern.Plain(r.dtype))
+    return jnp.stack(w, axis=1) / (6.0 * volume)[:, None]
 
 
 def quad_weights(cell_points, r):
@@ -96,80 +69,15 @@ def quad_weights(cell_points, r):
 
     Branch-free replication of interpolate_quad (:588-641); the quad is
     assumed planar with its plane parallel to z (cross_product_z, :653).
+    The arithmetic — root choice, linear fallback, maxloc, degenerate
+    guard — is the SINGLE shared definition in ops/wkern.py, used by
+    every path (XLA, Pallas, df32) by construction.
     """
-    p = cell_points
-    q = r - p[:, 0]
-    b1 = p[:, 1] - p[:, 0]
-    b2 = p[:, 3] - p[:, 0]
-    b3 = p[:, 0] - p[:, 1] - p[:, 3] + p[:, 2]
+    from . import wkern
 
-    def cpz(a, b):
-        return a[:, 0] * b[:, 1] - a[:, 1] * b[:, 0]
-
-    qa = cpz(b2, b3)
-    qb = cpz(b3, q) - cpz(b1, b2)
-    qc = cpz(b1, q)
-    disc = qb * qb - 4.0 * qa * qc
-
-    # The reference root (-B - sqrt(disc))/2A (:612-622), evaluated
-    # cancellation-free: for qb < 0 the naive numerator loses all its
-    # bits on a near-parallelogram (qa ~ f32 rounding of b3), so use
-    # the algebraically identical qc/qq form there (qq is the stable
-    # half-sum).  The linear fallback remains only where the qb >= 0
-    # evaluation divides by a vanishing qa (the reference's |A| < 1e-20
-    # parallelogram branch, :618).  disc >= 0 analytically for points
-    # inside the quad; the clamp absorbs rounding at tangency.  All
-    # five copies of this kernel (here, locate._quad_weights_c,
-    # pallas_cand, pallas_interp, interp_acc) must agree, or the same
-    # point misinterpolates on one path only.
-    sqrt_d = jnp.sqrt(jnp.maximum(disc, 0.0))
-    qq = -0.5 * (qb + jnp.where(qb >= 0, sqrt_d, -sqrt_d))
-    # Fallback threshold RELATIVE to qb and scaled to the dtype (the
-    # reference's absolute 1e-20, :618, never fires in f32): when
-    # |qa| <~ eps|qb| the chosen root diverges as ~qb/qa, so the finite
-    # -qc/qb root is the meaningful one.
-    tiny_qa = jnp.abs(qa) <= 8.0 * jnp.finfo(r.dtype).eps * jnp.abs(qb)
-    linear = (qb >= 0) & tiny_qa
-    qa_safe = jnp.where(tiny_qa, 1.0, qa)
-    qb_safe = jnp.where(jnp.abs(qb) > 0, qb, 1.0)
-    qq_safe = jnp.where(qq == 0, 1.0, qq)
-    mu = jnp.where(
-        linear,
-        -qc / qb_safe,
-        jnp.where(qb >= 0, qq / qa_safe, qc / qq_safe),
-    )
-
-    denom = b1 + mu[:, None] * b3  # (B, 3)
-    # First-occurrence maxloc via where-chains (take_along_axis would
-    # lower to the slow per-row gather path)
-    a0, a1, a2 = (jnp.abs(denom[:, d]) for d in range(3))
-    use0 = a0 >= a1
-    d01 = jnp.where(use0, denom[:, 0], denom[:, 1])
-    q01 = jnp.where(use0, q[:, 0], q[:, 1])
-    b01 = jnp.where(use0, b2[:, 0], b2[:, 1])
-    use01 = jnp.maximum(a0, a1) >= a2
-    denom_d = jnp.where(use01, d01, denom[:, 2])
-    q_d = jnp.where(use01, q01, q[:, 2])
-    b2_d = jnp.where(use01, b01, b2[:, 2])
-    # Fully degenerate quads (all denom components zero; the reference
-    # divides by zero here, :632) return finite values instead of NaN —
-    # the guard must match in ALL four kernel copies (here,
-    # locate._quad_weights_c, pallas_cand, pallas_interp) or the same
-    # point NaNs on one path only.
-    denom_d = jnp.where(denom_d == 0, 1.0, denom_d)
-    lam = (q_d - b2_d * mu) / denom_d
-
-    # Vertex order (1,2)-(4,3): tmp1 = p1 (1-lam) + p2 lam,
-    # tmp2 = p4 (1-lam) + p3 lam, res = tmp1 (1-mu) + tmp2 mu (:634-639)
-    return jnp.stack(
-        [
-            (1 - lam) * (1 - mu),
-            lam * (1 - mu),
-            lam * mu,
-            (1 - lam) * mu,
-        ],
-        axis=1,
-    )
+    v, q = _vq_components(cell_points, r, 4)
+    w = wkern.quad_weights_generic(v, q, wkern.Plain(r.dtype))
+    return jnp.stack(w, axis=1)
 
 
 def _weights_from_geometry(cell_type, cp, vol, r):

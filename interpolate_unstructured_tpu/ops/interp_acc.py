@@ -151,120 +151,32 @@ def split_queries(r64):
 
 
 def _weights_tri_df(q, v):
-    """Unsigned sub-triangle areas (:529-551) in df32.
+    """Unsigned sub-triangle areas (:529-551) in df32 — the shared
+    kernel (ops/wkern.py) with the df32 arithmetic trait.
 
-    q: 3 df components; v: [vertex][dim] df components."""
-    def area_opposite(j, k):
-        ex = [df32.sub(q[d], v[j][d]) for d in range(3)]
-        fx = [df32.sub(q[d], v[k][d]) for d in range(3)]
-        cx, cy, cz = df32.cross(*ex, *fx)
-        s = df32.add(
-            df32.add(df32.mul(cx, cx), df32.mul(cy, cy)),
-            df32.mul(cz, cz),
-        )
-        return df32.sqrt(s)  # 2*area; the 0.5 cancels in normalization
+    q: 3 df components; v: [vertex][dim] df components.  Returns
+    2*area (the factor cancels in the sum normalization)."""
+    from . import wkern
 
-    return [area_opposite(1, 2), area_opposite(2, 0), area_opposite(0, 1)]
+    return wkern.triangle_areas2(v, q, wkern.DF())
 
 
 def _weights_tet_df(q, v):
-    """Signed triple-product weights (:553-586) in df32."""
-    def e(a, b):  # v[b] - v[a]
-        return [df32.sub(v[b][d], v[a][d]) for d in range(3)]
+    """Signed triple-product weights (:553-586) in df32 — the shared
+    kernel (ops/wkern.py) with the df32 arithmetic trait."""
+    from . import wkern
 
-    def pq(a):  # q - v[a]
-        return [df32.sub(q[d], v[a][d]) for d in range(3)]
-
-    v2r = pq(1)
-    v1r = pq(0)
-    w1 = df32.triple(*v2r, *e(1, 3), *e(1, 2))
-    w2 = df32.triple(*v1r, *e(0, 2), *e(0, 3))
-    w3 = df32.triple(*v1r, *e(0, 3), *e(0, 1))
-    w4 = df32.triple(*v1r, *e(0, 1), *e(0, 2))
-    return [w1, w2, w3, w4]
+    return wkern.tetra_triples(v, q, wkern.DF())
 
 
 def _weights_quad_df(q, v):
-    """Inverse-bilinear weights (:588-641) in df32 (branch-free)."""
-    qv = [df32.sub(q[d], v[0][d]) for d in range(3)]
-    b1 = [df32.sub(v[1][d], v[0][d]) for d in range(3)]
-    b2 = [df32.sub(v[3][d], v[0][d]) for d in range(3)]
-    # b3 = p0 - p1 + p2 - p3 (:601)
-    b3 = [
-        df32.add(
-            df32.sub(v[0][d], v[1][d]), df32.sub(v[2][d], v[3][d])
-        )
-        for d in range(3)
-    ]
+    """Inverse-bilinear weights (:588-641) in df32 — the shared kernel
+    (ops/wkern.py) with the df32 arithmetic trait, so the root choice,
+    linear fallback, maxloc, and degenerate guard are identical to the
+    fast paths by construction."""
+    from . import wkern
 
-    def cpz(a, b):
-        return df32.sub(df32.mul(a[0], b[1]), df32.mul(a[1], b[0]))
-
-    qa = cpz(b2, b3)
-    qb = df32.sub(cpz(b3, qv), cpz(b1, b2))
-    qc = cpz(b1, qv)
-    disc = df32.sub(
-        df32.mul(qb, qb), df32.scale(df32.mul(qa, qc), jnp.float32(4.0))
-    )
-    disc_h = disc[0] + disc[1]
-    disc = (
-        jnp.where(disc_h < 0, 0.0, disc[0]),
-        jnp.where(disc_h < 0, 0.0, disc[1]),
-    )
-    root = df32.sqrt(disc)
-    # Stable evaluation of the reference root in df32 — must match
-    # interp.quad_weights (see the comment there)
-    qb_h = qb[0] + qb[1]
-    pos = qb_h >= 0
-    root_s = (
-        jnp.where(pos, root[0], -root[0]),
-        jnp.where(pos, root[1], -root[1]),
-    )
-    qq = df32.scale(df32.add(qb, root_s), jnp.float32(-0.5))
-    qa_h = qa[0] + qa[1]
-    # relative threshold at df32 working precision (~2^-48)
-    tiny_qa = jnp.abs(qa_h) <= (8.0 * 2.0**-48) * jnp.abs(qb_h)
-    linear = pos & tiny_qa
-    qa_safe = (jnp.where(tiny_qa, 1.0, qa[0]), jnp.where(tiny_qa, 0.0, qa[1]))
-    qb_safe = (jnp.where(qb_h == 0, 1.0, qb[0]), jnp.where(qb_h == 0, 0.0, qb[1]))
-    qq_h = qq[0] + qq[1]
-    qq_safe = (jnp.where(qq_h == 0, 1.0, qq[0]), jnp.where(qq_h == 0, 0.0, qq[1]))
-    mu_lin = df32.div(df32.neg(qc), qb_safe)
-    mu_pos = df32.div(qq, qa_safe)
-    mu_neg = df32.div(qc, qq_safe)
-
-    def pick(c, x, y):
-        return (jnp.where(c, x[0], y[0]), jnp.where(c, x[1], y[1]))
-
-    mu = pick(linear, mu_lin, pick(pos, mu_pos, mu_neg))
-
-    d3 = [df32.add(b1[d], df32.mul(mu, b3[d])) for d in range(3)]
-    a0, a1, a2 = (jnp.abs(d3[d][0] + d3[d][1]) for d in range(3))
-    use0 = a0 >= a1
-
-    def sel(c, x, y):
-        return (jnp.where(c, x[0], y[0]), jnp.where(c, x[1], y[1]))
-
-    d01 = sel(use0, d3[0], d3[1])
-    q01 = sel(use0, qv[0], qv[1])
-    b01 = sel(use0, b2[0], b2[1])
-    use01 = jnp.maximum(a0, a1) >= a2
-    dd = sel(use01, d01, d3[2])
-    qq = sel(use01, q01, qv[2])
-    bb = sel(use01, b01, b2[2])
-    dd_h = dd[0] + dd[1]
-    dd = (jnp.where(dd_h == 0, 1.0, dd[0]), jnp.where(dd_h == 0, 0.0, dd[1]))
-    lam = df32.div(df32.sub(qq, df32.mul(bb, mu)), dd)
-
-    one = (jnp.ones_like(lam[0]), jnp.zeros_like(lam[0]))
-    il = df32.sub(one, lam)
-    im = df32.sub(one, mu)
-    return [
-        df32.mul(il, im),
-        df32.mul(lam, im),
-        df32.mul(lam, mu),
-        df32.mul(il, mu),
-    ]
+    return wkern.quad_weights_generic(v, q, wkern.DF())
 
 
 def interpolate_at_icell_acc(grid, r_hi, i_vars, i_cell, r_lo=None):

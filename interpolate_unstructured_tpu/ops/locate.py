@@ -484,65 +484,15 @@ def _compact_indices(mask, m):
 
 
 def _quad_weights_c(px, py, pz, rx, ry, rz):
-    """Inverse-bilinear quad weights in component form.
+    """Inverse-bilinear quad weights on twelve (B,) vertex-component
+    arrays (small trailing dims pad to 128 lanes on TPU and cost
+    ~10-40x their size in HBM traffic).  The arithmetic is the single
+    shared definition in ops/wkern.py (:588-641)."""
+    from . import wkern
 
-    Same arithmetic as interp.quad_weights (:588-641) but on twelve
-    (B,) vertex-component arrays instead of a (B, 4, 3) tensor — small
-    trailing dims pad to 128 lanes on TPU and cost ~10-40x their size
-    in HBM traffic.
-    """
-    qx, qy = rx - px[0], ry - py[0]
-    qz = rz - pz[0]
-    b1 = (px[1] - px[0], py[1] - py[0], pz[1] - pz[0])
-    b2 = (px[3] - px[0], py[3] - py[0], pz[3] - pz[0])
-    b3 = (
-        px[0] - px[1] - px[3] + px[2],
-        py[0] - py[1] - py[3] + py[2],
-        pz[0] - pz[1] - pz[3] + pz[2],
-    )
-
-    def cpz(ax, ay, bx, by):
-        return ax * by - ay * bx
-
-    qa = cpz(b2[0], b2[1], b3[0], b3[1])
-    qb = cpz(b3[0], b3[1], qx, qy) - cpz(b1[0], b1[1], b2[0], b2[1])
-    qc = cpz(b1[0], b1[1], qx, qy)
-    disc = qb * qb - 4.0 * qa * qc
-
-    # Stable evaluation of the reference root — must match
-    # interp.quad_weights (see the comment there)
-    sqrt_d = jnp.sqrt(jnp.maximum(disc, 0.0))
-    qq = -0.5 * (qb + jnp.where(qb >= 0, sqrt_d, -sqrt_d))
-    tiny_qa = jnp.abs(qa) <= 8.0 * jnp.finfo(rx.dtype).eps * jnp.abs(qb)
-    linear = (qb >= 0) & tiny_qa
-    qa_safe = jnp.where(tiny_qa, 1.0, qa)
-    qb_safe = jnp.where(jnp.abs(qb) > 0, qb, 1.0)
-    qq_safe = jnp.where(qq == 0, 1.0, qq)
-    mu = jnp.where(
-        linear,
-        -qc / qb_safe,
-        jnp.where(qb >= 0, qq / qa_safe, qc / qq_safe),
-    )
-
-    dx = b1[0] + mu * b3[0]
-    dy = b1[1] + mu * b3[1]
-    dz = b1[2] + mu * b3[2]
-    a0, a1, a2 = jnp.abs(dx), jnp.abs(dy), jnp.abs(dz)
-    use0 = a0 >= a1
-    d01 = jnp.where(use0, dx, dy)
-    q01 = jnp.where(use0, qx, qy)
-    b01 = jnp.where(use0, b2[0], b2[1])
-    use01 = jnp.maximum(a0, a1) >= a2
-    denom_d = jnp.where(use01, d01, dz)
-    q_d = jnp.where(use01, q01, qz)
-    b2_d = jnp.where(use01, b01, b2[2])
-    denom_d = jnp.where(denom_d == 0, 1.0, denom_d)
-    lam = (q_d - b2_d * mu) / denom_d
-    return (
-        (1 - lam) * (1 - mu),
-        lam * (1 - mu),
-        lam * mu,
-        (1 - lam) * mu,
+    v = [[px[k], py[k], pz[k]] for k in range(4)]
+    return tuple(
+        wkern.quad_weights_generic(v, (rx, ry, rz), wkern.Plain(rx.dtype))
     )
 
 

@@ -53,55 +53,12 @@ def _round_up(x, m):
 def _quad_weights_rows(p, q):
     """Inverse-bilinear quad weights on (1, T) row vectors.
 
-    ``p[v]`` = (x, y, z) rows of vertex v, ``q`` = query rows.  Same
-    arithmetic as ops.interp.quad_weights (:588-641)."""
-    qx, qy, qz = q[0] - p[0][0], q[1] - p[0][1], q[2] - p[0][2]
-    b1 = [p[1][d] - p[0][d] for d in range(3)]
-    b2 = [p[3][d] - p[0][d] for d in range(3)]
-    b3 = [p[0][d] - p[1][d] - p[3][d] + p[2][d] for d in range(3)]
+    ``p[v]`` = (x, y, z) rows of vertex v, ``q`` = query rows.  The
+    arithmetic is the single shared definition in ops/wkern.py
+    (:588-641)."""
+    from . import wkern
 
-    def cpz(ax, ay, bx, by):
-        return ax * by - ay * bx
-
-    qa = cpz(b2[0], b2[1], b3[0], b3[1])
-    qb = cpz(b3[0], b3[1], qx, qy) - cpz(b1[0], b1[1], b2[0], b2[1])
-    qc = cpz(b1[0], b1[1], qx, qy)
-    disc = qb * qb - 4.0 * qa * qc
-
-    # Stable evaluation of the reference root — must match
-    # interp.quad_weights (see the comment there)
-    sqrt_d = jnp.sqrt(jnp.maximum(disc, 0.0))
-    qq = -0.5 * (qb + jnp.where(qb >= 0, sqrt_d, -sqrt_d))
-    tiny_qa = jnp.abs(qa) <= 8.0 * jnp.finfo(qa.dtype).eps * jnp.abs(qb)
-    linear = (qb >= 0) & tiny_qa
-    qa_safe = jnp.where(tiny_qa, 1.0, qa)
-    qb_safe = jnp.where(jnp.abs(qb) > 0, qb, 1.0)
-    qq_safe = jnp.where(qq == 0, 1.0, qq)
-    mu = jnp.where(
-        linear,
-        -qc / qb_safe,
-        jnp.where(qb >= 0, qq / qa_safe, qc / qq_safe),
-    )
-
-    dx, dy, dz = (b1[d] + mu * b3[d] for d in range(3))
-    a0, a1, a2 = jnp.abs(dx), jnp.abs(dy), jnp.abs(dz)
-    # First-occurrence maxloc over the 3 components (:628-632)
-    use0 = a0 >= a1
-    d01 = jnp.where(use0, dx, dy)
-    q01 = jnp.where(use0, qx, qy)
-    b01 = jnp.where(use0, b2[0], b2[1])
-    use01 = jnp.maximum(a0, a1) >= a2
-    dd = jnp.where(use01, d01, dz)
-    qq = jnp.where(use01, q01, qz)
-    bb = jnp.where(use01, b01, b2[2])
-    dd = jnp.where(dd == 0, 1.0, dd)
-    lam = (qq - bb * mu) / dd
-    return [
-        (1 - lam) * (1 - mu),
-        lam * (1 - mu),
-        lam * mu,
-        (1 - lam) * mu,
-    ]
+    return wkern.quad_weights_generic(p, q, wkern.Plain(q[0].dtype))
 
 
 def _kernel(

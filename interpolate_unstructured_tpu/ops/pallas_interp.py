@@ -41,118 +41,44 @@ def _row(g, i):
     return g[i : i + 1, :]  # (1, TILE)
 
 
-def _cross_rows(a, b):
-    """Cross product of two (3, TILE) row stacks -> (3, TILE)."""
-    return jnp.concatenate(
-        [
-            _row(a, 1) * _row(b, 2) - _row(a, 2) * _row(b, 1),
-            _row(a, 2) * _row(b, 0) - _row(a, 0) * _row(b, 2),
-            _row(a, 0) * _row(b, 1) - _row(a, 1) * _row(b, 0),
-        ],
-        axis=0,
-    )
-
-
-def _norm_row(a):
-    return jnp.sqrt(
-        _row(a, 0) ** 2 + _row(a, 1) ** 2 + _row(a, 2) ** 2
-    )
-
-
-def _dot_rows(a, b):
-    return (
-        _row(a, 0) * _row(b, 0)
-        + _row(a, 1) * _row(b, 1)
-        + _row(a, 2) * _row(b, 2)
-    )
+def _vq_rows(g, rb, npc):
+    """Gathered payload + query rows -> per-component (1, TILE) lists
+    for the shared weight kernels (ops/wkern.py).  Row layout: vertex
+    k coords at rows [3k, 3k+3)."""
+    v = [[_row(g, 3 * k + d) for d in range(3)] for k in range(npc)]
+    q = [_row(rb, d) for d in range(3)]
+    return v, q
 
 
 def _triangle_weights_rows(g, rb):
-    """g: (K, TILE) gathered payload, rb: (3, TILE). Returns list of
-    (1, TILE) weights. Row layout: vertex k coords at rows [3k, 3k+3),
-    area at row 9.  (interpolate_triangle, :529-551)"""
-    p = [g[3 * k : 3 * k + 3, :] for k in range(3)]
+    """(interpolate_triangle, :529-551); area at row 9.  Shared
+    kernel: ops/wkern.py."""
+    from . import wkern
+
+    v, q = _vq_rows(g, rb, 3)
+    a2 = wkern.triangle_areas2(v, q, wkern.Plain(jnp.float32))
     area = _row(g, 9)
-    a0 = 0.5 * _norm_row(_cross_rows(rb - p[1], rb - p[2]))
-    a1 = 0.5 * _norm_row(_cross_rows(rb - p[2], rb - p[0]))
-    a2 = 0.5 * _norm_row(_cross_rows(rb - p[0], rb - p[1]))
-    inv = 1.0 / area
-    return [a0 * inv, a1 * inv, a2 * inv]
+    return [0.5 * a / area for a in a2]
 
 
 def _tetra_weights_rows(g, rb):
-    """(interpolate_tetrahedron, :553-586); volume at row 12."""
-    p = [g[3 * k : 3 * k + 3, :] for k in range(4)]
-    vol = _row(g, 12)
-    v1r = rb - p[0]
-    v2r = rb - p[1]
-    v12 = p[1] - p[0]
-    v13 = p[2] - p[0]
-    v14 = p[3] - p[0]
-    v23 = p[2] - p[1]
-    v24 = p[3] - p[1]
+    """(interpolate_tetrahedron, :553-586); volume at row 12.  Shared
+    kernel: ops/wkern.py."""
+    from . import wkern
 
-    def triple(a, b, c):
-        return _dot_rows(a, _cross_rows(b, c))
-
-    inv = 1.0 / (6.0 * vol)
-    return [
-        triple(v2r, v24, v23) * inv,
-        triple(v1r, v13, v14) * inv,
-        triple(v1r, v14, v12) * inv,
-        triple(v1r, v12, v13) * inv,
-    ]
+    v, q = _vq_rows(g, rb, 4)
+    w = wkern.tetra_triples(v, q, wkern.Plain(jnp.float32))
+    vol6 = 6.0 * _row(g, 12)
+    return [t / vol6 for t in w]
 
 
 def _quad_weights_rows(g, rb):
-    """Inverse bilinear (interpolate_quad, :588-641); rows as tetra."""
-    p = [g[3 * k : 3 * k + 3, :] for k in range(4)]
-    q = rb - p[0]
-    b1 = p[1] - p[0]
-    b2 = p[3] - p[0]
-    b3 = p[0] - p[1] - p[3] + p[2]
+    """Inverse bilinear (interpolate_quad, :588-641); rows as tetra.
+    Shared kernel: ops/wkern.py."""
+    from . import wkern
 
-    def cpz(a, b):
-        return _row(a, 0) * _row(b, 1) - _row(a, 1) * _row(b, 0)
-
-    qa = cpz(b2, b3)
-    qb = cpz(b3, q) - cpz(b1, b2)
-    qc = cpz(b1, q)
-    disc = qb * qb - 4.0 * qa * qc
-    # Stable evaluation of the reference root — must match
-    # interp.quad_weights (see the comment there)
-    sqrt_d = jnp.sqrt(jnp.maximum(disc, 0.0))
-    qq = -0.5 * (qb + jnp.where(qb >= 0, sqrt_d, -sqrt_d))
-    tiny_qa = jnp.abs(qa) <= 8.0 * jnp.finfo(qa.dtype).eps * jnp.abs(qb)
-    linear = (qb >= 0) & tiny_qa
-    qa_safe = jnp.where(tiny_qa, 1.0, qa)
-    qq_safe = jnp.where(qq == 0, 1.0, qq)
-    mu = jnp.where(
-        linear,
-        -qc / jnp.where(jnp.abs(qb) > 0, qb, 1.0),
-        jnp.where(qb >= 0, qq / qa_safe, qc / qq_safe),
-    )
-
-    denom = b1 + mu * b3  # (3, TILE) via broadcast of (1, TILE)
-    a0, a1, a2 = (jnp.abs(_row(denom, d)) for d in range(3))
-    # First-occurrence maxloc over the 3 components (:628-632)
-    use0 = a0 >= a1
-    d01 = jnp.where(use0, _row(denom, 0), _row(denom, 1))
-    q01 = jnp.where(use0, _row(q, 0), _row(q, 1))
-    b01 = jnp.where(use0, _row(b2, 0), _row(b2, 1))
-    use01 = jnp.maximum(a0, a1) >= a2
-    dd = jnp.where(use01, d01, _row(denom, 2))
-    qq = jnp.where(use01, q01, _row(q, 2))
-    bb = jnp.where(use01, b01, _row(b2, 2))
-    # degenerate-quad guard: keep all four kernel copies in agreement
-    dd = jnp.where(dd == 0, 1.0, dd)
-    lam = (qq - bb * mu) / dd
-    return [
-        (1 - lam) * (1 - mu),
-        lam * (1 - mu),
-        lam * mu,
-        (1 - lam) * mu,
-    ]
+    v, q = _vq_rows(g, rb, 4)
+    return wkern.quad_weights_generic(v, q, wkern.Plain(jnp.float32))
 
 
 _WEIGHTS_ROWS = {

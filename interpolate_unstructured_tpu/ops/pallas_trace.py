@@ -82,45 +82,25 @@ def _norm_rows(a):
 
 
 def _weights_rows(cell_type, P, vol, q):
-    """Interpolation weights on (1, T) rows — same arithmetic as the
-    generic kernels (ops/interp.py:56-151) so fused and unfused tracer
-    paths agree to rounding.
+    """Interpolation weights on (1, T) rows — the shared kernels in
+    ops/wkern.py, so fused and unfused tracer paths agree by
+    construction.
 
     P[v] = (x, y, z) rows of vertex v; vol = area/volume row; q = query
     rows.  Returns a list of npc weight rows."""
+    from . import wkern
+
+    v = [[P[vtx][c] for c in range(3)] for vtx in range(len(P))]
+    ar = wkern.Plain(jnp.float32)
     if cell_type == "triangle":
-        d = [tuple(q[c] - P[v][c] for c in range(3)) for v in range(3)]
-        a0 = 0.5 * _norm_rows(_cross_rows(d[1], d[2]))
-        a1 = 0.5 * _norm_rows(_cross_rows(d[2], d[0]))
-        a2 = 0.5 * _norm_rows(_cross_rows(d[0], d[1]))
-        inv = 1.0 / vol
-        return [a0 * inv, a1 * inv, a2 * inv]
+        a2 = wkern.triangle_areas2(v, q, ar)
+        return [0.5 * a / vol for a in a2]
     if cell_type == "tetra":
-        v1r = tuple(q[c] - P[0][c] for c in range(3))
-        v2r = tuple(q[c] - P[1][c] for c in range(3))
-        v12 = tuple(P[1][c] - P[0][c] for c in range(3))
-        v13 = tuple(P[2][c] - P[0][c] for c in range(3))
-        v14 = tuple(P[3][c] - P[0][c] for c in range(3))
-        v23 = tuple(P[2][c] - P[1][c] for c in range(3))
-        v24 = tuple(P[3][c] - P[1][c] for c in range(3))
-
-        def triple(a, b, c):
-            cx, cy, cz = _cross_rows(b, c)
-            return a[0] * cx + a[1] * cy + a[2] * cz
-
-        inv = 1.0 / (6.0 * vol)
-        return [
-            triple(v2r, v24, v23) * inv,
-            triple(v1r, v13, v14) * inv,
-            triple(v1r, v14, v12) * inv,
-            triple(v1r, v12, v13) * inv,
-        ]
+        w = wkern.tetra_triples(v, q, ar)
+        vol6 = 6.0 * vol
+        return [t / vol6 for t in w]
     if cell_type == "quad":
-        from .pallas_cand import _quad_weights_rows
-
-        return _quad_weights_rows(
-            [[P[v][c] for c in range(3)] for v in range(4)], q
-        )
+        return wkern.quad_weights_generic(v, q, ar)
     raise ValueError(f"Unsupported cell type {cell_type!r}")
 
 
