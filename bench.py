@@ -241,14 +241,16 @@ def large_mesh():
 
     t_cold = chain_time(grid, r, n0=1, n1=6)
 
-    # Accurate (compensated-f32) mode: f32 locate + df32 interpolation
-    # (ops/interp_acc.py).  The truth is evaluated in float64 AT the
-    # f32 query positions, so the <=1e-10 gate is exact without x64.
+    # Accurate (compensated-f32) mode: since round 4 the cold accurate
+    # query is ONE locate-fused gather from df32-value-plane candidate
+    # rows (ops/locate._candidates_query_df; built by prepare_accurate)
+    # instead of locate + a second per-cell gather + the ~2k-flop df32
+    # weight kernel.  The truth is evaluated in float64 AT the f32
+    # query positions, so the <=1e-10 gate is exact without x64.
     from interpolate_unstructured_tpu import (
-        interpolate_at_icell_acc,
+        interpolate_at_acc,
         prepare_accurate,
     )
-    from interpolate_unstructured_tpu.ops import locate as locate_mod
 
     grid = prepare_accurate(grid)
     r1 = r[:1_000_000]
@@ -258,10 +260,7 @@ def large_mesh():
 
         def body(i, carry):
             rr, acc = carry
-            ic, found = locate_mod.get_cell(g, rr)
-            vh, vl = interpolate_at_icell_acc(
-                g, rr, (0,), jnp.maximum(ic, 0)
-            )
+            vh, vl, found, ic = interpolate_at_acc(g, rr, (0,))
             dep = rr + 1e-30 * vh[:, :1].astype(rr.dtype)
             return (dep, acc + vh[0, 0])
 
@@ -281,10 +280,10 @@ def large_mesh():
     float(jacc(grid, r1, 1))
     t_acc = max((timed_acc(6) - timed_acc(1)) / 5, 1e-9)
 
-    ic_a, found_a = jax.jit(locate_mod.get_cell)(grid, r1)
-    vh, vl = jax.jit(
-        lambda g, rr, ic: interpolate_at_icell_acc(g, rr, (0,), ic)
-    )(grid, r1, jnp.maximum(ic_a, 0))
+    vh, vl, found_a, ic_a = jax.jit(
+        lambda g, rr: interpolate_at_acc(g, rr, (0,))
+    )(grid, r1)
+    assert bool(np.asarray(found_a).all())
     got = np.asarray(vh, np.float64) + np.asarray(vl, np.float64)
     truth = np.asarray(r1, np.float64).sum(axis=1) + 1.0
     acc_err = float(np.abs(got[:, 0] - truth).max())

@@ -95,12 +95,18 @@ def main():
     tab = grid.cand_table
     w1 = -(-(per * k1 + 2) // 128) * 128
 
+    # ONE column gather: per-role (n, k1) slices pad their minor dim to
+    # a full (8,128) tile each (14x, OOM on the 2M-row table); a single
+    # take along axis 1 materializes only the (n, w1) output.
+    col_idx = np.concatenate(
+        [np.arange(j * k_max, j * k_max + k1) for j in range(per)]
+        + [np.arange(per * k_max, per * k_max + 2),
+           np.zeros(w1 - (per * k1 + 2), np.int64)]
+    )
+
     @jax.jit
     def slice_t1(tab):
-        cols = [tab[:, j * k_max : j * k_max + k1] for j in range(per)]
-        cols.append(tab[:, per * k_max : per * k_max + 2])  # count, dscale
-        row = jnp.concatenate(cols, axis=1)
-        return jnp.pad(row, ((0, 0), (0, w1 - row.shape[1])))
+        return jnp.take(tab, jnp.asarray(col_idx, jnp.int32), axis=1)
 
     t1 = slice_t1(tab)
     print(f"# t1 rows {t1.shape[1]*4} B, {t1.nbytes/2**30:.2f} GiB",
@@ -143,6 +149,29 @@ def main():
 
     t = chain(t1_probe_chunked, grid, t1, r)
     print(f"t1 probe (chunk {chunk1}): {t*1e3:6.2f} ms/1M "
+          f"({1e-3/t:.3e} q/s)", flush=True)
+
+    # Full batch, NO chunking: at 512 B rows the materialized buffer is
+    # only 512 MB (write+read ~1.5 ms) while the chunked map structure
+    # costs ~4.4 ms/1M flat (sweep_chunk round 4) — skipping the chunk
+    # machinery should win at this row width.
+    def t1_probe_full(grid, t1, r, n):
+        def body(i, carry):
+            r, acc = carry
+            idx, rq_t = queries_t(r.T)
+            id_b, aux, vals = pallas_cand.cand_rows_query(
+                grid, t1, idx, rq_t, (0,), ccol1, eps, k1,
+                k_max=k1, quantized=True, nv_fused=nv,
+            )
+            v = vals[0]
+            dep = r + (5e-30 * v.sum()) * jnp.ones_like(r)
+            return (dep, acc + v[0])
+
+        _, acc = lax.fori_loop(0, n, body, (r, jnp.zeros((), grid.dtype)))
+        return acc
+
+    t = chain(t1_probe_full, grid, t1, r)
+    print(f"t1 probe (FULL batch): {t*1e3:6.2f} ms/1M "
           f"({1e-3/t:.3e} q/s)", flush=True)
 
     # ---- 3: full two-tier pipeline ----

@@ -63,6 +63,7 @@ UNDEFINED_NAME = "UNDEFINED_NAME"
         "points_lo",
         "point_data_lo",
         "acc_table",
+        "cand_df_table",
     ],
     meta_fields=[
         "cell_type",
@@ -135,6 +136,11 @@ class UGrid:
     points_lo: Any = None  # (n_points, 3) f32
     point_data_lo: Any = None  # (n_points, n_point_data) f32
     acc_table: Any = None  # (n_cells, acc_row_width) f32, derived
+    # Accurate-mode FUSED candidate rows (simplex cover grids): the
+    # quantized probe layout with df32 (hi, lo) value planes, so ONE
+    # row gather answers locate AND ~1e-13 interpolation
+    # (ops.interp_acc.prepare_accurate; derived, never checkpointed)
+    cand_df_table: Any = None  # (n_cand_bins, df_row_floats) f32
     # --- static metadata -----------------------------------------------------
     cell_type: str = "triangle"
     bin_shape: tuple = (1, 1, 1)
@@ -546,6 +552,222 @@ def _qcand_floats_per(cell_type: str, nv: int) -> int:
     of one — capacity callers use overhead 2."""
     nf = geometry.N_POINTS_PER_CELL[cell_type]
     return -(-3 * nf // 2) + -(-nf // 2) + 4 * nv + 1
+
+
+def _qdf_floats_per(cell_type: str, nv: int) -> int:
+    """Floats per candidate in an accurate-mode DF row
+    (_pack_qdf_rows_jit): the quantized probe geometry plus an (hi, lo)
+    df32 value plane — (ghx ghy ghz glx gly glz c_hi c_lo) — per fused
+    variable, plus id."""
+    nf = geometry.N_POINTS_PER_CELL[cell_type]
+    return -(-3 * nf // 2) + -(-nf // 2) + 8 * nv + 1
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cell_type", "row_floats", "nv")
+)
+def _pack_qdf_rows_jit(
+    face_normals, face_offsets, plane_hi, plane_lo,
+    ids, count_vals, centers, *, cell_type, row_floats, nv
+):
+    """Accurate-mode candidate rows: quantized int16 probe geometry
+    (identical to _pack_qcand_rows_jit) + df32 value planes.
+
+    ``plane_hi``/``plane_lo`` are the (n_cells, nv, 4) f32 split of the
+    per-cell float64 planes v(r) = g . r + c (exact for simplices —
+    barycentric interpolation is affine per cell; build_cand_df_table
+    solves them on the host in f64).  The stored offset is re-anchored
+    at the bin center IN df32: c_loc = c + g . c_bin, so the kernel
+    evaluates v = g . r_local + c_loc with r_local = r - c_bin carried
+    as an exact (hi, lo) pair — end-to-end ~2^-48 relative.
+
+    Role layout (K-wide roles, column role*K + k; _qdf_floats_per):
+      [qn | qd | (ghx ghy ghz glx gly glz ch cl) per var | id] * K
+      | count | dscale
+    """
+    from ..ops import df32
+
+    n_rows, k_max = ids.shape
+    nf = geometry.N_POINTS_PER_CELL[cell_type]
+
+    safe = jnp.maximum(ids, 0)
+    valid = ids >= 0
+    normals = face_normals[safe].astype(jnp.float32)  # (n, K, nf, 3)
+    offs = face_offsets[safe].astype(jnp.float32)  # (n, K, nf)
+    centers = centers.astype(jnp.float32)
+
+    d_loc = offs - (normals * centers[:, None, None, :]).sum(-1)
+    absd = jnp.where(valid[..., None], jnp.abs(d_loc), 0.0)
+    ds = absd.max(axis=(1, 2)) / QCAND_NSCALE  # (n,)
+    ds_safe = jnp.maximum(ds, jnp.asarray(np.finfo(np.float32).tiny))
+    qd = jnp.clip(
+        jnp.round(d_loc / ds_safe[:, None, None]), -32767, 32767
+    ).astype(jnp.int32)
+    qn = jnp.clip(
+        jnp.round(normals * QCAND_NSCALE), -32767, 32767
+    ).astype(jnp.int32)
+
+    def roles(x):  # (n_rows, K, m) -> (n_rows, m*K), column = j*K + k
+        return x.transpose(0, 2, 1).reshape(n_rows, -1)
+
+    parts = [
+        roles(_pack_i16_pairs(qn.reshape(n_rows, k_max, nf * 3))),
+        roles(_pack_i16_pairs(qd)),
+    ]
+    ph = plane_hi[safe]  # (n, K, nv, 4)
+    plo = plane_lo[safe]
+    g = [(ph[..., d], plo[..., d]) for d in range(3)]  # df pairs (n,K,nv)
+    c = (ph[..., 3], plo[..., 3])
+    # c_loc = c + g . c_bin in df32 (bin centers are exact f32 by the
+    # shared geometry.cand_bin_center_cols definition)
+    acc = c
+    for d in range(3):
+        cb = centers[:, None, None, d]
+        acc = df32.add(acc, df32.mul(g[d], (cb, jnp.zeros_like(cb))))
+    cols = jnp.stack(
+        [g[0][0], g[1][0], g[2][0], g[0][1], g[1][1], g[2][1],
+         acc[0], acc[1]],
+        axis=-1,
+    )  # (n, K, nv, 8)
+    parts.append(roles(cols.reshape(n_rows, k_max, nv * 8)))
+    parts.append(ids.astype(jnp.float32))
+    parts.append(count_vals.astype(jnp.float32)[:, None])
+    parts.append(ds.astype(jnp.float32)[:, None])
+    rows = jnp.concatenate(parts, axis=1)
+    pad = max(row_floats, rows.shape[1]) - rows.shape[1]
+    return jnp.pad(rows, ((0, 0), (0, pad)))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cell_type", "row_floats", "nv")
+)
+def _pack_qdf_rows_mapped(
+    face_normals, face_offsets, plane_hi, plane_lo,
+    ids_st, counts_st, centers_st, *, cell_type, row_floats, nv
+):
+    """Chunked df-row repack: one lax.map writing straight into the
+    single output (the eager concatenate version keeps ~3x the table
+    bytes live — see _pack_cand_rows)."""
+
+    def body(args):
+        ids_c, counts_c, centers_c = args
+        return _pack_qdf_rows_jit(
+            face_normals, face_offsets, plane_hi, plane_lo,
+            ids_c, counts_c, centers_c,
+            cell_type=cell_type, row_floats=row_floats, nv=nv,
+        )
+
+    return jax.lax.map(body, (ids_st, counts_st, centers_st))
+
+
+def solve_cell_planes_f64(points64, cells, data64):
+    """Per-cell float64 affine interpolant v(r) = g . r + c.
+
+    Barycentric interpolation on a simplex is affine, so for tets the
+    plane through the 4 (vertex, value) pairs IS the interpolant; for
+    triangles (rank-3 system in 3D) the minimum-norm in-plane solution
+    is used.  Solved anchored at the cell centroid (no cancellation),
+    vectorized over all cells.  Returns (g (n, nv, 3), c (n, nv)) f64.
+    """
+    p = points64[cells]  # (n, npc, 3)
+    d = data64[cells]  # (n, npc, nv)
+    npc = p.shape[1]
+    anchor = p.mean(axis=1)  # (n, 3)
+    dp = p - anchor[:, None, :]
+    if npc == 4:
+        a = np.concatenate([dp, np.ones_like(dp[..., :1])], axis=2)
+        sol = np.linalg.solve(a, d)  # (n, 4, nv): g rows + c
+        g = sol[:, :3].transpose(0, 2, 1)  # (n, nv, 3)
+        c0 = sol[:, 3]  # (n, nv)
+    elif npc == 3:
+        # minimum-norm least squares via the pseudo-inverse of the
+        # (3, 4) system [dp 1] — exact on the triangle's plane
+        a = np.concatenate([dp, np.ones_like(dp[..., :1])], axis=2)
+        sol = np.einsum(
+            "nij,njv->niv", np.linalg.pinv(a), d
+        )  # (n, 4, nv)
+        g = sol[:, :3].transpose(0, 2, 1)
+        c0 = sol[:, 3]
+    else:
+        raise ValueError("df planes are defined for simplices only")
+    # de-anchor: v = g . (r - anchor) + c0 = g . r + (c0 - g . anchor)
+    c = c0 - np.einsum("nvd,nd->nv", g, anchor)
+    return g, c
+
+
+def cand_df_supported(grid: UGrid) -> bool:
+    """Gate for the fused accurate rows: float32 simplex cover grids
+    with quantized candidate tables and at least one fused variable."""
+    return (
+        grid.cand_ids is not None
+        and grid.cand_ext_table is None
+        and grid.cand_ext_covers
+        and grid.cell_type in ("triangle", "tetra")
+        and grid.dtype == jnp.float32
+        and cand_is_quantized(grid.cell_type, grid.dtype, grid.config)
+        and cand_fused_nv(grid) >= 1
+    )
+
+
+def build_cand_df_table(grid: UGrid):
+    """Assemble the accurate-mode fused candidate rows (see
+    _pack_qdf_rows_jit).  Planes are solved on the host in float64
+    from the stored (hi, lo) mesh/data split; without stored residuals
+    (pre-v4 checkpoint) accuracy is bounded by the f32 representation.
+    """
+    nv = cand_fused_nv(grid)
+    pts64 = np.asarray(grid.points, np.float64)
+    if grid.points_lo is not None:
+        pts64 = pts64 + np.asarray(grid.points_lo, np.float64)
+    pd64 = np.asarray(grid.point_data[:, :nv], np.float64)
+    if grid.point_data_lo is not None:
+        pd64 = pd64 + np.asarray(
+            grid.point_data_lo[:, :nv], np.float64
+        )
+    g64, c64 = solve_cell_planes_f64(
+        pts64, np.asarray(grid.cells), pd64
+    )
+    plane64 = np.concatenate([g64, c64[:, :, None]], axis=2)  # (n,nv,4)
+    plane_hi = plane64.astype(np.float32)
+    plane_lo = (plane64 - plane_hi.astype(np.float64)).astype(np.float32)
+
+    k_max = grid.cand_ids.shape[1]
+    per = _qdf_floats_per(grid.cell_type, nv)
+    step = 512 // 4
+    row_floats = -(-(per * k_max + 2) // step) * step
+
+    nby, nbz = grid.cand_shape[1], grid.cand_shape[2]
+    bin_idx = jnp.arange(grid.cand_ids.shape[0], dtype=jnp.int32)
+    cx, cy, cz = geometry.cand_bin_center_cols(
+        grid.cand_rmin, grid.cand_inv_h,
+        bin_idx // (nby * nbz), (bin_idx // nbz) % nby, bin_idx % nbz,
+    )
+    centers = jnp.stack([cx, cy, cz], axis=1)
+
+    args = (
+        grid.face_normals, grid.face_offsets,
+        jnp.asarray(plane_hi), jnp.asarray(plane_lo),
+    )
+    statics = dict(
+        cell_type=grid.cell_type, row_floats=row_floats, nv=nv
+    )
+    chunk = 1 << 18
+    n = grid.cand_ids.shape[0]
+    if n <= chunk:
+        return _pack_qdf_rows_jit(
+            *args, grid.cand_ids, grid.cand_count, centers, **statics
+        )
+    pad = (-n) % chunk
+    ids = jnp.pad(grid.cand_ids, ((0, pad), (0, 0)), constant_values=-1)
+    counts = jnp.pad(grid.cand_count, (0, pad))
+    centers = jnp.pad(centers, ((0, pad), (0, 0)))
+    return _pack_qdf_rows_mapped(
+        *args,
+        ids.reshape(-1, chunk, ids.shape[1]),
+        counts.reshape(-1, chunk),
+        centers.reshape(-1, chunk, 3),
+        **statics,
+    ).reshape(-1, row_floats)
 
 
 def _cand_floats_per(cell_type: str, nv: int) -> int:

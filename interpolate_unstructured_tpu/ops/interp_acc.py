@@ -129,15 +129,32 @@ def build_acc_table(grid):
 
 
 def prepare_accurate(grid):
-    """Return a grid with the accurate-row table built (no-op when
+    """Return a grid with the accurate-mode tables built (no-op when
     already present).  Works on loaded checkpoints too; accuracy vs
     the original f64 mesh requires ``points_lo`` (stored by
-    ``build_grid`` for float32 grids since checkpoint v4)."""
+    ``build_grid`` for float32 grids since checkpoint v4).
+
+    Two tables are built:
+    * ``acc_table`` — per-cell (hi, lo) geometry+data rows for the
+      at-known-cell API (:func:`interpolate_at_icell_acc`), and
+    * ``cand_df_table`` (simplex cover grids) — df32 value planes
+      fused into the quantized candidate rows, so the cold accurate
+      query runs as ONE locate-fused gather
+      (ops.locate._candidates_query_df) instead of locate + a second
+      per-cell gather + the ~2k-flop df32 weight kernel.
+    """
     import dataclasses
 
-    if grid.acc_table is not None:
+    from ..models.grid import build_cand_df_table, cand_df_supported
+
+    updates = {}
+    if grid.acc_table is None:
+        updates["acc_table"] = build_acc_table(grid)
+    if grid.cand_df_table is None and cand_df_supported(grid):
+        updates["cand_df_table"] = build_cand_df_table(grid)
+    if not updates:
         return grid
-    return dataclasses.replace(grid, acc_table=build_acc_table(grid))
+    return dataclasses.replace(grid, **updates)
 
 
 def split_queries(r64):
@@ -313,6 +330,28 @@ def interpolate_at_acc(grid, r, i_vars, guess=None, r_lo=None):
         r_hi, r_lo = split_queries(r)
     else:
         r_hi = jnp.asarray(r, jnp.float32)
+
+    # Fused cold path: grids prepared with df-plane candidate rows
+    # answer locate AND df32 interpolation from ONE gather (the slots
+    # must be concrete and within the fused range, mirroring the f32
+    # fused path's static gate — interp._static_slots reads RAW
+    # values, never tracers)
+    from .interp import _static_slots
+
+    slots = _static_slots(i_vars)
+    if (
+        guess is None
+        and grid.cand_df_table is not None
+        and slots
+    ):
+        from ..models.grid import cand_fused_nv
+
+        if all(0 <= s < cand_fused_nv(grid) for s in slots):
+            ic, found, vhT, vlT = locate._candidates_query_df(
+                grid, r_hi, slots, r_lo=r_lo
+            )
+            return vhT.T, vlT.T, found, ic
+
     ic, found = locate.get_cell(grid, r_hi, guess=guess)
     vh, vl = interpolate_at_icell_acc(
         grid, r_hi, i_vars, jnp.maximum(ic, 0), r_lo=r_lo

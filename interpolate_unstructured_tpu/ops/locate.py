@@ -497,7 +497,8 @@ def _quad_weights_c(px, py, pz, rx, ry, rz):
 
 
 def _probe_rows_xla(grid, g, rt_t, k, count_col, var_slots, eps,
-                    ovf_base, quantized=False, nv_fused=0):
+                    ovf_base, quantized=False, nv_fused=0,
+                    df_planes=False):
     """XLA fallback for the candidate-row probe (f64 grids / non-TPU
     backends; the TPU path is ops/pallas_cand.py with identical
     semantics).  All per-tile math runs TRANSPOSED — (k, bt)
@@ -514,7 +515,10 @@ def _probe_rows_xla(grid, g, rt_t, k, count_col, var_slots, eps,
     is_quad = grid.cell_type == "quad"
     s_n = -(-3 * nf // 2)
     s_d = -(-nf // 2)
-    if quantized:
+    if df_planes:
+        id_role = s_n + s_d + 8 * nv_fused
+        quantized = True  # the probe geometry is the quantized layout
+    elif quantized:
         id_role = s_n + s_d + 4 * nv_fused
     else:
         id_role = 4 * nf + (3 * npc if is_quad else 0)
@@ -587,6 +591,23 @@ def _probe_rows_xla(grid, g, rt_t, k, count_col, var_slots, eps,
     if var_slots is None:
         return id_best, aux, jnp.zeros((0, bt), rt_t.dtype)
 
+    if df_planes:
+        # df32 value planes (grid._pack_qdf_rows_jit): winner's plane
+        # picked first, then v = g . r_local + c_loc in compensated
+        # f32 with the exact (hi, lo) r_local split (rt_t rows 3..5)
+        from . import df32
+
+        rl = [(rt_t[d], rt_t[3 + d]) for d in range(3)]
+        his, los = [], []
+        for slot in var_slots:
+            pr = s_n + s_d + 8 * slot
+            acc = (pick(role(pr + 6)), pick(role(pr + 7)))
+            for d in range(3):
+                g_d = (pick(role(pr + d)), pick(role(pr + 3 + d)))
+                acc = df32.add(acc, df32.mul(g_d, rl[d]))
+            his.append(acc[0])
+            los.append(acc[1])
+        return id_best, aux, jnp.stack(his + los, axis=0)
     if quantized:
         # exact f32 per-cell value planes: value = g . r_local + c
         vals = []
@@ -942,6 +963,112 @@ def locate_candidates(grid, r, max_steps=None):
     contract."""
     ic, found, _ = _candidates_query(grid, r, None, max_steps)
     return ic, found
+
+
+def _cand_local_df_t(grid, rt_hi, rt_lo, ijk):
+    """(6, B) exact (hi, lo) split of r_local = r - bin_center.
+
+    ``hi = fl(r - c)`` and ``lo`` its error-free residual (two_sum),
+    plus any incoming query residual ``rt_lo`` (f64 queries split into
+    f32 pairs) — so the df32 plane evaluation sees r_local to full
+    f64-grade precision."""
+    from . import df32
+    from . import geometry as geometry_mod
+
+    cs = geometry_mod.cand_bin_center_cols(
+        grid.cand_rmin, grid.cand_inv_h, ijk[0], ijk[1], ijk[2]
+    )
+    his, los = [], []
+    for d in range(3):
+        hi, err = df32.two_sum(rt_hi[d], -cs[d])
+        if rt_lo is not None:
+            err = err + rt_lo[d]
+        his.append(hi)
+        los.append(err)
+    return jnp.stack(his + los)
+
+
+def _candidates_query_df(grid, r, var_slots, r_lo=None):
+    """Accurate-mode fused cold query: ONE gather from the df-plane
+    candidate rows (grid.cand_df_table) answers containment AND
+    ~1e-13 interpolation.
+
+    Only built for simplex COVER grids (grid.cand_df_supported), so a
+    probe miss is exact — no fallback machinery enters the graph.
+
+    Returns (ic, found, vals_hi (nv, B), vals_lo (nv, B)); missed
+    queries carry their best candidate's plane values with found
+    False (callers fill).
+    """
+    cfg = grid.config
+    from ..models.grid import _qdf_floats_per, cand_fused_nv
+
+    from . import pallas_cand
+
+    nv = cand_fused_nv(grid)
+    if any(v >= nv for v in var_slots):
+        raise ValueError("var_slots outside the fused variable range")
+    k_max = grid.cand_ids.shape[1]
+    per = _qdf_floats_per(grid.cell_type, nv)
+    count_col = k_max * per
+    eps = cfg.eps_inside + grid.cand_qeps
+    use_pallas = (
+        pallas_cand.supported(grid) and jax.default_backend() == "tpu"
+    )
+    b = r.shape[0]
+    nsel = len(var_slots)
+
+    r6 = jnp.concatenate(
+        [r.T, (r_lo.T if r_lo is not None else jnp.zeros_like(r.T))],
+        axis=0,
+    )  # (6, B): query hi rows + residual rows
+
+    def tile_fn(rt6):
+        ijk = _cand_bin_ijk_t(grid, rt6[:3])
+        nby, nbz = grid.cand_shape[1], grid.cand_shape[2]
+        idx = (ijk[0] * nby + ijk[1]) * nbz + ijk[2]
+        rq6 = _cand_local_df_t(grid, rt6[:3], rt6[3:], ijk)
+        if use_pallas:
+            return pallas_cand.cand_rows_query(
+                grid, grid.cand_df_table, idx, rq6, var_slots,
+                count_col, eps, k_max, k_max=k_max,
+                quantized=True, nv_fused=nv, df_planes=True,
+            )
+        return _probe_rows_xla(
+            grid, grid.cand_df_table[idx], rq6, k_max, count_col,
+            var_slots, eps, k_max, quantized=True, nv_fused=nv,
+            df_planes=True,
+        )
+
+    row_b = grid.cand_df_table.shape[1] * 4
+    chunk = max(1 << 13, (cfg.cand_chunk_bytes // row_b) >> 13 << 13)
+    if b <= chunk:
+        id_best, aux, valsT = tile_fn(r6)
+    else:
+        pad = (-b) % chunk
+        rp = jnp.pad(r6, ((0, 0), (0, pad)))
+        n_ch = rp.shape[1] // chunk
+        if n_ch <= 32:
+            outs = [
+                tile_fn(rp[:, i * chunk : (i + 1) * chunk])
+                for i in range(n_ch)
+            ]
+            id_best = jnp.concatenate([o[0] for o in outs])[:b]
+            aux = jnp.concatenate([o[1] for o in outs])[:b]
+            valsT = jnp.concatenate([o[2] for o in outs], axis=1)[:, :b]
+        else:
+            id_best, aux, valsT = lax.map(
+                tile_fn, jnp.moveaxis(rp.reshape(6, -1, chunk), 1, 0)
+            )
+            id_best = id_best.reshape(-1)[:b]
+            aux = aux.reshape(-1)[:b]
+            valsT = jnp.moveaxis(valsT, 1, 0).reshape(
+                valsT.shape[1], rp.shape[1]
+            )[:, :b]
+
+    found = aux == -2
+    ic = jnp.where(found, id_best, -1)
+    return ic, found, valsT[:nsel], valsT[nsel:]
 
 
 def _get_cell_warm(grid, r, guess, max_steps):

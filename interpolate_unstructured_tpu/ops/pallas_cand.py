@@ -64,13 +64,18 @@ def _quad_weights_rows(p, q):
 def _kernel(
     g_ref, r_ref, ic_ref, aux_ref, vals_ref,
     *, cell_type, nf, npc, k_max, var_slots, count_col, eps, ovf_base,
-    quantized=False, nv_fused=0
+    quantized=False, nv_fused=0, df_planes=False
 ):
     K = k_max
     is_quad = cell_type == "quad"
     s_n = -(-3 * nf // 2)
     s_d = -(-nf // 2)
-    if quantized:
+    if df_planes:
+        # accurate-mode rows (grid._pack_qdf_rows_jit): quantized probe
+        # + (hi, lo) df32 value planes; r_ref carries the (hi, lo)
+        # split of r_local as 6 rows
+        id_role = s_n + s_d + 8 * nv_fused
+    elif quantized:
         id_role = s_n + s_d + 4 * nv_fused
     else:
         id_role = 4 * nf + (3 * npc if is_quad else 0)
@@ -170,6 +175,29 @@ def _kernel(
 
     data_role0 = id_role + 1
     rows = []
+    if df_planes:
+        # df32 value planes: v = g . r_local + c_loc evaluated in
+        # compensated-f32 (ops/df32) with the exact (hi, lo) r_local
+        # split from rows 3..5 of r_ref — ~2^-48 relative end to end
+        from . import df32
+
+        rl = [
+            (r_ref[d : d + 1, :], r_ref[3 + d : 4 + d, :])
+            for d in range(3)
+        ]
+        his, los = [], []
+        for slot in var_slots:
+            pr = s_n + s_d + 8 * slot
+            # pick the WINNER's plane first (8 one-hot reductions),
+            # then run the ~90-op df32 evaluation on (1, T) rows only
+            acc = (pick(role(pr + 6)), pick(role(pr + 7)))  # c_loc
+            for d in range(3):
+                g_d = (pick(role(pr + d)), pick(role(pr + 3 + d)))
+                acc = df32.add(acc, df32.mul(g_d, rl[d]))
+            his.append(acc[0])
+            los.append(acc[1])
+        vals_ref[:] = jnp.concatenate(his + los, axis=0)
+        return
     if quantized:
         # Exact f32 per-cell value planes: value = g . r_local + c
         for slot in var_slots:
@@ -218,7 +246,8 @@ def supported(grid) -> bool:
 def cand_rows_query(grid, table, idx, rt_t, var_slots, count_col,
                     eps, ovf_base, k_max=None, tile: int = 1024,
                     interpret: bool | None = None,
-                    quantized: bool = False, nv_fused: int = 0):
+                    quantized: bool = False, nv_fused: int = 0,
+                    df_planes: bool = False):
     """Gather candidate rows and run the kernel over them.
 
     The gather happens HERE so tile-alignment padding applies to the
@@ -232,7 +261,8 @@ def cand_rows_query(grid, table, idx, rt_t, var_slots, count_col,
       idx: (B,) int32 row index per query
       rt_t: (3, B) float32 TRANSPOSED queries (the hot path keeps
         queries lane-major throughout — per-call (B, 3) transposes
-        cost ~1-2 ms each at 1M on TPU)
+        cost ~1-2 ms each at 1M on TPU); (6, B) hi/lo r_local split
+        when ``df_planes``
       var_slots: tuple of fused variable slots to interpolate (or ())
       count_col: column of the count slot in the row layout
       eps: static inside-test tolerance (resolved config value)
@@ -253,7 +283,8 @@ def cand_rows_query(grid, table, idx, rt_t, var_slots, count_col,
     npc = grid.n_points_per_cell
     if k_max is None:
         k_max = grid.cand_ids.shape[1]
-    n_out = max(len(var_slots), 1)
+    n_rrows = 6 if df_planes else 3
+    n_out = max((2 if df_planes else 1) * len(var_slots), 1)
 
     b_pad = _round_up(max(b, tile), tile)
     if b_pad != b:
@@ -274,6 +305,7 @@ def cand_rows_query(grid, table, idx, rt_t, var_slots, count_col,
         ovf_base=int(ovf_base),
         quantized=bool(quantized),
         nv_fused=int(nv_fused),
+        df_planes=bool(df_planes),
     )
 
     n_tiles = b_pad // tile
@@ -284,7 +316,7 @@ def cand_rows_query(grid, table, idx, rt_t, var_slots, count_col,
         in_specs=[
             pl.BlockSpec((tile, w), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, tile), lambda i: (0, i),
+            pl.BlockSpec((n_rrows, tile), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
