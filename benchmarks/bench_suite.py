@@ -211,11 +211,14 @@ def bench_trace_tet(n_side, n_traj, max_steps=256):
 
     grid = make_tet_grid(n_side)
     pts = np.asarray(grid.points)
-    # Helical field around the box axis
+    # Helical field around the box axis.  fuse=False: the tracer reads
+    # the field through its own fused trace table, so extending the
+    # multi-GB candidate rows to these variables would be pure cost.
     cx = pts[:, :2] - 0.5
-    grid, ivx = add_point_data(grid, "vx", -cx[:, 1])
-    grid, ivy = add_point_data(grid, "vy", cx[:, 0])
-    grid, ivz = add_point_data(grid, "vz", np.full(grid.n_points, 0.25))
+    grid, ivx = add_point_data(grid, "vx", -cx[:, 1], fuse=False)
+    grid, ivy = add_point_data(grid, "vy", cx[:, 0], fuse=False)
+    grid, ivz = add_point_data(grid, "vz", np.full(grid.n_points, 0.25),
+                               fuse=False)
     rng = np.random.default_rng(3)
     y0 = jnp.asarray(
         0.3 + 0.4 * rng.random((n_traj, 3)), grid.dtype

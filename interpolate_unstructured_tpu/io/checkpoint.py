@@ -81,6 +81,7 @@ def save_grid(grid, filename) -> None:
             str(grid.kd_max_depth),
             "x".join(str(s) for s in grid.cand_shape),
             "1" if grid.cand_ext_covers else "0",
+            str(grid.cand_nv),
         ]
     )
     w.add_entry("ugrid_header", np.zeros(1, dtype=np.int32), meta)
@@ -151,6 +152,7 @@ def load_grid(filename, config=None, dtype=None, resave_on_rebuild=False,
         else (1, 1, 1)
     )
     ext_covers = parts[6] == "1" if len(parts) > 6 else True
+    cand_nv = int(parts[7]) if len(parts) > 7 else -1
 
     host_arrays = {}
     for i, e in enumerate(bf.entries):
@@ -200,6 +202,7 @@ def load_grid(filename, config=None, dtype=None, resave_on_rebuild=False,
         bin_shape=bin_shape,
         cand_shape=cand_shape,
         cand_ext_covers=ext_covers,
+        cand_nv=cand_nv,
         kd_max_depth=kd_max_depth,
         point_data_names=names_of("point_data"),
         cell_data_names=names_of("cell_data"),

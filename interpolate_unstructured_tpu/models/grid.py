@@ -70,6 +70,7 @@ UNDEFINED_NAME = "UNDEFINED_NAME"
         "bin_shape",
         "cand_shape",
         "cand_ext_covers",
+        "cand_nv",
         "cand_qeps",
         "kd_max_depth",
         "point_data_names",
@@ -148,6 +149,10 @@ class UGrid:
     # True when every bin's candidate count fits K + k_ext, i.e. the
     # extension probe is exhaustive and no residual walk can be needed
     cand_ext_covers: bool = True
+    # Number of leading point-data variables fused into the packed
+    # candidate rows, PINNED at pack time (-1 = not yet packed /
+    # legacy checkpoint: derive from capacity).  See cand_fused_nv.
+    cand_nv: int = -1
     # Quantized-probe margin fuzz bound (0.0 for f32/f64 row layouts):
     # added to the inside tolerance so interior points can never be
     # lost to int16 rounding (see IUConfig.cand_quantized)
@@ -924,7 +929,7 @@ def _pack_qcand_rows_jit(
 
 
 def _pack_cand_rows(grid: UGrid, ids, count_vals, row_floats, nv,
-                    centers=None):
+                    centers=None, chunk: int | None = None):
     """Memory-bounded wrapper: pack in row chunks (the unchunked body
     materializes ~6 vertex/plane gathers of the whole table at once —
     a ~7 GB transient on a 2M-bin table that OOMs the device during
@@ -944,7 +949,8 @@ def _pack_cand_rows(grid: UGrid, ids, count_vals, row_floats, nv,
     The returned table keeps the padded tail rows (ids -1, count 0):
     bin indices are always < n_bins so the pad rows are never gathered,
     and dropping them would cost another whole-table slice copy."""
-    chunk = 1 << 18
+    if chunk is None:
+        chunk = 1 << 18
     n = ids.shape[0]
     quantized = centers is not None
     args = (
@@ -1099,7 +1105,7 @@ def _pack_cand_rows_jit(
     pad = max(row_floats, rows.shape[1]) - rows.shape[1]
     return jnp.pad(rows, ((0, 0), (0, pad)))
 
-def _build_cand_tables(grid: UGrid) -> dict:
+def _build_cand_tables(grid: UGrid, pack_chunk: int | None = None) -> dict:
     """Main + overflow-extension candidate tables (see _pack_cand_rows).
 
     The main table's count column encodes overflow redirection: the
@@ -1113,9 +1119,15 @@ def _build_cand_tables(grid: UGrid) -> dict:
     rounded up to a 512-byte multiple (fast gather DMA) — cover-all
     grids (K widened to the worst bin count, cand_cover_row_bytes)
     get wider rows than config.cand_row_bytes, small-K grids narrower
-    ones."""
+    ones.
+
+    ``pack_chunk`` overrides the per-map-step row count (the
+    full-repack path after add_point_data uses a small one: at nv >= 2
+    XLA stops fusing the packer's (chunk, K, nf, nv) gathers and their
+    (8, 128)-tiled padding materializes — 28 GB of HLO temps at the
+    default 2^18 chunk on a 2M-bin table, round 4)."""
     k_max = grid.cand_ids.shape[1]
-    nv = cand_fused_nv(grid)
+    nv = _cand_capacity_nv(grid)
     quantized = cand_is_quantized(grid.cell_type, grid.dtype, grid.config)
     step = 512 // jnp.dtype(grid.dtype).itemsize
     if quantized:
@@ -1152,8 +1164,11 @@ def _build_cand_tables(grid: UGrid) -> dict:
     out = {
         "cand_table": _pack_cand_rows(
             grid, grid.cand_ids, count_enc, row_floats, nv,
-            centers=centers,
-        )
+            centers=centers, chunk=pack_chunk,
+        ),
+        # pin the packed nv so later add_point_data can never shift
+        # the probe's column derivation (see cand_fused_nv)
+        "cand_nv": nv,
     }
     ds_max = 0.0
     if quantized:
@@ -1172,6 +1187,7 @@ def _build_cand_tables(grid: UGrid) -> dict:
         out["cand_ext_table"] = _pack_cand_rows(
             grid, grid.cand_ext_ids, over_count, ext_floats, nv,
             centers=bin_centers(over_order) if quantized else None,
+            chunk=pack_chunk,
         )
         if quantized:
             ds_max = max(
@@ -1196,11 +1212,33 @@ def _build_cand_tables(grid: UGrid) -> dict:
 
 def cand_fused_nv(grid: UGrid) -> int:
     """How many leading point-data variables are fused into the
-    candidate rows (derived, so checkpoints need no extra metadata).
+    candidate rows.
 
-    The budget is ``cand_row_bytes`` normally; a grid whose K doesn't
-    even fit that row bare (nv = 0) is a cover-all build (K widened to
-    the worst bin count) and budgets ``cand_cover_row_bytes``."""
+    Once tables are packed the value is PINNED in ``grid.cand_nv``
+    (set by _build_cand_tables, stored in checkpoints): the
+    capacity-derived fallback below depends on ``n_point_data``, so a
+    later ``add_point_data`` would silently change it and make the
+    probe read the wrong row columns — or force a multi-GB repack on
+    every appended variable (round-4 OOM at 1M cells).  Variables
+    added after the pack are simply not fused; the fused fast paths
+    gate on ``slot < cand_fused_nv`` and fall through to the generic
+    interpolation for them.
+
+    The capacity fallback (legacy checkpoints / pre-pack grids): see
+    :func:`_cand_capacity_nv`."""
+    if grid.cand_ids is None:
+        return 0
+    if grid.cand_nv >= 0:
+        return grid.cand_nv
+    return _cand_capacity_nv(grid)
+
+
+def _cand_capacity_nv(grid: UGrid) -> int:
+    """Capacity-derived fused-variable count for THIS n_point_data —
+    what a (re)pack would choose.  The budget is ``cand_row_bytes``
+    normally; a grid whose K doesn't even fit that row bare (nv = 0)
+    is a cover-all build (K widened to the worst bin count) and
+    budgets ``cand_cover_row_bytes``."""
     if grid.cand_ids is None:
         return 0
     itemsize = jnp.dtype(grid.dtype).itemsize
@@ -1468,18 +1506,31 @@ def _refresh_cand_data(grid: UGrid, i_var: int | None = None) -> UGrid:
     carry fused copies of the leading variables' vertex values.
 
     Pass the mutated column as ``i_var`` to skip the (multi-GB on big
-    grids) repack when that column is not fused into the rows."""
+    grids) repack when that column would not be fused into the rows.
+    The comparison uses the CAPACITY nv (what a repack would fuse),
+    so appending a variable that fits extends the fusion — with a
+    small pack chunk: at nv >= 2 the packer's gathers stop fusing and
+    their (8, 128)-tiled padding materializes (~100 KB/row-slot of
+    HLO temp; 28 GB at the default 2^18 chunk on a 2M-bin table)."""
     if grid.cand_ids is None:
         return grid
-    if i_var is not None and i_var >= cand_fused_nv(grid):
+    if i_var is not None and i_var >= _cand_capacity_nv(grid):
         return grid
-    return dataclasses.replace(grid, **_build_cand_tables(grid))
+    return dataclasses.replace(
+        grid, **_build_cand_tables(grid, pack_chunk=1 << 13)
+    )
 
 
-def add_point_data(grid: UGrid, name: str, values=None):
+def add_point_data(grid: UGrid, name: str, values=None, fuse: bool = True):
     """Append a named point-data variable (iu_add_point_data, :149-161).
 
     Returns ``(new_grid, i_var)``.  ``values`` defaults to zeros.
+
+    ``fuse=False`` skips extending the fused candidate rows to the new
+    variable (a multi-GB repack on million-cell grids): the variable
+    still interpolates correctly through the generic path, it just
+    doesn't ride the one-gather fused fast path.  Use it when the
+    variable feeds the tracer or at-known-cell queries only.
     """
     data, names, i_var = _add_column(
         grid.point_data, grid.point_data_names, name, values, grid.n_points
@@ -1499,6 +1550,8 @@ def add_point_data(grid: UGrid, name: str, values=None):
         from ..ops.interp_acc import build_acc_table
 
         grid = dataclasses.replace(grid, acc_table=build_acc_table(grid))
+    if not fuse:
+        return grid, i_var
     return _refresh_cand_data(grid, i_var), i_var
 
 

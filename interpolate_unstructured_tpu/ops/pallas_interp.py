@@ -52,24 +52,26 @@ def _vq_rows(g, rb, npc):
 
 def _triangle_weights_rows(g, rb):
     """(interpolate_triangle, :529-551); area at row 9.  Shared
-    kernel: ops/wkern.py."""
+    kernel: ops/wkern.py; normalization by reciprocal-MULTIPLY (one
+    VPU divide total — per-weight divides measured 3x on the fused
+    tracer round, round 4)."""
     from . import wkern
 
     v, q = _vq_rows(g, rb, 3)
     a2 = wkern.triangle_areas2(v, q, wkern.Plain(jnp.float32))
-    area = _row(g, 9)
-    return [0.5 * a / area for a in a2]
+    inv = 0.5 / _row(g, 9)
+    return [a * inv for a in a2]
 
 
 def _tetra_weights_rows(g, rb):
     """(interpolate_tetrahedron, :553-586); volume at row 12.  Shared
-    kernel: ops/wkern.py."""
+    kernel: ops/wkern.py; reciprocal-multiply normalization."""
     from . import wkern
 
     v, q = _vq_rows(g, rb, 4)
     w = wkern.tetra_triples(v, q, wkern.Plain(jnp.float32))
-    vol6 = 6.0 * _row(g, 12)
-    return [t / vol6 for t in w]
+    inv = 1.0 / (6.0 * _row(g, 12))
+    return [t * inv for t in w]
 
 
 def _quad_weights_rows(g, rb):

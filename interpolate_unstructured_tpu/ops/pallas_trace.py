@@ -92,13 +92,17 @@ def _weights_rows(cell_type, P, vol, q):
 
     v = [[P[vtx][c] for c in range(3)] for vtx in range(len(P))]
     ar = wkern.Plain(jnp.float32)
+    # Normalize by reciprocal-MULTIPLY: one VPU divide total.  The
+    # per-weight-divide form measured 3x slower END-TO-END on the
+    # fused tracer round kernel (round 4: 1.3e7 -> 4.6e6 steps/s).
     if cell_type == "triangle":
         a2 = wkern.triangle_areas2(v, q, ar)
-        return [0.5 * a / vol for a in a2]
+        inv = 0.5 / vol
+        return [a * inv for a in a2]
     if cell_type == "tetra":
         w = wkern.tetra_triples(v, q, ar)
-        vol6 = 6.0 * vol
-        return [t / vol6 for t in w]
+        inv = 1.0 / (6.0 * vol)
+        return [t * inv for t in w]
     if cell_type == "quad":
         return wkern.quad_weights_generic(v, q, ar)
     raise ValueError(f"Unsupported cell type {cell_type!r}")
