@@ -355,3 +355,35 @@ def test_cover_all_rows():
     np.testing.assert_allclose(
         np.asarray(vals)[found], exact[found], atol=1e-12
     )
+
+
+def test_add_point_data_unfused():
+    """add_point_data(fuse=False) must not repack the candidate rows
+    (a multi-GB cost at 1M cells — round 4), must keep the pinned
+    fused count stable, and the new variable still interpolates
+    correctly through the generic path."""
+    pts, cells, nbrs = meshgen.tet_box_mesh(4, 4, 4)
+    g = iu.build_grid(
+        pts, cells, nbrs, "tetra",
+        point_data={"Polynomial": pts.sum(1) + 1.0},
+        locate_mode="walk", dtype=jnp.float32,
+    )
+    from interpolate_unstructured_tpu.models.grid import cand_fused_nv
+
+    nv0 = cand_fused_nv(g)
+    assert g.cand_nv == nv0  # pinned at pack time
+    table_before = g.cand_table
+
+    g2, i_v = iu.add_point_data(
+        g, "extra", np.asarray(pts.sum(1) * 5.0), fuse=False
+    )
+    assert g2.cand_table is table_before  # no repack
+    assert cand_fused_nv(g2) == nv0  # pin unchanged by the append
+
+    rng = np.random.default_rng(7)
+    r = jnp.asarray(rng.random((512, 3)), jnp.float32)
+    v, _, f = iu.interpolate_scalar_at(g2, r, i_v)
+    assert bool(np.asarray(f).all())
+    np.testing.assert_allclose(
+        np.asarray(v), 5.0 * np.asarray(r.sum(1)), rtol=1e-5
+    )
