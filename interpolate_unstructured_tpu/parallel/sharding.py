@@ -103,6 +103,47 @@ def sharded_interpolate_at(mesh: Mesh, axis_name: str = DATA_AXIS):
     return run
 
 
+def sharded_interpolate_at_acc(mesh: Mesh, axis_name: str = DATA_AXIS):
+    """Sharded accurate-mode (compensated-f32) interpolation.
+
+    Returns ``f(grid, r, i_vars) -> (vals_hi, vals_lo, found, i_cell)``
+    with the batch sharded and the grid (including the df-plane
+    candidate table built by ``prepare_accurate``) replicated.
+    ``i_vars`` is captured statically per signature like
+    :func:`sharded_interpolate_at`.
+    """
+    import numpy as np
+
+    from ..ops import interp_acc
+
+    cache = {}
+
+    def run(grid, r, i_vars):
+        iv = tuple(int(v) for v in np.asarray(i_vars).reshape(-1))
+        fn = cache.get(iv)
+        if fn is None:
+            def local(grid, r):
+                return interp_acc.interpolate_at_acc(grid, r, iv)
+
+            spec_b = P(axis_name)
+            fn = jax.jit(
+                jax.shard_map(
+                    local,
+                    mesh=mesh,
+                    check_vma=False,
+                    in_specs=(_grid_spec(grid), P(axis_name, None)),
+                    out_specs=(
+                        P(axis_name, None), P(axis_name, None),
+                        spec_b, spec_b,
+                    ),
+                )
+            )
+            cache[iv] = fn
+        return fn(grid, r)
+
+    return run
+
+
 def sharded_get_cell(mesh: Mesh, axis_name: str = DATA_AXIS):
     """Sharded point location: ``f(grid, r, guess) -> (i_cell, found)``."""
 

@@ -103,3 +103,35 @@ def test_distribute_and_collect_roundtrip(triangle_grid, mesh):
     np.testing.assert_allclose(out[:, 0], exact, atol=1e-13)
     got_found = sharding.collect_results(found, local_b)
     assert bool(got_found.all())
+
+
+def test_sharded_accurate_matches_local(mesh):
+    """Sharded accurate-mode queries (df32 value planes on the
+    replicated grid) equal the single-device fused path exactly."""
+    from interpolate_unstructured_tpu.ops.interp_acc import (
+        interpolate_at_acc,
+        prepare_accurate,
+    )
+    from interpolate_unstructured_tpu.utils import meshgen
+
+    pts, cells, nbrs = meshgen.tet_box_mesh(5, 5, 5)
+    g = iu.build_grid(
+        pts, cells, nbrs, "tetra",
+        point_data={"P": np.sin(np.asarray(pts)).sum(1)},
+        locate_mode="walk", dtype=jnp.float32,
+    )
+    g = prepare_accurate(g)
+    assert g.cand_df_table is not None
+    grid = sharding.replicate_grid(g, mesh)
+
+    rng = np.random.default_rng(12)
+    r = jnp.asarray(0.05 + rng.random((256, 3)) * 0.9, jnp.float32)
+    r_sh, b = sharding.shard_batch(r, mesh)
+
+    f = sharding.sharded_interpolate_at_acc(mesh)
+    vh, vl, found, ic = f(grid, r_sh, jnp.asarray([0]))
+    vh_l, vl_l, found_l, ic_l = interpolate_at_acc(g, r, (0,))
+    np.testing.assert_array_equal(np.asarray(vh)[:b], np.asarray(vh_l))
+    np.testing.assert_array_equal(np.asarray(vl)[:b], np.asarray(vl_l))
+    np.testing.assert_array_equal(np.asarray(ic)[:b], np.asarray(ic_l))
+    assert bool(np.asarray(found)[:b].all())
