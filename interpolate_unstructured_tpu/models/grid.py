@@ -1169,6 +1169,11 @@ def _build_cand_tables(grid: UGrid, pack_chunk: int | None = None) -> dict:
         # pin the packed nv so later add_point_data can never shift
         # the probe's column derivation (see cand_fused_nv)
         "cand_nv": nv,
+        # any repack invalidates the accurate-mode df-plane rows (their
+        # fused values/nv would go stale); prepare_accurate rebuilds
+        # them lazily, and interpolate_at_acc falls back to the
+        # correct at-known-cell path meanwhile
+        "cand_df_table": None,
     }
     ds_max = 0.0
     if quantized:

@@ -109,3 +109,33 @@ def test_fused_df_planes_multivar():
     got = np.asarray(vh, np.float64) + np.asarray(vl, np.float64)
     err = np.abs(got - np.asarray(v_ref)).max()
     assert err < 1e-10, f"multivar fused accurate drift: {err}"
+
+
+def test_df_table_invalidated_on_mutation():
+    """Mutating a fused variable must invalidate the df-plane rows
+    (stale planes would silently return the OLD values); re-preparing
+    rebuilds them against the new data."""
+    import interpolate_unstructured_tpu as iu
+
+    g32, _ = _grids()
+    g32 = prepare_accurate(g32)
+    assert g32.cand_df_table is not None
+
+    # true f64 vertex positions (the stored f32 + residual split) —
+    # data sampled at the f32-rounded coords would NOT be the linear
+    # function of query space and drifts at f32 grade
+    pts = np.asarray(g32.points, np.float64) + np.asarray(
+        g32.points_lo, np.float64
+    )
+    g2 = iu.set_point_data(g32, 0, pts.sum(axis=1) + 2.0)
+    assert g2.cand_df_table is None, "stale df planes survived mutation"
+
+    g2 = prepare_accurate(g2)
+    rng = np.random.default_rng(3)
+    q = 0.05 + rng.random((2000, 3)) * 0.9
+    vh, vl, found, ic = interpolate_at_acc(g2, q, (0,))
+    assert bool(np.asarray(found).all())
+    got = np.asarray(vh, np.float64) + np.asarray(vl, np.float64)
+    truth = q.sum(axis=1) + 2.0
+    err = np.abs(got[:, 0] - truth).max()
+    assert err < 1e-12, f"rebuilt df planes drifted: {err}"
