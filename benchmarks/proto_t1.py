@@ -149,7 +149,7 @@ def main():
 
     t = chain(t1_probe_chunked, grid, t1, r)
     print(f"t1 probe (chunk {chunk1}): {t*1e3:6.2f} ms/1M "
-          f"({1e-3/t:.3e} q/s)", flush=True)
+          f"({1e6/t:.3e} q/s)", flush=True)
 
     # Full batch, NO chunking: at 512 B rows the materialized buffer is
     # only 512 MB (write+read ~1.5 ms) while the chunked map structure
@@ -172,7 +172,7 @@ def main():
 
     t = chain(t1_probe_full, grid, t1, r)
     print(f"t1 probe (FULL batch): {t*1e3:6.2f} ms/1M "
-          f"({1e-3/t:.3e} q/s)", flush=True)
+          f"({1e6/t:.3e} q/s)", flush=True)
 
     # ---- 3: full two-tier pipeline ----
     m = -(-max(1024, b // 32) // 8) * 8
@@ -227,7 +227,7 @@ def main():
         return acc
 
     t = chain(two_tier, grid, t1, r)
-    print(f"two-tier end-to-end: {t*1e3:6.2f} ms/1M ({1e-3/t:.3e} q/s)",
+    print(f"two-tier end-to-end: {t*1e3:6.2f} ms/1M ({1e6/t:.3e} q/s)",
           flush=True)
 
     # correctness: two-tier ic/vals match the production path

@@ -107,7 +107,7 @@ def main():
         buf = chunk * gc.cand_table.shape[1] * 4 / 2**20
         print(f"chunk {chunk:6d} ({buf:5.0f} MiB buf): "
               f"narrow {tn*1e3:6.2f}  fused {tf*1e3:6.2f} ms/1M "
-              f"({1e-3/tf:.3e} q/s)", flush=True)
+              f"({1e6/tf:.3e} q/s)", flush=True)
 
     # ---- 3: narrow-touch cost vs table stride (synthetic) ----
     n_rows = grid.cand_table.shape[0]

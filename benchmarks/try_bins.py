@@ -124,7 +124,7 @@ def full(bpcs):
             return acc
 
         t = chain(fused, grid, r)
-        print(f"  fused interp: {t*1e3:6.2f} ms/1M ({1e-3/t:.3e} q/s)",
+        print(f"  fused interp: {t*1e3:6.2f} ms/1M ({1e6/t:.3e} q/s)",
               flush=True)
         del grid
 

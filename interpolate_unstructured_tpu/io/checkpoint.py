@@ -247,12 +247,13 @@ def load_grid(filename, config=None, dtype=None, resave_on_rebuild=False,
             abs(int(w) - int(s)) > 1
             for w, s in zip(want_shape, grid.cand_shape)
         )
-    if grid.cand_ids is not None and (
+    rebuilt = grid.cand_ids is not None and (
         target != saved_dtype
         or grid.cand_ids.shape[1] != want_k
         or shape_changed
         or (grid.cand_ext_slot is None and config.cand_ext_max_k > 0)
-    ):
+    )
+    if rebuilt:
         # Rebuild when the stored lists no longer match this session:
         # (a) a coarser load dtype widens the query-side inside
         # tolerance past the save-time inflation, which could admit
@@ -310,7 +311,16 @@ def load_grid(filename, config=None, dtype=None, resave_on_rebuild=False,
     if grid.cand_ids is not None:
         from ..models.grid import _build_cand_tables
 
-        grid = dataclasses.replace(grid, **_build_cand_tables(grid))
+        # Honor the checkpointed fused-variable pin (variables added
+        # with fuse=False stay unfused across the round-trip); after a
+        # candidate-list rebuild the row layout changed, so the pin is
+        # stale and the pack re-derives capacity nv.
+        grid = dataclasses.replace(
+            grid,
+            **_build_cand_tables(
+                grid, nv=None if rebuilt else grid.cand_nv
+            ),
+        )
         jax.block_until_ready(grid.cand_table)
     timings["tables_s"] = time.perf_counter() - t0
     return grid

@@ -681,7 +681,24 @@ def solve_cell_planes_f64(points64, cells, data64):
     dp = p - anchor[:, None, :]
     if npc == 4:
         a = np.concatenate([dp, np.ones_like(dp[..., :1])], axis=2)
-        sol = np.linalg.solve(a, d)  # (n, 4, nv): g rows + c
+        # Degenerate (zero-volume) cells would abort the whole batched
+        # solve with LinAlgError; route them through the minimum-norm
+        # pseudo-inverse instead — every other path guards slivers
+        # (ops/wkern degenerate-denominator guards), this one must too.
+        # det(a) = 6 * signed volume; relative to the cell scale.
+        det = np.linalg.det(a)
+        scale = np.abs(dp).max(axis=(1, 2), initial=0.0) ** 3
+        bad = ~(np.abs(det) > 1e-14 * scale)
+        if bad.any():
+            sol = np.empty(a.shape[:1] + (4, d.shape[2]), np.float64)
+            good = ~bad
+            if good.any():
+                sol[good] = np.linalg.solve(a[good], d[good])
+            sol[bad] = np.einsum(
+                "nij,njv->niv", np.linalg.pinv(a[bad]), d[bad]
+            )
+        else:
+            sol = np.linalg.solve(a, d)  # (n, 4, nv): g rows + c
         g = sol[:, :3].transpose(0, 2, 1)  # (n, nv, 3)
         c0 = sol[:, 3]  # (n, nv)
     elif npc == 3:
@@ -1105,7 +1122,9 @@ def _pack_cand_rows_jit(
     pad = max(row_floats, rows.shape[1]) - rows.shape[1]
     return jnp.pad(rows, ((0, 0), (0, pad)))
 
-def _build_cand_tables(grid: UGrid, pack_chunk: int | None = None) -> dict:
+def _build_cand_tables(
+    grid: UGrid, pack_chunk: int | None = None, nv: int | None = None
+) -> dict:
     """Main + overflow-extension candidate tables (see _pack_cand_rows).
 
     The main table's count column encodes overflow redirection: the
@@ -1125,9 +1144,16 @@ def _build_cand_tables(grid: UGrid, pack_chunk: int | None = None) -> dict:
     full-repack path after add_point_data uses a small one: at nv >= 2
     XLA stops fusing the packer's (chunk, K, nf, nv) gathers and their
     (8, 128)-tiled padding materializes — 28 GB of HLO temps at the
-    default 2^18 chunk on a 2M-bin table, round 4)."""
+    default 2^18 chunk on a 2M-bin table, round 4).
+
+    ``nv`` overrides the fused-variable count (clamped to capacity).
+    load_grid passes the checkpointed ``cand_nv`` pin so a grid whose
+    variables were added with ``fuse=False`` does not silently repack
+    at full capacity — and pay the repack blowup the pin exists to
+    avoid — on every save/load round-trip."""
     k_max = grid.cand_ids.shape[1]
-    nv = _cand_capacity_nv(grid)
+    cap_nv = _cand_capacity_nv(grid)
+    nv = cap_nv if nv is None or nv < 0 else min(nv, cap_nv)
     quantized = cand_is_quantized(grid.cell_type, grid.dtype, grid.config)
     step = 512 // jnp.dtype(grid.dtype).itemsize
     if quantized:

@@ -128,7 +128,7 @@ def build_acc_table(grid):
     return jnp.concatenate(parts, axis=0)[:n]
 
 
-def prepare_accurate(grid):
+def prepare_accurate(grid, build_df: bool = True):
     """Return a grid with the accurate-mode tables built (no-op when
     already present).  Works on loaded checkpoints too; accuracy vs
     the original f64 mesh requires ``points_lo`` (stored by
@@ -142,6 +142,12 @@ def prepare_accurate(grid):
       query runs as ONE locate-fused gather
       (ops.locate._candidates_query_df) instead of locate + a second
       per-cell gather + the ~2k-flop df32 weight kernel.
+
+    ``build_df=False`` skips the second table — a host-side f64 plane
+    solve over every cell plus ~1.3x the candidate table's bytes on
+    device — for callers that only use the at-known-cell API
+    (:func:`interpolate_at_acc` then runs locate + acc_table gather,
+    bit-identical results at ~70% of the fused throughput).
     """
     import dataclasses
 
@@ -150,7 +156,7 @@ def prepare_accurate(grid):
     updates = {}
     if grid.acc_table is None:
         updates["acc_table"] = build_acc_table(grid)
-    if grid.cand_df_table is None and cand_df_supported(grid):
+    if build_df and grid.cand_df_table is None and cand_df_supported(grid):
         updates["cand_df_table"] = build_cand_df_table(grid)
     if not updates:
         return grid

@@ -646,19 +646,61 @@ def _probe_rows_xla(grid, g, rt_t, k, count_col, var_slots, eps,
     return id_best, aux, jnp.stack(vals, axis=0)
 
 
-def _cand_chunk(grid) -> int:
+def _cand_chunk(grid, table=None) -> int:
     """Per-chunk query count for the candidate probe.
 
     Sized so the gathered rows (chunk * physical row bytes) stay in the
     VMEM-resident regime (~64 MB on v5e; IUConfig.cand_chunk_bytes):
     1 KB rows chunk at 64k queries, 2 KB cover rows at 32k.  Rounded to
     an 8k multiple for tile alignment; config.cand_chunk_queries
-    overrides."""
+    overrides.  ``table`` selects which packed table's row width sizes
+    the chunk (default: the plain candidate table; the accurate-mode
+    df-plane path passes its wider ``cand_df_table``)."""
     cfg = grid.config
     if cfg.cand_chunk_queries is not None:
         return cfg.cand_chunk_queries
-    row_b = grid.cand_table.shape[1] * jnp.dtype(grid.dtype).itemsize
+    tab = grid.cand_table if table is None else table
+    row_b = tab.shape[1] * jnp.dtype(tab.dtype).itemsize
     return max(1 << 13, (cfg.cand_chunk_bytes // row_b) >> 13 << 13)
+
+
+def _chunked_cols(tile_fn, rt, b, chunk):
+    """Drive a per-tile probe over column chunks of ``rt``.
+
+    ``rt`` is (nrows, B) — queries stay TRANSPOSED through the
+    candidate path (a per-chunk transpose costs ~1-2 ms/1M on TPU);
+    ``tile_fn(rt_chunk) -> (ids, aux, valsT)`` with valsT (nv, chunk).
+    <= 32 chunks unroll (XLA's scheduler may overlap one chunk's row
+    gather with another's kernel); larger batches run one sequential
+    ``lax.map`` (round 3: mapping over GROUPS of unrolled tiles
+    measured exactly equal to the plain map — the TPU HLO schedule
+    does not overlap independent gathers across fusion boundaries).
+    """
+    if b <= chunk:
+        return tile_fn(rt)
+    pad = (-b) % chunk
+    rp = jnp.pad(rt, ((0, 0), (0, pad)))
+    n_ch = rp.shape[1] // chunk
+    if n_ch <= 32:
+        outs = [
+            tile_fn(rp[:, i * chunk : (i + 1) * chunk])
+            for i in range(n_ch)
+        ]
+        id_best = jnp.concatenate([o[0] for o in outs])[:b]
+        aux = jnp.concatenate([o[1] for o in outs])[:b]
+        valsT = jnp.concatenate([o[2] for o in outs], axis=1)[:, :b]
+        return id_best, aux, valsT
+    id_best, aux, valsT = lax.map(
+        tile_fn, jnp.moveaxis(rp.reshape(rt.shape[0], -1, chunk), 1, 0)
+    )
+    id_best = id_best.reshape(-1)[:b]
+    aux = aux.reshape(-1)[:b]
+    # explicit target shape: reshape(-1) breaks on the 0-wide
+    # no-values case (var_slots is None)
+    valsT = jnp.moveaxis(valsT, 1, 0).reshape(
+        valsT.shape[1], rp.shape[1]
+    )[:, :b]
+    return id_best, aux, valsT
 
 
 def _candidates_query(grid, r, var_slots=None, max_steps=None):
@@ -775,44 +817,12 @@ def _candidates_query(grid, r, var_slots=None, max_steps=None):
         )
 
     # ONE (B, 3) -> (3, B) transpose up front; per-chunk column slices
-    # are contiguous (a per-chunk transpose costs ~1-2 ms each on TPU)
-    r_t = r.T
-    # Tile big batches so the gathered rows stay bounded in HBM
-    chunk = _cand_chunk(grid)
-    if b <= chunk:
-        id_best, aux, valsT = tile_fn(r_t)
-    else:
-        pad = (-b) % chunk
-        rp_t = jnp.pad(r_t, ((0, 0), (0, pad)))
-        n_ch = rp_t.shape[1] // chunk
-        if n_ch <= 32:
-            # Unrolled: XLA's scheduler can overlap chunk i+1's row
-            # gather with chunk i's kernel (lax.map iterations are
-            # strictly sequential)
-            outs = [
-                tile_fn(rp_t[:, i * chunk : (i + 1) * chunk])
-                for i in range(n_ch)
-            ]
-            id_best = jnp.concatenate([o[0] for o in outs])[:b]
-            aux = jnp.concatenate([o[1] for o in outs])[:b]
-            valsT = jnp.concatenate([o[2] for o in outs], axis=1)[:, :b]
-        else:
-            # NOTE round 3: mapping over GROUPS of 4 unrolled tiles
-            # (hoping XLA would overlap one tile's row gather with the
-            # previous tile's kernel) measured exactly equal to the
-            # plain sequential map — the TPU HLO schedule does not
-            # overlap independent gathers across fusion boundaries.
-            id_best, aux, valsT = lax.map(
-                tile_fn,
-                jnp.moveaxis(rp_t.reshape(3, -1, chunk), 1, 0),
-            )
-            id_best = id_best.reshape(-1)[:b]
-            aux = aux.reshape(-1)[:b]
-            # explicit target shape: reshape(-1) breaks on the 0-wide
-            # no-values case (var_slots is None)
-            valsT = jnp.moveaxis(valsT, 1, 0).reshape(
-                valsT.shape[1], rp_t.shape[1]
-            )[:, :b]
+    # are contiguous (a per-chunk transpose costs ~1-2 ms each on TPU).
+    # Tile big batches so the gathered rows stay bounded in HBM.
+    r_t = r.T  # the fallback below re-gathers from it
+    id_best, aux, valsT = _chunked_cols(
+        tile_fn, r_t, b, _cand_chunk(grid)
+    )
 
     found = aux == -2
     # aux >= 0 marks overflow-bin misses (value = extension-table
@@ -1040,31 +1050,9 @@ def _candidates_query_df(grid, r, var_slots, r_lo=None):
             df_planes=True,
         )
 
-    row_b = grid.cand_df_table.shape[1] * 4
-    chunk = max(1 << 13, (cfg.cand_chunk_bytes // row_b) >> 13 << 13)
-    if b <= chunk:
-        id_best, aux, valsT = tile_fn(r6)
-    else:
-        pad = (-b) % chunk
-        rp = jnp.pad(r6, ((0, 0), (0, pad)))
-        n_ch = rp.shape[1] // chunk
-        if n_ch <= 32:
-            outs = [
-                tile_fn(rp[:, i * chunk : (i + 1) * chunk])
-                for i in range(n_ch)
-            ]
-            id_best = jnp.concatenate([o[0] for o in outs])[:b]
-            aux = jnp.concatenate([o[1] for o in outs])[:b]
-            valsT = jnp.concatenate([o[2] for o in outs], axis=1)[:, :b]
-        else:
-            id_best, aux, valsT = lax.map(
-                tile_fn, jnp.moveaxis(rp.reshape(6, -1, chunk), 1, 0)
-            )
-            id_best = id_best.reshape(-1)[:b]
-            aux = aux.reshape(-1)[:b]
-            valsT = jnp.moveaxis(valsT, 1, 0).reshape(
-                valsT.shape[1], rp.shape[1]
-            )[:, :b]
+    id_best, aux, valsT = _chunked_cols(
+        tile_fn, r6, b, _cand_chunk(grid, grid.cand_df_table)
+    )
 
     found = aux == -2
     ic = jnp.where(found, id_best, -1)

@@ -139,3 +139,27 @@ def test_df_table_invalidated_on_mutation():
     truth = q.sum(axis=1) + 2.0
     err = np.abs(got[:, 0] - truth).max()
     assert err < 1e-12, f"rebuilt df planes drifted: {err}"
+
+
+def test_prepare_accurate_build_df_opt_out():
+    """prepare_accurate(build_df=False) skips the df-plane table (the
+    host plane solve + ~1.3x candidate-table bytes) for at-known-cell
+    callers; interpolate_at_acc still answers correctly through the
+    locate + acc_table path, and a later default call adds the table."""
+    g32, _ = _grids()
+    g = prepare_accurate(g32, build_df=False)
+    assert g.acc_table is not None
+    assert g.cand_df_table is None
+
+    rng = np.random.default_rng(5)
+    q = 0.05 + rng.random((2000, 3)) * 0.9
+    vh, vl, found, ic = interpolate_at_acc(g, q, (0,))
+    assert bool(np.asarray(found).all())
+    got = np.asarray(vh, np.float64) + np.asarray(vl, np.float64)
+
+    g_df = prepare_accurate(g)  # upgrades in place (acc_table reused)
+    assert g_df.cand_df_table is not None
+    vh2, vl2, found2, ic2 = interpolate_at_acc(g_df, q, (0,))
+    np.testing.assert_array_equal(np.asarray(ic), np.asarray(ic2))
+    got2 = np.asarray(vh2, np.float64) + np.asarray(vl2, np.float64)
+    np.testing.assert_allclose(got, got2, atol=1e-12)

@@ -387,3 +387,79 @@ def test_add_point_data_unfused():
     np.testing.assert_allclose(
         np.asarray(v), 5.0 * np.asarray(r.sum(1)), rtol=1e-5
     )
+
+
+def test_unfused_pin_survives_checkpoint(tmp_path):
+    """The cand_nv pin rides the checkpoint: loading a grid whose
+    variables were added with fuse=False must NOT silently repack at
+    full capacity (io/checkpoint.load_grid passes the stored pin to
+    _build_cand_tables) — that repack is the multi-GB blowup
+    fuse=False exists to avoid."""
+    from interpolate_unstructured_tpu.io.checkpoint import load_grid, save_grid
+    from interpolate_unstructured_tpu.models.grid import (
+        _cand_capacity_nv,
+        cand_fused_nv,
+    )
+
+    pts, cells, nbrs = meshgen.tet_box_mesh(4, 4, 4)
+    g = iu.build_grid(
+        pts, cells, nbrs, "tetra",
+        point_data={"Polynomial": pts.sum(1) + 1.0},
+        locate_mode="walk", dtype=jnp.float32,
+    )
+    nv0 = cand_fused_nv(g)
+    g2, i_v = iu.add_point_data(
+        g, "extra", np.asarray(pts.sum(1) * 5.0), fuse=False
+    )
+    # capacity would fuse the appended variable; the pin must not
+    assert _cand_capacity_nv(g2) > nv0
+
+    fn = str(tmp_path / "pin.binda")
+    save_grid(g2, fn)
+    g3 = load_grid(fn)
+    assert g3.cand_nv == nv0, "checkpoint round-trip dropped the pin"
+    assert cand_fused_nv(g3) == nv0
+    assert g3.cand_table.shape == g2.cand_table.shape
+
+    rng = np.random.default_rng(11)
+    r = jnp.asarray(rng.random((512, 3)), jnp.float32)
+    for slot, scale in ((0, None), (i_v, 5.0)):
+        v, _, f = iu.interpolate_scalar_at(g3, r, slot)
+        assert bool(np.asarray(f).all())
+        exact = (
+            np.asarray(r).sum(1) + 1.0 if scale is None
+            else scale * np.asarray(r.sum(1))
+        )
+        np.testing.assert_allclose(np.asarray(v), exact, atol=1e-5)
+
+
+def test_cell_planes_degenerate_cell():
+    """solve_cell_planes_f64 must not abort the whole batched solve on
+    one zero-volume sliver (np.linalg.solve raises LinAlgError for the
+    full batch): degenerate cells route through the minimum-norm
+    pseudo-inverse, healthy cells stay exact."""
+    from interpolate_unstructured_tpu.models.grid import solve_cell_planes_f64
+
+    pts = np.array(
+        [
+            [0.0, 0.0, 0.0],
+            [1.0, 0.0, 0.0],
+            [0.0, 1.0, 0.0],
+            [0.0, 0.0, 1.0],
+            [1.0, 1.0, 1.0],
+        ]
+    )
+    # cell 0 healthy; cell 1 duplicates a vertex (zero volume)
+    cells = np.array([[0, 1, 2, 3], [0, 1, 2, 2]])
+    data = (2.0 * pts[:, 0] - pts[:, 1] + 3.0)[:, None]
+    g, c = solve_cell_planes_f64(pts, cells, data)
+    assert np.isfinite(g).all() and np.isfinite(c).all()
+    # healthy cell reproduces the affine field exactly
+    np.testing.assert_allclose(g[0, 0], [2.0, -1.0, 0.0], atol=1e-12)
+    np.testing.assert_allclose(c[0, 0], 3.0, atol=1e-12)
+    # the degenerate cell's min-norm plane still interpolates its own
+    # vertices' values on the collapsed geometry
+    vtx = pts[cells[1]]
+    np.testing.assert_allclose(
+        vtx @ g[1, 0] + c[1, 0], data[cells[1], 0], atol=1e-10
+    )
