@@ -176,6 +176,9 @@ def toy_protocol():
         "max_err": err,
         "serial_qps": serial["serial_qps"],
         "vectorized_cpu_qps": serial["vectorized_cpu_qps"],
+        # compiled C++ oracle (native/serial_oracle.cc) — the closest
+        # stand-in for a local Fortran benchmark.f90 build
+        "compiled_serial_qps": serial.get("compiled_serial_qps"),
         "device": jax.devices()[0].device_kind,
         "dtype": str(grid.dtype),
     }
@@ -340,11 +343,23 @@ def main():
                 "warm_qps": toy["warm_qps"],
                 "warm_walk_qps": toy["warm_walk_qps"],
                 # measured single-core denominators for the same
-                # protocol on this host (benchmarks/serial_baseline.py)
+                # protocol on this host (benchmarks/serial_baseline.py):
+                # numpy per-query walk (understates compiled code),
+                # vectorized numpy brute-force (overstates the walk),
+                # and the compiled C++ reference-algorithm oracle
+                # (native/serial_oracle.cc — the faithful stand-in).
+                # speedup_vs_serial divides by the FASTEST measured
+                # denominator, so it is conservative.
                 "serial_qps": toy["serial_qps"],
                 "vectorized_cpu_qps": toy["vectorized_cpu_qps"],
+                "compiled_serial_qps": toy["compiled_serial_qps"],
                 "speedup_vs_serial": (
-                    toy["cold_qps"] / toy["vectorized_cpu_qps"]
+                    toy["cold_qps"]
+                    / max(
+                        toy["serial_qps"],
+                        toy["vectorized_cpu_qps"],
+                        toy["compiled_serial_qps"] or 0.0,
+                    )
                 ),
                 "large_mesh_cold_qps": big["large_mesh_cold_qps"],
                 "large_mesh_cells": big["large_mesh_cells"],

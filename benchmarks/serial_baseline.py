@@ -145,8 +145,40 @@ def vectorized_cpu_qps(points, cells, neighbors, values, queries,
     return len(queries) / best, err
 
 
+def compiled_serial_qps(points, cells, neighbors, values, queries,
+                        sample=500_000):
+    """The compiled C++ serial oracle (native/serial_oracle.cc) on the
+    same cold protocol: exact nearest-point seed + neighbor walk +
+    barycentric interpolation, single core at g++ -O3 — the closest
+    available stand-in for a locally built Fortran benchmark.f90.
+    Returns (qps, vals) or (None, None) when no toolchain is present."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".."))
+    from interpolate_unstructured_tpu.utils import serial_oracle
+
+    if not serial_oracle.available():
+        return None, None
+    q = queries[:sample]
+    # warm (page in the code + mesh build once)
+    serial_oracle.serial_query(points, cells, neighbors, values, q[:1000])
+    t0 = time.perf_counter()
+    vals, ic, found = serial_oracle.serial_query(
+        points, cells, neighbors, values, q
+    )
+    dt = time.perf_counter() - t0
+    assert found.all(), "serial oracle must resolve the in-domain protocol"
+    return q.shape[0] / dt, vals
+
+
 def measure(points, cells, neighbors, values, queries):
-    """Both brackets on the given mesh/protocol; returns a dict."""
+    """All brackets on the given mesh/protocol; returns a dict."""
     s_qps, _ = serial_walk_qps(points, cells, neighbors, values, queries)
     v_qps, _ = vectorized_cpu_qps(points, cells, neighbors, values, queries)
-    return {"serial_qps": s_qps, "vectorized_cpu_qps": v_qps}
+    c_qps, _ = compiled_serial_qps(points, cells, neighbors, values, queries)
+    out = {"serial_qps": s_qps, "vectorized_cpu_qps": v_qps}
+    if c_qps is not None:
+        out["compiled_serial_qps"] = c_qps
+    return out

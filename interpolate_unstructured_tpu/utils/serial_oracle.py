@@ -1,0 +1,117 @@
+"""ctypes driver for the independent serial C++ oracle.
+
+``native/serial_oracle.cc`` reimplements the reference's point
+location (nearest-point seed + neighbor walk,
+m_interp_unstructured.f90:272-288, :664-763) and simplex interpolation
+(:529-586) in plain serial C++ — independent of every JAX path in this
+package.  It backs
+
+* cross-validation tests (tests/test_serial_oracle.py): the candidate
+  /walk/brute JAX paths must agree with it at 1e-12 in f64, and
+* the compiled single-core baseline in bench.py's
+  ``speedup_vs_serial`` (a fair stand-in for the unbuildable Fortran
+  reference; pure-numpy walks understate compiled serial code).
+
+The shared library is compiled on first use with ``g++ -O3`` into
+``/tmp/iu_serial_oracle/`` keyed by a source hash, so a source edit
+triggers exactly one rebuild.  Everything degrades gracefully: if no
+C++ toolchain is present, :func:`available` returns False and callers
+skip (tests mark themselves skipped, bench omits the field).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+
+import numpy as np
+
+_SRC = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "..", "..", "native",
+    "serial_oracle.cc",
+)
+_CACHE_DIR = "/tmp/iu_serial_oracle"
+_lib = None
+_build_error = None
+
+
+def _build() -> str:
+    with open(_SRC, "rb") as f:
+        tag = hashlib.sha256(f.read()).hexdigest()[:16]
+    so = os.path.join(_CACHE_DIR, f"serial_oracle_{tag}.so")
+    if os.path.exists(so):
+        return so
+    os.makedirs(_CACHE_DIR, exist_ok=True)
+    tmp = so + f".build{os.getpid()}"
+    subprocess.run(
+        ["g++", "-O3", "-march=native", "-shared", "-fPIC", _SRC,
+         "-o", tmp],
+        check=True, capture_output=True, text=True,
+    )
+    os.replace(tmp, so)  # atomic: concurrent builders race safely
+    return so
+
+
+def _load():
+    global _lib, _build_error
+    if _lib is not None or _build_error is not None:
+        return _lib
+    try:
+        lib = ctypes.CDLL(_build())
+    except (OSError, subprocess.CalledProcessError, FileNotFoundError) as e:
+        _build_error = e
+        return None
+    f = lib.iu_serial_query
+    f.restype = None
+    i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+    f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+    u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+    f.argtypes = [
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,  # npc, n_points, n_cells
+        f64p, i32p, i32p, f64p,                    # points, cells, nbrs, data
+        ctypes.c_int, f64p,                        # n_q, queries
+        ctypes.c_void_p, ctypes.c_int,             # guesses (or NULL), max_steps
+        f64p, i32p, u8p,                           # out_vals, out_ic, out_found
+    ]
+    _lib = lib
+    return _lib
+
+
+def available() -> bool:
+    """True when the oracle library built (g++ present)."""
+    return _load() is not None
+
+
+def serial_query(points, cells, neighbors, data, queries, guesses=None,
+                 max_steps=10_000):
+    """Serial reference-algorithm query pass.
+
+    Args mirror the grid arrays (host numpy, any float dtype — widened
+    to f64).  Returns ``(vals (n_q,), i_cell (n_q,), found (n_q,))``.
+    """
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(f"serial oracle unavailable: {_build_error}")
+    points = np.ascontiguousarray(points, np.float64)
+    cells = np.ascontiguousarray(cells, np.int32)
+    neighbors = np.ascontiguousarray(neighbors, np.int32)
+    data = np.ascontiguousarray(data, np.float64)
+    queries = np.ascontiguousarray(queries, np.float64)
+    n_q = queries.shape[0]
+    npc = cells.shape[1]
+    vals = np.empty(n_q, np.float64)
+    ic = np.empty(n_q, np.int32)
+    found = np.empty(n_q, np.uint8)
+    gptr = None
+    if guesses is not None:
+        guesses = np.ascontiguousarray(guesses, np.int32)
+        gptr = guesses.ctypes.data_as(ctypes.c_void_p)
+    lib.iu_serial_query(
+        npc, points.shape[0], cells.shape[0],
+        points, cells, neighbors, data,
+        n_q, queries, gptr, max_steps,
+        vals, ic, found,
+    )
+    return vals, ic, found.astype(bool)

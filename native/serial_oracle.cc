@@ -1,0 +1,233 @@
+// Independent serial implementation of the reference point-location +
+// interpolation algorithm (m_interp_unstructured.f90), written from the
+// algorithm description — NOT a transcription of either the Fortran or
+// the JAX implementation.  It serves two purposes:
+//
+//  1. Cross-validation oracle: the JAX candidate/walk/brute paths are
+//     checked against this code at 1e-12 (tests/test_serial_oracle.py),
+//     giving an INDEPENDENT implementation of the same math — the
+//     strongest substitute available for running the (unbuildable here)
+//     Fortran binaries themselves.
+//  2. Compiled single-core baseline: benchmark.f90's protocol timed on
+//     one CPU core through optimized native code — a fair stand-in for
+//     the Fortran serial denominator in bench.py's speedup_vs_serial
+//     (the pure-numpy walk understates compiled serial code).
+//
+// Algorithm parity map (reference file:line):
+//  * face normals & conventions .... m_interp_unstructured.f90:306-370
+//    (face k holds vertex k; tri edge k = (k, k+1); tet face k =
+//     (k, k+1, k+2); outward sign fixed against the cell center)
+//  * cell volumes .................. :372-410
+//  * nearest-point seed ............ :272-288 (kd-tree there; exact
+//    brute-force 1-NN + first-incident-cell map here — same semantics)
+//  * walk .......................... :664-725 (iu_get_cell_through_
+//    neighbors) with :736-763 (get_cell_intersection)
+//  * triangle weights .............. :529-551
+//  * tetra weights ................. :553-586
+//
+// Build: g++ -O3 -march=native -shared -fPIC serial_oracle.cc -o ...
+// (driven by interpolate_unstructured_tpu/utils/serial_oracle.py).
+
+#include <cmath>
+#include <cstdint>
+#include <vector>
+
+namespace {
+
+struct V3 {
+  double x, y, z;
+};
+
+inline V3 sub(V3 a, V3 b) { return {a.x - b.x, a.y - b.y, a.z - b.z}; }
+inline double dot(V3 a, V3 b) { return a.x * b.x + a.y * b.y + a.z * b.z; }
+inline V3 cross(V3 a, V3 b) {
+  return {a.y * b.z - a.z * b.y, a.z * b.x - a.x * b.z,
+          a.x * b.y - a.y * b.x};
+}
+inline double norm(V3 a) { return std::sqrt(dot(a, a)); }
+
+struct Mesh {
+  int npc;            // points per cell: 3 = triangle, 4 = tetra
+  int n_points, n_cells;
+  const double* points;     // (n_points, 3)
+  const int32_t* cells;     // (n_cells, npc)
+  const int32_t* neighbors; // (n_cells, npc); face k, -1 = boundary
+
+  std::vector<V3> cell_pts;      // (n_cells * npc)
+  std::vector<V3> face_normals;  // (n_cells * npc), unit, outward
+  std::vector<double> volume;    // (n_cells)
+  std::vector<int32_t> point_cell;  // first cell incident to each point
+
+  V3 pt(int i) const {
+    return {points[3 * i], points[3 * i + 1], points[3 * i + 2]};
+  }
+  V3 cp(int c, int k) const { return cell_pts[c * npc + k]; }
+
+  void build() {
+    cell_pts.resize((size_t)n_cells * npc);
+    face_normals.resize((size_t)n_cells * npc);
+    volume.resize(n_cells);
+    point_cell.assign(n_points, -1);
+    for (int c = 0; c < n_cells; ++c) {
+      for (int k = 0; k < npc; ++k) {
+        int32_t ip = cells[(size_t)c * npc + k];
+        cell_pts[(size_t)c * npc + k] = pt(ip);
+        if (point_cell[ip] < 0) point_cell[ip] = c;
+      }
+      V3 center{0, 0, 0};
+      for (int k = 0; k < npc; ++k) {
+        V3 p = cp(c, k);
+        center.x += p.x; center.y += p.y; center.z += p.z;
+      }
+      center.x /= npc; center.y /= npc; center.z /= npc;
+      if (npc == 3) {
+        // flat-cell normal, then edge x cell-normal, outward-flipped
+        V3 nc = cross(sub(cp(c, 1), cp(c, 0)), sub(cp(c, 2), cp(c, 1)));
+        for (int k = 0; k < 3; ++k) {
+          int k1 = (k + 1) % 3;
+          V3 nf = cross(sub(cp(c, k1), cp(c, k)), nc);
+          if (dot(sub(cp(c, k), center), nf) < 0)
+            nf = {-nf.x, -nf.y, -nf.z};
+          double s = 1.0 / norm(nf);
+          face_normals[(size_t)c * 3 + k] = {nf.x * s, nf.y * s, nf.z * s};
+        }
+        volume[c] =
+            0.5 * norm(cross(sub(cp(c, 1), cp(c, 0)), sub(cp(c, 2), cp(c, 0))));
+      } else {
+        for (int k = 0; k < 4; ++k) {
+          int k1 = (k + 1) % 4, k2 = (k + 2) % 4;
+          V3 nf = cross(sub(cp(c, k1), cp(c, k)), sub(cp(c, k2), cp(c, k1)));
+          if (dot(sub(cp(c, k), center), nf) < 0)
+            nf = {-nf.x, -nf.y, -nf.z};
+          double s = 1.0 / norm(nf);
+          face_normals[(size_t)c * 4 + k] = {nf.x * s, nf.y * s, nf.z * s};
+        }
+        volume[c] = dot(sub(cp(c, 1), cp(c, 0)),
+                        cross(sub(cp(c, 2), cp(c, 0)),
+                              sub(cp(c, 3), cp(c, 0)))) / 6.0;
+      }
+    }
+  }
+
+  // Nearest-point seed cell (reference seeds from the kd-tree's nearest
+  // point, :272-288; exact brute-force 1-NN gives the same point).
+  int seed_cell(V3 r) const {
+    int best = 0;
+    double best_d = 1e300;
+    for (int i = 0; i < n_points; ++i) {
+      V3 d = sub(pt(i), r);
+      double dd = dot(d, d);
+      if (dd < best_d) { best_d = dd; best = i; }
+    }
+    return point_cell[best];
+  }
+
+  // iu_get_cell_through_neighbors (:664-725): walk the straight segment
+  // r0 -> r1 from cell ic0, crossing exit faces (:736-763).  Returns the
+  // final cell, or -1 when the walk leaves the domain.
+  int walk(V3 r0, V3 r1, int ic0, int max_steps) const {
+    V3 d = sub(r1, r0);
+    double distance_left = norm(d);
+    if (distance_left < 1e-100) return ic0;
+    double inv = 1.0 / distance_left;
+    V3 u{d.x * inv, d.y * inv, d.z * inv};
+    V3 rp = r0;
+    int ic = ic0;
+    for (int step = 0; step < max_steps; ++step) {
+      // exit face: min distance over faces whose normal points along u
+      double face_distance = 1e100;
+      int i_face = -1;
+      for (int k = 0; k < npc; ++k) {
+        V3 nf = face_normals[(size_t)ic * npc + k];
+        double pn = dot(u, nf);
+        if (pn > 0) {
+          double dist = dot(sub(cp(ic, k), rp), nf) / pn;
+          if (dist < face_distance) { face_distance = dist; i_face = k; }
+        }
+      }
+      if (i_face < 0) return ic;  // degenerate; cannot advance
+      rp.x += face_distance * u.x;
+      rp.y += face_distance * u.y;
+      rp.z += face_distance * u.z;
+      distance_left -= face_distance;
+      if (distance_left > 0) {
+        ic = neighbors[(size_t)ic * npc + i_face];
+        if (ic < 0) return -1;  // left the domain (status -1)
+      } else {
+        return ic;  // r1 reached inside the current cell (status 0)
+      }
+    }
+    return ic;
+  }
+
+  // interpolate_triangle (:529-551) / interpolate_tetrahedron (:553-586)
+  double interpolate(int c, V3 r, const double* data) const {
+    const int32_t* cv = cells + (size_t)c * npc;
+    if (npc == 3) {
+      double w0 = 0.5 * norm(cross(sub(r, cp(c, 1)), sub(r, cp(c, 2))));
+      double w1 = 0.5 * norm(cross(sub(r, cp(c, 2)), sub(r, cp(c, 0))));
+      double w2 = 0.5 * norm(cross(sub(r, cp(c, 0)), sub(r, cp(c, 1))));
+      double s = 1.0 / volume[c];
+      return (w0 * data[cv[0]] + w1 * data[cv[1]] + w2 * data[cv[2]]) * s;
+    }
+    V3 v1r = sub(r, cp(c, 0)), v2r = sub(r, cp(c, 1));
+    double w0 = dot(v2r, cross(sub(cp(c, 3), cp(c, 1)), sub(cp(c, 2), cp(c, 1))));
+    double w1 = dot(v1r, cross(sub(cp(c, 2), cp(c, 0)), sub(cp(c, 3), cp(c, 0))));
+    double w2 = dot(v1r, cross(sub(cp(c, 3), cp(c, 0)), sub(cp(c, 1), cp(c, 0))));
+    double w3 = dot(v1r, cross(sub(cp(c, 1), cp(c, 0)), sub(cp(c, 2), cp(c, 0))));
+    double s = 1.0 / (6.0 * volume[c]);
+    return (w0 * data[cv[0]] + w1 * data[cv[1]] + w2 * data[cv[2]] +
+            w3 * data[cv[3]]) * s;
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+// One serial query pass over n_q points.  guesses == nullptr => cold
+// (nearest-point seed per query, like the reference's kd-tree path);
+// otherwise guesses[i] >= 0 warm-starts the walk from that cell (its
+// centroid, iu_get_cell :428-433).  Outputs: out_vals (fill 0 on miss),
+// out_ic (-1 on miss), out_found (0/1).
+void iu_serial_query(int npc, int n_points, int n_cells,
+                     const double* points, const int32_t* cells,
+                     const int32_t* neighbors, const double* point_data,
+                     int n_q, const double* queries,
+                     const int32_t* guesses, int max_steps,
+                     double* out_vals, int32_t* out_ic,
+                     uint8_t* out_found) {
+  Mesh m;
+  m.npc = npc;
+  m.n_points = n_points;
+  m.n_cells = n_cells;
+  m.points = points;
+  m.cells = cells;
+  m.neighbors = neighbors;
+  m.build();
+  for (int i = 0; i < n_q; ++i) {
+    V3 r{queries[3 * i], queries[3 * i + 1], queries[3 * i + 2]};
+    int ic0 = (guesses && guesses[i] >= 0 && guesses[i] < n_cells)
+                  ? guesses[i]
+                  : m.seed_cell(r);
+    // start from the seed cell's centroid (iu_get_cell :428-433)
+    V3 c0{0, 0, 0};
+    for (int k = 0; k < npc; ++k) {
+      V3 p = m.cp(ic0, k);
+      c0.x += p.x; c0.y += p.y; c0.z += p.z;
+    }
+    c0.x /= npc; c0.y /= npc; c0.z /= npc;
+    int ic = m.walk(c0, r, ic0, max_steps);
+    if (ic >= 0) {
+      out_vals[i] = m.interpolate(ic, r, point_data);
+      out_ic[i] = ic;
+      out_found[i] = 1;
+    } else {
+      out_vals[i] = 0.0;
+      out_ic[i] = -1;
+      out_found[i] = 0;
+    }
+  }
+}
+
+}  // extern "C"
