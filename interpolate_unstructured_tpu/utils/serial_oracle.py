@@ -69,7 +69,8 @@ def _load():
     f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
     u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
     f.argtypes = [
-        ctypes.c_int, ctypes.c_int, ctypes.c_int,  # npc, n_points, n_cells
+        ctypes.c_int, ctypes.c_int,                # npc, is_quad
+        ctypes.c_int, ctypes.c_int,                # n_points, n_cells
         f64p, i32p, i32p, f64p,                    # points, cells, nbrs, data
         ctypes.c_int, f64p,                        # n_q, queries
         ctypes.c_void_p, ctypes.c_int,             # guesses (or NULL), max_steps
@@ -85,11 +86,13 @@ def available() -> bool:
 
 
 def serial_query(points, cells, neighbors, data, queries, guesses=None,
-                 max_steps=10_000):
+                 max_steps=10_000, cell_type=None):
     """Serial reference-algorithm query pass.
 
     Args mirror the grid arrays (host numpy, any float dtype — widened
-    to f64).  Returns ``(vals (n_q,), i_cell (n_q,), found (n_q,))``.
+    to f64).  ``cell_type`` disambiguates 4-vertex cells: pass
+    ``"quad"`` for planar quads (default: tetra when npc == 4).
+    Returns ``(vals (n_q,), i_cell (n_q,), found (n_q,))``.
     """
     lib = _load()
     if lib is None:
@@ -109,7 +112,8 @@ def serial_query(points, cells, neighbors, data, queries, guesses=None,
         guesses = np.ascontiguousarray(guesses, np.int32)
         gptr = guesses.ctypes.data_as(ctypes.c_void_p)
     lib.iu_serial_query(
-        npc, points.shape[0], cells.shape[0],
+        npc, 1 if cell_type == "quad" else 0,
+        points.shape[0], cells.shape[0],
         points, cells, neighbors, data,
         n_q, queries, gptr, max_steps,
         vals, ic, found,

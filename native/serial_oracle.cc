@@ -47,7 +47,8 @@ inline V3 cross(V3 a, V3 b) {
 inline double norm(V3 a) { return std::sqrt(dot(a, a)); }
 
 struct Mesh {
-  int npc;            // points per cell: 3 = triangle, 4 = tetra
+  int npc;            // points per cell: 3 = triangle, 4 = quad/tetra
+  bool is_quad;       // npc == 4 planar quad (vs tetra)
   int n_points, n_cells;
   const double* points;     // (n_points, 3)
   const int32_t* cells;     // (n_cells, npc)
@@ -80,19 +81,23 @@ struct Mesh {
         center.x += p.x; center.y += p.y; center.z += p.z;
       }
       center.x /= npc; center.y /= npc; center.z /= npc;
-      if (npc == 3) {
+      if (npc == 3 || is_quad) {
         // flat-cell normal, then edge x cell-normal, outward-flipped
+        // (reference :317-343, one branch for triangle and quad)
         V3 nc = cross(sub(cp(c, 1), cp(c, 0)), sub(cp(c, 2), cp(c, 1)));
-        for (int k = 0; k < 3; ++k) {
-          int k1 = (k + 1) % 3;
+        for (int k = 0; k < npc; ++k) {
+          int k1 = (k + 1) % npc;
           V3 nf = cross(sub(cp(c, k1), cp(c, k)), nc);
           if (dot(sub(cp(c, k), center), nf) < 0)
             nf = {-nf.x, -nf.y, -nf.z};
           double s = 1.0 / norm(nf);
-          face_normals[(size_t)c * 3 + k] = {nf.x * s, nf.y * s, nf.z * s};
+          face_normals[(size_t)c * npc + k] = {nf.x * s, nf.y * s, nf.z * s};
         }
         volume[c] =
             0.5 * norm(cross(sub(cp(c, 1), cp(c, 0)), sub(cp(c, 2), cp(c, 0))));
+        if (is_quad)
+          volume[c] += 0.5 * norm(cross(sub(cp(c, 2), cp(c, 0)),
+                                        sub(cp(c, 3), cp(c, 0))));
       } else {
         for (int k = 0; k < 4; ++k) {
           int k1 = (k + 1) % 4, k2 = (k + 2) % 4;
@@ -160,8 +165,44 @@ struct Mesh {
     return ic;
   }
 
+  // interpolate_quad (:588-641): inverse-bilinear coefficients via the
+  // reference's quadratic (same root, linear fallback at |A| < 1e-20,
+  // first-occurrence maxloc over |denom|), evaluated naively — exact
+  // enough in f64; the JAX kernel's cancellation-free rewrite exists
+  // for f32.
+  double interpolate_quad(int c, V3 r, const double* data) const {
+    const int32_t* cv = cells + (size_t)c * 4;
+    V3 q = sub(r, cp(c, 0));
+    V3 b1 = sub(cp(c, 1), cp(c, 0));
+    V3 b2 = sub(cp(c, 3), cp(c, 0));
+    V3 b3 = {cp(c, 0).x - cp(c, 1).x - cp(c, 3).x + cp(c, 2).x,
+             cp(c, 0).y - cp(c, 1).y - cp(c, 3).y + cp(c, 2).y,
+             cp(c, 0).z - cp(c, 1).z - cp(c, 3).z + cp(c, 2).z};
+    auto cpz = [](V3 a, V3 b) { return a.x * b.y - a.y * b.x; };
+    double A = cpz(b2, b3);
+    double B = cpz(b3, q) - cpz(b1, b2);
+    double C = cpz(b1, q);
+    double mu;
+    if (std::fabs(A) < 1e-20) {
+      mu = -C / B;
+    } else {
+      mu = 0.5 * (-B - std::sqrt(B * B - 4 * A * C)) / A;
+    }
+    double den[3] = {b1.x + mu * b3.x, b1.y + mu * b3.y, b1.z + mu * b3.z};
+    double qc[3] = {q.x, q.y, q.z};
+    double bc[3] = {b2.x, b2.y, b2.z};
+    int dim = 0;  // first-occurrence maxloc (Fortran maxloc semantics)
+    for (int d = 1; d < 3; ++d)
+      if (std::fabs(den[d]) > std::fabs(den[dim])) dim = d;
+    double lam = (qc[dim] - bc[dim] * mu) / den[dim];
+    double t1 = data[cv[0]] * (1 - lam) + data[cv[1]] * lam;
+    double t2 = data[cv[3]] * (1 - lam) + data[cv[2]] * lam;
+    return t1 * (1 - mu) + t2 * mu;
+  }
+
   // interpolate_triangle (:529-551) / interpolate_tetrahedron (:553-586)
   double interpolate(int c, V3 r, const double* data) const {
+    if (is_quad) return interpolate_quad(c, r, data);
     const int32_t* cv = cells + (size_t)c * npc;
     if (npc == 3) {
       double w0 = 0.5 * norm(cross(sub(r, cp(c, 1)), sub(r, cp(c, 2))));
@@ -190,7 +231,7 @@ extern "C" {
 // otherwise guesses[i] >= 0 warm-starts the walk from that cell (its
 // centroid, iu_get_cell :428-433).  Outputs: out_vals (fill 0 on miss),
 // out_ic (-1 on miss), out_found (0/1).
-void iu_serial_query(int npc, int n_points, int n_cells,
+void iu_serial_query(int npc, int is_quad, int n_points, int n_cells,
                      const double* points, const int32_t* cells,
                      const int32_t* neighbors, const double* point_data,
                      int n_q, const double* queries,
@@ -199,6 +240,7 @@ void iu_serial_query(int npc, int n_points, int n_cells,
                      uint8_t* out_found) {
   Mesh m;
   m.npc = npc;
+  m.is_quad = is_quad != 0;
   m.n_points = n_points;
   m.n_cells = n_cells;
   m.points = points;

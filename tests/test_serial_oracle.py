@@ -131,3 +131,38 @@ def test_oracle_agreement_candidate_path():
     np.testing.assert_allclose(
         np.asarray(v_j)[f_j], v_o[f_j], atol=1e-12
     )
+
+
+def test_oracle_agreement_quad():
+    """The inverse-bilinear quad kernel (reference :588-641) — the
+    most misreading-prone formula in the API — cross-checked on a
+    JITTERED quad mesh, so the quads are genuinely non-parallelogram
+    and the quadratic's root choice + maxloc branch both matter."""
+    points, cells, neighbors = meshgen.quad_rect_mesh(6, 5)
+    pts = np.asarray(points, np.float64).copy()
+    rng = np.random.default_rng(8)
+    # jitter interior vertices only (keep the boundary rectangular and
+    # the cells convex: jitter << cell size)
+    lo3, hi3 = pts.min(axis=0), pts.max(axis=0)
+    interior = np.all((pts > lo3 + 1e-9) & (pts < hi3 - 1e-9), axis=1) | (
+        (pts[:, 0] > lo3[0] + 1e-9) & (pts[:, 0] < hi3[0] - 1e-9)
+        & (pts[:, 1] > lo3[1] + 1e-9) & (pts[:, 1] < hi3[1] - 1e-9)
+    )
+    pts[interior, :2] += (rng.random((interior.sum(), 2)) - 0.5) * 0.08
+    data = _nonlinear(pts)
+    grid = iu.build_grid(
+        pts, cells, neighbors, "quad", point_data={"D": data},
+        dtype=jnp.float64, locate_mode="walk",
+    )
+    q = _mixed_queries(rng, 4000, pts.min(axis=0), pts.max(axis=0))
+    q[:, 2] = 0.0
+    v_j, ic_j, f_j = iu.interpolate_scalar_at(grid, q, 0, fill_value=0.0)
+    v_o, ic_o, f_o = serial_oracle.serial_query(
+        pts, cells, neighbors, data, q, cell_type="quad"
+    )
+    f_j = np.asarray(f_j)
+    np.testing.assert_array_equal(f_j, f_o)
+    assert 0.5 < f_j.mean() < 0.95
+    np.testing.assert_allclose(
+        np.asarray(v_j)[f_j], v_o[f_j], atol=1e-11
+    )
