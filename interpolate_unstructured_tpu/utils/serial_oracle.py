@@ -76,6 +76,21 @@ def _load():
         ctypes.c_void_p, ctypes.c_int,             # guesses (or NULL), max_steps
         f64p, i32p, u8p,                           # out_vals, out_ic, out_found
     ]
+    t = lib.iu_serial_trace
+    t.restype = None
+    t.argtypes = [
+        ctypes.c_int, ctypes.c_int,                # npc, is_quad
+        ctypes.c_int, ctypes.c_int,                # n_points, n_cells
+        f64p, i32p, i32p,                          # points, cells, nbrs
+        ctypes.c_int, f64p, ctypes.c_int,          # ndim, field (ndim,np), nvar
+        ctypes.c_double, ctypes.c_double,          # min_dx, max_dx
+        ctypes.c_int,                              # max_steps
+        ctypes.c_double, ctypes.c_double,          # rtol, atol
+        ctypes.c_int, ctypes.c_int,                # reverse, axisymmetric
+        ctypes.c_void_p, ctypes.c_int,             # icell_mask (or NULL), mask_value
+        ctypes.c_int, f64p, ctypes.c_int,          # n_traj, y0, max_iterations
+        f64p, f64p, i32p, i32p,                    # out_y, out_yfield, nsteps, bm
+    ]
     _lib = lib
     return _lib
 
@@ -119,3 +134,64 @@ def serial_query(points, cells, neighbors, data, queries, guesses=None,
         vals, ic, found,
     )
     return vals, ic, found.astype(bool)
+
+
+def serial_trace(points, cells, neighbors, field, y0, *, nvar=0,
+                 min_dx, max_dx, max_steps, rtol, atol, reverse=False,
+                 axisymmetric=False, icell_mask=None, mask_value=-1,
+                 max_iterations=None, cell_type=None):
+    """Serial reference-algorithm field-line trace
+    (iu_integrate_along_field, m_interp_unstructured.f90:987-1217).
+
+    Args mirror :func:`trace.integrate_along_field`: ``field`` is
+    (n_points, ndim) vertex vector data, ``y0`` is
+    (n_traj, ndim + nvar) seeds (extra variables integrate
+    d(var)/ds = 1, the arc-length sub-integral of
+    test_trace_field.f90:57-64), ``icell_mask`` an optional
+    (n_cells,) int array restricting integration to
+    ``mask == mask_value`` cells.
+
+    Returns ``(y (n_traj, max_steps, ndim+nvar),
+    y_field (n_traj, max_steps, ndim), n_steps (n_traj,),
+    boundary_material (n_traj,))`` with the same conventions as
+    ``TraceResult`` (n_steps == max_steps + 1 means the buffer filled;
+    boundary -1 = physical boundary, else the mask value entered,
+    -2 = not reached).
+    """
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(f"serial oracle unavailable: {_build_error}")
+    points = np.ascontiguousarray(points, np.float64)
+    cells = np.ascontiguousarray(cells, np.int32)
+    neighbors = np.ascontiguousarray(neighbors, np.int32)
+    field = np.ascontiguousarray(field, np.float64)
+    y0 = np.ascontiguousarray(y0, np.float64)
+    ndim = field.shape[1]
+    n_traj = y0.shape[0]
+    d = ndim + nvar
+    if y0.shape[1] != d:
+        raise ValueError(f"y0 must have shape (B, {d})")
+    if max_iterations is None:
+        max_iterations = 50 * max_steps + 1000
+    # component-major (ndim, n_points), matching the C side
+    field_t = np.ascontiguousarray(field.T)
+    out_y = np.empty((n_traj, max_steps, d), np.float64)
+    out_yf = np.empty((n_traj, max_steps, ndim), np.float64)
+    nsteps = np.empty(n_traj, np.int32)
+    bm = np.empty(n_traj, np.int32)
+    mptr = None
+    if icell_mask is not None:
+        icell_mask = np.ascontiguousarray(icell_mask, np.int32)
+        mptr = icell_mask.ctypes.data_as(ctypes.c_void_p)
+    lib.iu_serial_trace(
+        cells.shape[1], 1 if cell_type == "quad" else 0,
+        points.shape[0], cells.shape[0],
+        points, cells, neighbors,
+        ndim, field_t, nvar,
+        float(min_dx), float(max_dx), int(max_steps),
+        float(rtol), float(atol), int(bool(reverse)),
+        int(bool(axisymmetric)), mptr, int(mask_value),
+        n_traj, y0, int(max_iterations),
+        out_y, out_yf, nsteps, bm,
+    )
+    return out_y, out_yf, nsteps, bm

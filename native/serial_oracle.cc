@@ -24,6 +24,10 @@
 //    neighbors) with :736-763 (get_cell_intersection)
 //  * triangle weights .............. :529-551
 //  * tetra weights ................. :553-586
+//  * field-line tracer ............. :987-1217 (iu_integrate_along_
+//    field: Bogacki-Shampine RK23 on the field's unit vector, the
+//    embedded 2nd-order error estimate, boundary shrink-and-retry,
+//    icell-mask region restriction, axisymmetric radius clamp)
 //
 // Build: g++ -O3 -march=native -shared -fPIC serial_oracle.cc -o ...
 // (driven by interpolate_unstructured_tpu/utils/serial_oracle.py).
@@ -128,12 +132,19 @@ struct Mesh {
   }
 
   // iu_get_cell_through_neighbors (:664-725): walk the straight segment
-  // r0 -> r1 from cell ic0, crossing exit faces (:736-763).  Returns the
-  // final cell, or -1 when the walk leaves the domain.
-  int walk(V3 r0, V3 r1, int ic0, int max_steps) const {
+  // r0 -> r1 from cell ic0, crossing exit faces (:736-763).  Status 0 =
+  // r1 reached, -1 = left the domain, 1 = the icell mask changed
+  // (:706-719).  On early exit *r_p is the face-intersection point (the
+  // tracer shrinks its step to |r_p - r0|, :1084); on status 0 it is r1.
+  int walk_ex(V3 r0, V3 r1, int ic0, int max_steps,
+              const int32_t* icell_mask, V3* r_p, int* status) const {
+    *status = 0;
     V3 d = sub(r1, r0);
     double distance_left = norm(d);
-    if (distance_left < 1e-100) return ic0;
+    if (distance_left < 1e-100) {  // tiny_distance short-circuit (:689)
+      *r_p = r1;
+      return ic0;
+    }
     double inv = 1.0 / distance_left;
     V3 u{d.x * inv, d.y * inv, d.z * inv};
     V3 rp = r0;
@@ -150,19 +161,38 @@ struct Mesh {
           if (dist < face_distance) { face_distance = dist; i_face = k; }
         }
       }
-      if (i_face < 0) return ic;  // degenerate; cannot advance
+      if (i_face < 0) { *r_p = r1; return ic; }  // degenerate; stop here
       rp.x += face_distance * u.x;
       rp.y += face_distance * u.y;
       rp.z += face_distance * u.z;
       distance_left -= face_distance;
       if (distance_left > 0) {
-        ic = neighbors[(size_t)ic * npc + i_face];
-        if (ic < 0) return -1;  // left the domain (status -1)
+        int nb = neighbors[(size_t)ic * npc + i_face];
+        if (nb < 0) {  // left the domain (status -1)
+          *status = -1;
+          *r_p = rp;
+          return nb;
+        }
+        ic = nb;
+        if (icell_mask && icell_mask[ic] != icell_mask[ic0]) {
+          *status = 1;  // mask changed vs the START cell (:712-719)
+          *r_p = rp;
+          return ic;
+        }
       } else {
+        *r_p = r1;
         return ic;  // r1 reached inside the current cell (status 0)
       }
     }
+    *r_p = rp;
     return ic;
+  }
+
+  int walk(V3 r0, V3 r1, int ic0, int max_steps) const {
+    V3 rp;
+    int status;
+    int ic = walk_ex(r0, r1, ic0, max_steps, nullptr, &rp, &status);
+    return status == 0 ? ic : -1;
   }
 
   // interpolate_quad (:588-641): inverse-bilinear coefficients via the
@@ -268,6 +298,194 @@ void iu_serial_query(int npc, int is_quad, int n_points, int n_cells,
       out_vals[i] = 0.0;
       out_ic[i] = -1;
       out_found[i] = 0;
+    }
+  }
+}
+
+// Serial field-line tracer: iu_integrate_along_field (:987-1217), the
+// adaptive Bogacki-Shampine RK23 along the unit vector of the
+// interpolated field.  Control flow mirrors the reference exactly:
+//  * k1 reuses the stored field of the last accepted point (:1109);
+//  * every sub-step walks the segment anchor -> target starting from
+//    the anchor's cell (:1122, :1135, :1150);
+//  * a failed walk (status != 0) restarts the iteration with
+//    dx = (1 - 1e-8) * |r_p - anchor| (:1081-1084) and terminates with
+//    a boundary code once dx < min_dx (:1086-1096);
+//  * scales = atol + max(|y3|,|y2|)*rtol, err = sqrt(sum(sq)/3)
+//    (:1162-1163); accept if err <= 1 or dx < 2*min_dx (:1165);
+//  * dx *= min(max_growth, 0.8*err^(-1/3)) clamped to [min_dx, max_dx],
+//    growth 1x if a step was rejected at this or the previous
+//    iteration, else 2x (:1178-1188);
+//  * axisymmetric clamps the first coordinate >= 1e-12 (:1120 etc).
+//
+// field: (ndim, n_points) component-major vertex data.  The nvar extra
+// variables integrate d(var)/ds = 1 (arc length) — the reference
+// test's sub_int (test_trace_field.f90:57-64).  Outputs per
+// trajectory: out_y (max_steps, ndim+nvar) with [0] = y0, out_yfield
+// (max_steps, ndim), out_nsteps (stored points; max_steps+1 = buffer
+// filled before a boundary), out_bm (-1 physical boundary, mask value,
+// -2 not reached).
+void iu_serial_trace(int npc, int is_quad, int n_points, int n_cells,
+                     const double* points, const int32_t* cells,
+                     const int32_t* neighbors, int ndim,
+                     const double* field_data, int nvar,
+                     double min_dx, double max_dx, int max_steps,
+                     double rtol, double atol, int reverse,
+                     int axisymmetric, const int32_t* icell_mask,
+                     int mask_value, int n_traj, const double* y0,
+                     int max_iterations, double* out_y,
+                     double* out_yfield, int32_t* out_nsteps,
+                     int32_t* out_bm) {
+  Mesh m;
+  m.npc = npc;
+  m.is_quad = is_quad != 0;
+  m.n_points = n_points;
+  m.n_cells = n_cells;
+  m.points = points;
+  m.cells = cells;
+  m.neighbors = neighbors;
+  m.build();
+
+  const int D = ndim + nvar;
+  const double min_radius = 1e-12, eps = 1e-8, safety_fac = 0.8;
+  std::vector<double> y(D), ys(D), y2nd(D), k(4 * D);
+
+  auto interp_vec = [&](int c, V3 r, double* out) {
+    for (int d = 0; d < ndim; ++d)
+      out[d] = m.interpolate(c, r, field_data + (size_t)d * n_points);
+  };
+  // get_unitvec (:1193-1201) + the nvar arc-length derivatives
+  auto deriv = [&](const double* field, double* kd) {
+    double n2 = 0;
+    for (int d = 0; d < ndim; ++d) n2 += field[d] * field[d];
+    double s = (reverse ? -1.0 : 1.0) / std::sqrt(n2);
+    for (int d = 0; d < ndim; ++d) kd[d] = field[d] * s;
+    for (int v = ndim; v < D; ++v) kd[v] = 1.0;
+  };
+
+  for (int t = 0; t < n_traj; ++t) {
+    double* ty = out_y + (size_t)t * max_steps * D;
+    double* tf = out_yfield + (size_t)t * max_steps * ndim;
+    for (int i = 0; i < max_steps * D; ++i) ty[i] = 0.0;
+    for (int i = 0; i < max_steps * ndim; ++i) tf[i] = 0.0;
+    for (int d = 0; d < D; ++d) y[d] = y0[(size_t)t * D + d];
+    for (int d = 0; d < D; ++d) ty[d] = y[d];
+    out_bm[t] = -2;
+    out_nsteps[t] = 1;
+
+    V3 r0{y[0], y[1], ndim > 2 ? y[2] : 0.0};
+    // cold locate of the start cell (iu_interpolate_at with i_cell = 0:
+    // nearest-point seed + walk from the seed cell's centroid, :414-434)
+    int ic0 = m.seed_cell(r0);
+    V3 c0{0, 0, 0};
+    for (int kk = 0; kk < npc; ++kk) {
+      V3 p = m.cp(ic0, kk);
+      c0.x += p.x; c0.y += p.y; c0.z += p.z;
+    }
+    c0.x /= npc; c0.y /= npc; c0.z /= npc;
+    int i_cell = m.walk(c0, r0, ic0, 100000);
+    // invalid start: boundary code and exit (:1055-1068)
+    if (i_cell < 0 || (icell_mask && icell_mask[i_cell] != mask_value)) {
+      out_bm[t] = i_cell < 0 ? -1 : icell_mask[i_cell];
+      continue;
+    }
+    double field[3] = {0, 0, 0};
+    interp_vec(i_cell, r0, field);
+    for (int d = 0; d < ndim; ++d) tf[d] = field[d];
+
+    int n_steps = 1, i_cell_prev = i_cell, last_rejected = -100;
+    int status = 0;
+    double dx = max_dx;
+    V3 r_p{0, 0, 0};
+    bool done = false;
+
+    for (int iteration = 1; iteration <= max_iterations && !done;
+         ++iteration) {
+      const double* anchor = ty + (size_t)(n_steps - 1) * D;
+      r0 = {anchor[0], anchor[1], ndim > 2 ? anchor[2] : 0.0};
+
+      if (status != 0) {
+        // previous iteration's walk stopped early: shrink and retry
+        // (:1081-1097).  i_cell still holds that walk's output cell.
+        last_rejected = iteration - 1;
+        dx = (1 - eps) * norm(sub(r_p, r0));
+        if (dx < min_dx) {
+          out_bm[t] = i_cell < 0 ? -1
+                                 : (icell_mask ? icell_mask[i_cell] : -1);
+          done = true;
+          break;
+        }
+      }
+      i_cell = i_cell_prev;
+
+      // k1 from the stored field (:1109-1115)
+      const double* fprev = tf + (size_t)(n_steps - 1) * ndim;
+      double f3[3] = {fprev[0], ndim > 1 ? fprev[1] : 0.0,
+                      ndim > 2 ? fprev[2] : 0.0};
+      deriv(f3, &k[0]);
+
+      // sub-steps 2 (0.5*dx*k1), 3 (0.75*dx*k2), 4 at the 3rd-order
+      // update (:1117-1156); each walks anchor -> target from the
+      // anchor's cell
+      static const double coeff[2] = {0.5, 0.75};
+      bool failed = false;
+      for (int s = 1; s < 4 && !failed; ++s) {
+        if (s < 3) {
+          for (int d = 0; d < D; ++d)
+            ys[d] = anchor[d] + coeff[s - 1] * dx * k[(s - 1) * D + d];
+        } else {
+          for (int d = 0; d < D; ++d)
+            ys[d] = anchor[d] + dx / 9.0 *
+                (2 * k[d] + 3 * k[D + d] + 4 * k[2 * D + d]);
+        }
+        V3 r{ys[0], ys[1], ndim > 2 ? ys[2] : 0.0};
+        if (axisymmetric && r.x < min_radius) r.x = min_radius;
+        i_cell = m.walk_ex(r0, r, i_cell_prev, 100000, icell_mask,
+                           &r_p, &status);
+        if (status != 0) { failed = true; break; }
+        interp_vec(i_cell, r, f3);
+        deriv(f3, &k[s * D]);
+      }
+      if (failed) continue;  // handled at the top of the next iteration
+
+      // embedded 2nd-order estimate + error norm (:1159-1163)
+      for (int d = 0; d < D; ++d)
+        y2nd[d] = anchor[d] + dx / 24.0 *
+            (7 * k[d] + 6 * k[D + d] + 8 * k[2 * D + d] + 3 * k[3 * D + d]);
+      double err2 = 0;
+      for (int d = 0; d < D; ++d) {
+        double sc = atol +
+            std::max(std::fabs(ys[d]), std::fabs(y2nd[d])) * rtol;
+        double e = (ys[d] - y2nd[d]) / sc;
+        err2 += e * e;
+      }
+      double err = std::sqrt(err2 / 3.0);
+
+      if (err <= 1.0 || dx < 2 * min_dx) {  // accept (:1165-1173)
+        ++n_steps;
+        if (n_steps > max_steps) {
+          out_nsteps[t] = max_steps + 1;  // buffer filled (:1167-1168)
+          done = true;
+          break;
+        }
+        double* row = ty + (size_t)(n_steps - 1) * D;
+        for (int d = 0; d < D; ++d) row[d] = ys[d];
+        if (axisymmetric && row[0] < min_radius) row[0] = min_radius;
+        for (int d = 0; d < ndim; ++d)
+          tf[(size_t)(n_steps - 1) * ndim + d] = f3[d];
+        i_cell_prev = i_cell;
+        out_nsteps[t] = n_steps;
+      } else {
+        last_rejected = iteration;
+      }
+
+      // step-size control (:1178-1188)
+      double max_growth = last_rejected > iteration - 2 ? 1.0 : 2.0;
+      double dx_factor =
+          err > 0 ? std::min(max_growth,
+                             safety_fac * std::pow(1.0 / err, 1.0 / 3.0))
+                  : max_growth;
+      dx = std::max(min_dx, std::min(max_dx, dx * dx_factor));
     }
   }
 }
