@@ -363,3 +363,100 @@ def test_trace_oracle_mask_region():
     _compare_traces(res, oy, oyf, ons, obm, ndim=2)
     assert int(np.asarray(res.boundary_material)[0]) == 7
     assert int(np.asarray(res.n_steps)[1]) == 1
+
+
+def test_trace_oracle_quad_mesh():
+    """Tracer over the inverse-bilinear quad kernel on a JITTERED quad
+    mesh — the field samples feed through interpolate_quad (:588-641)
+    every RK sub-step, so root choice/fallback parity compounds over
+    the whole trajectory."""
+    from interpolate_unstructured_tpu.trace import integrate_along_field
+
+    points, cells, neighbors = meshgen.quad_rect_mesh(8, 7)
+    pts = np.asarray(points, np.float64).copy()
+    rng = np.random.default_rng(11)
+    lo3, hi3 = pts.min(axis=0), pts.max(axis=0)
+    interior = (
+        (pts[:, 0] > lo3[0] + 1e-9) & (pts[:, 0] < hi3[0] - 1e-9)
+        & (pts[:, 1] > lo3[1] + 1e-9) & (pts[:, 1] < hi3[1] - 1e-9)
+    )
+    pts[interior, :2] += (rng.random((interior.sum(), 2)) - 0.5) * 0.06
+    vx, vy = -pts[:, 1], pts[:, 0]
+    grid = iu.build_grid(
+        pts, cells, neighbors, "quad",
+        point_data={"vx": vx, "vy": vy},
+        dtype=jnp.float64, locate_mode="walk",
+    )
+    # seeds strictly interior: an exactly-on-edge start is an epsilon
+    # tie (the JAX inside-test tolerates -1e-10, the oracle is exact)
+    y0 = np.array([[1.5, 0.05], [0.5, 0.5], [1.2, 0.3]])
+    kw = _trace_kw()
+    res = integrate_along_field(grid, jnp.asarray(y0), (0, 1), **kw)
+    oy, oyf, ons, obm = serial_oracle.serial_trace(
+        pts, cells, neighbors, np.stack([vx, vy], axis=1), y0,
+        cell_type="quad", **kw,
+    )
+    _compare_traces(res, oy, oyf, ons, obm, ndim=2)
+
+
+def test_trace_oracle_buffer_fill():
+    """A closed orbit that never exits: both implementations must fill
+    the output buffer and report n_steps = max_steps + 1 with
+    boundary_material = BM_NOT_REACHED (:1167-1168)."""
+    from interpolate_unstructured_tpu.trace import (
+        BM_NOT_REACHED, integrate_along_field,
+    )
+
+    points, cells, neighbors = meshgen.triangle_rect_mesh(8, 7)
+    pts = np.asarray(points, np.float64)
+    vx, vy = -(pts[:, 1] - 1.0), pts[:, 0] - 1.0  # orbits about (1,1)
+    grid = iu.build_grid(
+        pts, cells, neighbors, "triangle",
+        point_data={"vx": vx, "vy": vy},
+        dtype=jnp.float64, locate_mode="walk",
+    )
+    y0 = np.array([[1.5, 1.0], [1.0, 0.6]])  # radii 0.5 / 0.4: interior
+    kw = _trace_kw(max_steps=40)
+    res = integrate_along_field(grid, jnp.asarray(y0), (0, 1), **kw)
+    oy, oyf, ons, obm = serial_oracle.serial_trace(
+        pts, cells, neighbors, np.stack([vx, vy], axis=1), y0, **kw,
+    )
+    assert (np.asarray(res.n_steps) == 41).all()
+    np.testing.assert_array_equal(np.asarray(res.n_steps), ons)
+    assert (np.asarray(res.boundary_material) == BM_NOT_REACHED).all()
+    np.testing.assert_array_equal(
+        np.asarray(res.boundary_material), obm
+    )
+    # Full buffers agree pointwise — no termination tail to excuse
+    np.testing.assert_allclose(
+        np.asarray(res.y), oy, atol=1e-9
+    )
+    np.testing.assert_allclose(
+        np.asarray(res.y_field), oyf, atol=1e-9
+    )
+
+
+def test_trace_oracle_axisymmetric():
+    """axisymmetric=True threads the r >= 1e-12 clamp through every
+    sub-step position (:1120/:1133/:1147/:1171) on both sides."""
+    from interpolate_unstructured_tpu.trace import integrate_along_field
+
+    points, cells, neighbors = meshgen.triangle_rect_mesh(8, 7)
+    pts = np.asarray(points, np.float64)
+    vx = np.full(pts.shape[0], -0.05)
+    vy = np.ones(pts.shape[0])
+    grid = iu.build_grid(
+        pts, cells, neighbors, "triangle",
+        point_data={"vx": vx, "vy": vy},
+        dtype=jnp.float64, locate_mode="walk",
+    )
+    y0 = np.array([[0.05, 0.1], [0.8, 0.2]])
+    kw = _trace_kw()
+    res = integrate_along_field(
+        grid, jnp.asarray(y0), (0, 1), axisymmetric=True, **kw
+    )
+    oy, oyf, ons, obm = serial_oracle.serial_trace(
+        pts, cells, neighbors, np.stack([vx, vy], axis=1), y0,
+        axisymmetric=True, **kw,
+    )
+    _compare_traces(res, oy, oyf, ons, obm, ndim=2)
