@@ -37,8 +37,10 @@ forces the gather to materialize through an optimization_barrier (the
 honest cost of gather + buffer round-trip + unpadded math).  All three
 share ONE probe body (_probe_from) so they can never drift apart.
 
-PRODUCTIONIZED in round 4 as ops/fused_probe.py +
-models/grid._pack_lcand_rows (IUConfig.cand_lane_planned).
+Outcome (round 4): NOT productionized — the lane-plane layout measured
+33.5 ms/1M (3-D table gather pessimization) and V2/V3 both 17.8, so
+the shipped path stays the flat quantized rows (benchmarks/RESULTS.md
+"Lane-planned one-fusion probes don't fuse").
 """
 
 import argparse

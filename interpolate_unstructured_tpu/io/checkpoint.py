@@ -296,6 +296,13 @@ def load_grid(filename, config=None, dtype=None, resave_on_rebuild=False,
                 int(np.asarray(cand_count).max(initial=0))
                 <= cand_ids.shape[1] + ext_ids.shape[1]
             ),
+            # The candidate lists changed, so the checkpointed fused-
+            # variable pin no longer describes them: clear it BEFORE the
+            # resave below, or the rebuilt file would permanently pin
+            # the pre-rebuild count (and every later load — which sees
+            # matching lists and honors the pin — would fuse fewer
+            # variables than this session packs at).
+            cand_nv=-1,
         )
         if resave_on_rebuild and target == saved_dtype:
             # Never resave across a dtype change: overwriting a float64

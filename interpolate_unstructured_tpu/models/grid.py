@@ -773,7 +773,12 @@ def build_cand_df_table(grid: UGrid):
     statics = dict(
         cell_type=grid.cell_type, row_floats=row_floats, nv=nv
     )
-    chunk = 1 << 18
+    # Same escape hatch as _refresh_cand_data: at nv >= 2 XLA stops
+    # fusing the packer's per-chunk (chunk, K, nv, 4) plane gathers and
+    # their (8, 128)-tiled padding materializes (~100 KB of HLO temp
+    # per row-slot — 28 GB at the 2^18 chunk on a 2M-bin table in
+    # round 4), and the df payload is 2x the plain packer's.
+    chunk = (1 << 18) if nv <= 1 else (1 << 13)
     n = grid.cand_ids.shape[0]
     if n <= chunk:
         return _pack_qdf_rows_jit(
@@ -1532,23 +1537,37 @@ def _add_column(data, names, name, values, n_rows):
     return data, names + (name,), i_var
 
 
-def _refresh_cand_data(grid: UGrid, i_var: int | None = None) -> UGrid:
+def _refresh_cand_data(
+    grid: UGrid, i_var: int | None = None, extend: bool = True
+) -> UGrid:
     """Re-pack the candidate rows after a point-data mutation — they
     carry fused copies of the leading variables' vertex values.
 
     Pass the mutated column as ``i_var`` to skip the (multi-GB on big
     grids) repack when that column would not be fused into the rows.
-    The comparison uses the CAPACITY nv (what a repack would fuse),
-    so appending a variable that fits extends the fusion — with a
-    small pack chunk: at nv >= 2 the packer's gathers stop fusing and
-    their (8, 128)-tiled padding materializes (~100 KB/row-slot of
-    HLO temp; 28 GB at the default 2^18 chunk on a 2M-bin table)."""
+    With ``extend=True`` (add_point_data) the comparison uses the
+    CAPACITY nv — appending a variable that fits extends the fusion.
+    With ``extend=False`` (set_point_data) the fusion set must not
+    change: only a column that is CURRENTLY fused triggers a repack,
+    and the repack keeps the pinned nv — otherwise updating a variable
+    added with ``fuse=False`` would both pay the repack the flag exists
+    to avoid and silently fuse the opted-out column.
+
+    Repacks use a small chunk: at nv >= 2 the packer's gathers stop
+    fusing and their (8, 128)-tiled padding materializes (~100 KB per
+    row-slot of HLO temp; 28 GB at the default 2^18 chunk on a 2M-bin
+    table, round 4)."""
     if grid.cand_ids is None:
         return grid
-    if i_var is not None and i_var >= _cand_capacity_nv(grid):
+    nv_now = cand_fused_nv(grid)
+    limit = _cand_capacity_nv(grid) if extend else nv_now
+    if i_var is not None and i_var >= limit:
         return grid
     return dataclasses.replace(
-        grid, **_build_cand_tables(grid, pack_chunk=1 << 13)
+        grid,
+        **_build_cand_tables(
+            grid, pack_chunk=1 << 13, nv=None if extend else nv_now
+        ),
     )
 
 
@@ -1634,7 +1653,7 @@ def set_point_data(grid: UGrid, i_var: int, values) -> UGrid:
         grid = dataclasses.replace(
             grid, acc_table=update_acc_table_column(grid, i_var)
         )
-    return _refresh_cand_data(grid, i_var)
+    return _refresh_cand_data(grid, i_var, extend=False)
 
 
 # ---------------------------------------------------------------------------

@@ -69,14 +69,6 @@ _IC, _PREV, _STEPS, _WACT, _STAGE, _FAIL, _ICF = 0, 1, 2, 3, 4, 5, 6
 I_ROWS = 8
 
 
-def _cross_rows(a, b):
-    return (
-        a[1] * b[2] - a[2] * b[1],
-        a[2] * b[0] - a[0] * b[2],
-        a[0] * b[1] - a[1] * b[0],
-    )
-
-
 def _norm_rows(a):
     return jnp.sqrt(a[0] * a[0] + a[1] * a[1] + a[2] * a[2])
 

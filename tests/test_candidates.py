@@ -463,3 +463,109 @@ def test_cell_planes_degenerate_cell():
     np.testing.assert_allclose(
         vtx @ g[1, 0] + c[1, 0], data[cells[1], 0], atol=1e-10
     )
+
+
+def test_set_point_data_unfused_within_capacity():
+    """set_point_data on a variable added with fuse=False must not
+    repack even when the column WOULD fit the rows (i_var < capacity):
+    the fusion set is chosen at add time, and the repack is the
+    multi-GB cost fuse=False exists to avoid (review finding, round 4).
+    Mutating a FUSED column still repacks — at the pinned nv, so the
+    opted-out column stays unfused."""
+    from interpolate_unstructured_tpu.models.grid import (
+        _cand_capacity_nv,
+        cand_fused_nv,
+    )
+
+    pts, cells, nbrs = meshgen.tet_box_mesh(4, 4, 4)
+    # quantized f32 rows: capacity fits 2 variables
+    g = iu.build_grid(
+        pts, cells, nbrs, "tetra",
+        point_data={"Polynomial": pts.sum(1) + 1.0},
+        locate_mode="walk", dtype=jnp.float32,
+    )
+    nv0 = cand_fused_nv(g)
+    g2, i_v = iu.add_point_data(
+        g, "extra", np.asarray(pts.sum(1) * 5.0), fuse=False
+    )
+    assert nv0 <= i_v < _cand_capacity_nv(g2)  # the dangerous window
+    table_before = g2.cand_table
+
+    g3 = iu.set_point_data(g2, i_v, np.asarray(pts.sum(1) * 7.0))
+    assert g3.cand_table is table_before  # no repack for opted-out col
+    assert cand_fused_nv(g3) == nv0
+
+    rng = np.random.default_rng(13)
+    r = jnp.asarray(rng.random((256, 3)), jnp.float32)
+    v, _, f = iu.interpolate_scalar_at(g3, r, i_v)
+    assert bool(np.asarray(f).all())
+    np.testing.assert_allclose(
+        np.asarray(v), 7.0 * np.asarray(r.sum(1)), rtol=1e-5
+    )
+
+    # fused column: repack happens but the fusion set is unchanged
+    g4 = iu.set_point_data(g3, 0, np.asarray(pts.sum(1) * 2.0))
+    assert g4.cand_table is not table_before
+    assert cand_fused_nv(g4) == nv0
+    v0, _, f0 = iu.interpolate_scalar_at(g4, r, 0)
+    np.testing.assert_allclose(
+        np.asarray(v0)[np.asarray(f0)],
+        2.0 * np.asarray(r.sum(1))[np.asarray(f0)],
+        rtol=1e-5,
+    )
+    vi, _, fi = iu.interpolate_scalar_at(g4, r, i_v)
+    np.testing.assert_allclose(
+        np.asarray(vi)[np.asarray(fi)],
+        7.0 * np.asarray(r.sum(1))[np.asarray(fi)],
+        rtol=1e-5,
+    )
+
+
+def test_rebuild_resave_clears_stale_pin(tmp_path):
+    """resave_on_rebuild must not write the PRE-rebuild cand_nv pin:
+    the rebuild re-derives capacity (fusing everything that fits), so
+    a resaved file carrying the old pin would make every later load
+    fuse fewer variables than the resaving session used (review
+    finding, round 4)."""
+    from interpolate_unstructured_tpu.io.checkpoint import (
+        load_grid,
+        save_grid,
+    )
+    from interpolate_unstructured_tpu.models.grid import cand_fused_nv
+    from interpolate_unstructured_tpu.utils.config import IUConfig
+
+    pts, cells, nbrs = meshgen.tet_box_mesh(4, 4, 4)
+    g = iu.build_grid(
+        pts, cells, nbrs, "tetra",
+        point_data={"Polynomial": pts.sum(1) + 1.0},
+        locate_mode="walk", dtype=jnp.float32,
+    )
+    nv0 = cand_fused_nv(g)
+    g2, i_v = iu.add_point_data(
+        g, "extra", np.asarray(pts.sum(1) * 5.0), fuse=False
+    )
+    fn = str(tmp_path / "rebuild.binda")
+    save_grid(g2, fn)
+
+    # A doubled bins-per-cell changes the bin shape by >= 2 per dim,
+    # forcing the candidate-list rebuild path on load.
+    cfg2 = IUConfig(cand_bins_per_cell=8.0)
+    g3 = load_grid(fn, config=cfg2, resave_on_rebuild=True)
+    assert cand_fused_nv(g3) > nv0  # rebuild re-derived capacity
+
+    # The resaved file must reproduce the rebuild session's fusion.
+    g4 = load_grid(fn, config=cfg2)
+    assert g4.cand_nv == g3.cand_nv, "resave wrote the stale pin"
+    assert cand_fused_nv(g4) == cand_fused_nv(g3)
+
+    rng = np.random.default_rng(17)
+    r = jnp.asarray(rng.random((256, 3)), jnp.float32)
+    for slot, scale in ((0, 1.0), (i_v, 5.0)):
+        v, _, f = iu.interpolate_scalar_at(g4, r, slot)
+        assert bool(np.asarray(f).all())
+        exact = (
+            np.asarray(r).sum(1) + 1.0
+            if slot == 0
+            else scale * np.asarray(r.sum(1))
+        )
+        np.testing.assert_allclose(np.asarray(v), exact, rtol=1e-4)
