@@ -35,6 +35,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from . import df32, locate
 
@@ -164,13 +165,27 @@ def prepare_accurate(grid, build_df: bool = True):
 
 
 def split_queries(r64):
-    """Split float64 (or float32) queries into an f32 (hi, lo) pair."""
+    """Split float64 (or float32) queries into an f32 (hi, lo) pair.
+
+    The float64 residual is computed on the HOST (numpy) when the
+    input is a host array: with jax x64 disabled (the library's normal
+    f32 operating mode) ``jnp.asarray`` would silently downcast r64 to
+    f32 BEFORE any dtype check could see it, returning zero residuals
+    and quietly degrading accurate mode to f32 query positions — the
+    exact pitfall the interpolate_at_acc docstring warns about."""
+    src_dtype = getattr(r64, "dtype", None)
+    if src_dtype is not None and np.dtype(src_dtype) == np.float64:
+        if isinstance(r64, jnp.ndarray):
+            # device f64 array: x64 is necessarily enabled
+            hi = r64.astype(jnp.float32)
+            lo = (r64 - hi.astype(jnp.float64)).astype(jnp.float32)
+            return hi, lo
+        r_np = np.asarray(r64, np.float64)
+        hi_np = r_np.astype(np.float32)
+        lo_np = (r_np - hi_np.astype(np.float64)).astype(np.float32)
+        return jnp.asarray(hi_np), jnp.asarray(lo_np)
     hi = jnp.asarray(r64, jnp.float32)
-    if jnp.asarray(r64).dtype == jnp.float64:
-        lo = (r64 - hi.astype(jnp.float64)).astype(jnp.float32)
-    else:
-        lo = jnp.zeros_like(hi)
-    return hi, lo
+    return hi, jnp.zeros_like(hi)
 
 
 def _weights_tri_df(q, v):
@@ -221,7 +236,19 @@ def interpolate_at_icell_acc(grid, r_hi, i_vars, i_cell, r_lo=None):
         )
     npc = grid.n_points_per_cell
     nv = grid.n_point_data
-    i_vars = tuple(int(v) for v in i_vars)
+    from .interp import _static_slots
+
+    slots = _static_slots(i_vars)
+    if slots is None:
+        # The f32 path falls back to a dynamic gather for traced
+        # i_vars; the df32 kernels index columns statically, so give a
+        # clear error instead of a low-level ConcretizationTypeError.
+        raise TypeError(
+            "accurate mode needs concrete i_vars (a Python tuple of "
+            "ints); a traced array cannot select df32 row columns — "
+            "keep i_vars static under jit"
+        )
+    i_vars = slots
     if any(v >= nv or v < -nv for v in i_vars):
         raise ValueError("i_vars outside the live point-data range")
     i_vars = tuple(v % max(nv, 1) for v in i_vars)  # python-style wrap
@@ -236,9 +263,10 @@ def interpolate_at_icell_acc(grid, r_hi, i_vars, i_cell, r_lo=None):
         from . import pallas_acc
 
         b = r_hi.shape[0]
-        # Chunk so the gathered rows + kernel stay VMEM-resident (the
-        # candidate-probe regime, locate._cand_chunk).
-        chunk = 1 << 16
+        # Chunk so the gathered rows + kernel stay VMEM-resident —
+        # sized by THIS table's row bytes (acc rows widen with nv) and
+        # honoring config.cand_chunk_queries, like the candidate probe.
+        chunk = locate._cand_chunk(grid, grid.acc_table)
 
         def tile(rh_t, rl_t, ic):
             rows = grid.acc_table[jnp.maximum(ic, 0)]
@@ -321,19 +349,8 @@ def interpolate_at_acc(grid, r, i_vars, guess=None, r_lo=None):
     Returns (vals_hi, vals_lo, found, i_cell); missed queries keep
     weights from their nearest candidate but ``found`` is False.
     """
-    import numpy as np
-
-    if (
-        r_lo is None
-        and not isinstance(r, jax.Array)
-        and np.asarray(r).dtype == np.float64
-    ):
-        host = np.asarray(r)
-        hi = host.astype(np.float32)
-        r_hi = jnp.asarray(hi)
-        r_lo = jnp.asarray((host - hi.astype(np.float64)).astype(np.float32))
-    elif jnp.asarray(r).dtype == jnp.float64:
-        r_hi, r_lo = split_queries(r)
+    if r_lo is None:
+        r_hi, r_lo = split_queries(r)  # handles host f64 without x64
     else:
         r_hi = jnp.asarray(r, jnp.float32)
 

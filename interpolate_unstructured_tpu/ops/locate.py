@@ -24,8 +24,6 @@ value changed (:664-667).
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 from jax import lax
@@ -483,6 +481,65 @@ def _compact_indices(mask, m):
     return lax.cond(jnp.all(counts <= q), chunked, global_topk, None)
 
 
+def _compacted_fallback(active, m, per_lane, merge_scatter, merge_full,
+                        state):
+    """Shared dispatch for the compacted recovery paths
+    (_candidates_query and _get_cell_warm — ONE definition of the
+    subtle machinery so a fix in one site cannot silently miss the
+    other; the round-3 zero-miss guard did exactly that).  get_cell's
+    phase-2 straggler dispatch stays separate on purpose: its full
+    path is a single full-batch walk resume (walk gathers are per-row
+    regardless, so there is no b-wide row materialization to avoid and
+    full-batch walk rounds amortize better than m-chunked ones).
+
+    * zero active lanes: return ``state`` untouched — the fallback
+      costs ~2-3 ms/1M even when it recovers nothing;
+    * <= m active: stable compaction into an m-slot buffer
+      (_compact_indices; padding slots alias lane b-1 and merge
+      idempotently because per-lane outputs are deterministic), then
+      ``merge_scatter(state, idx, keep, outs)``;
+    * > m active (clustered/adversarial batches): contiguous m-wide
+      slices through one sequential ``lax.map`` — per-lane row gathers
+      never materialize b-wide buffers — restitched to full width,
+      then ``merge_full(state, outs)``.
+
+    ``per_lane(idx, keep) -> pytree`` of (m,)- or (c, m)-shaped
+    arrays, each already masked by ``keep`` where it matters.
+    """
+    b = active.shape[0]
+    n_act = jnp.sum(active.astype(jnp.int32))
+
+    def small_path(state):
+        idx = _compact_indices(active, m)
+        return merge_scatter(state, idx, active[idx],
+                             per_lane(idx, active[idx]))
+
+    def full_path(state):
+        pad_b = -(-b // m) * m
+        idxs = jnp.arange(pad_b, dtype=jnp.int32).reshape(-1, m)
+        act_p = jnp.pad(active, (0, pad_b - b))
+
+        def body(idx):
+            safe = jnp.minimum(idx, b - 1)
+            return per_lane(safe, act_p[idx])
+
+        def restitch(o):
+            # (n_iter, m) -> (b,); (n_iter, c, m) -> (c, b)
+            if o.ndim == 2:
+                return o.reshape(-1)[:b]
+            return jnp.moveaxis(o, 1, 0).reshape(o.shape[1], -1)[:, :b]
+
+        outs = jax.tree.map(restitch, lax.map(body, idxs))
+        return merge_full(state, outs)
+
+    return lax.cond(
+        n_act == 0,
+        lambda s: s,
+        lambda s: lax.cond(n_act <= m, small_path, full_path, s),
+        state,
+    )
+
+
 def _quad_weights_c(px, py, pz, rx, ry, rz):
     """Inverse-bilinear quad weights on twelve (B,) vertex-component
     arrays (small trailing dims pad to 128 lanes on TPU and cost
@@ -912,7 +969,6 @@ def _candidates_query(grid, r, var_slots=None, max_steps=None):
             values = values.at[:, idx].set(vals_o)
         return ic, values
 
-    n_act = jnp.sum(need_fb.astype(jnp.int32))
     m = -(-max(1024, b // cfg.cand_fallback_divisor) // 8) * 8
     if b <= m or b < cfg.walk_compact_min_batch:
         idx = jnp.arange(b, dtype=jnp.int32)
@@ -922,45 +978,19 @@ def _candidates_query(grid, r, var_slots=None, max_steps=None):
             values = jnp.where(found_o[None, :], vals_o, values)
         return ic, ic >= 0, values
 
-    def small_path(args):
-        idx = _compact_indices(need_fb, m)
-        ic_o, found_o, vals_o = fallback(idx, need_fb[idx])
-        return merge(args, idx, ic_o, found_o, vals_o)
+    def merge_scatter(args, idx, keep, outs):
+        return merge(args, idx, *outs)
 
-    def full_path(args):
-        # More misses than the compact buffer (clustered/adversarial
-        # batches): run the fallback over contiguous m-wide slices so
-        # the extension gather never materializes b-wide rows
+    def merge_full(args, outs):
         ic, values = args
-        pad_b = -(-b // m) * m
-        idxs = jnp.arange(pad_b, dtype=jnp.int32).reshape(-1, m)
-        act_p = jnp.pad(need_fb, (0, pad_b - b))
-
-        def body(idx):
-            safe = jnp.minimum(idx, b - 1)
-            return fallback(safe, act_p[idx])
-
-        ic_o, found_o, vals_o = lax.map(body, idxs)
-        ic_o = ic_o.reshape(-1)[:b]
-        found_o = found_o.reshape(-1)[:b]
+        ic_o, found_o, vals_o = outs
         ic = jnp.where(found_o, ic_o, ic)
         if values is not None:
-            # stacked (n_iter, nv, m) -> (nv, b)
-            vals_o = jnp.moveaxis(vals_o, 1, 0).reshape(
-                values.shape[0], -1
-            )[:, :b]
             values = jnp.where(found_o[None, :], vals_o, values)
         return ic, values
 
-    # Zero-miss fast branch: on well-ranked tables whole batches often
-    # resolve in phase 0, and the compacted fallback probe costs ~2-3
-    # ms/1M even when it recovers nothing (the m-lane ext gather +
-    # merge run regardless once entered).
-    ic, values = lax.cond(
-        n_act == 0,
-        lambda args: args,
-        lambda args: lax.cond(n_act <= m, small_path, full_path, args),
-        (ic, values),
+    ic, values = _compacted_fallback(
+        need_fb, m, fallback, merge_scatter, merge_full, (ic, values)
     )
     if var_slots is None:
         return ic, ic >= 0, None
@@ -1095,7 +1125,6 @@ def _get_cell_warm(grid, r, guess, max_steps):
         code = jnp.where(found_w, ic_w, jnp.minimum(ic_w, -1))
         return code, found_w
 
-    n_act = jnp.sum(miss.astype(jnp.int32))
     m = -(-max(1024, b // cfg.cand_fallback_divisor) // 8) * 8
     if b <= m or b < cfg.walk_compact_min_batch:
         idx = jnp.arange(b, dtype=jnp.int32)
@@ -1103,31 +1132,21 @@ def _get_cell_warm(grid, r, guess, max_steps):
         ic = jnp.where(miss, code, ic)
         return ic, found | found_w
 
-    def small_path(args):
+    def merge_scatter(args, idx, keep, outs):
         ic, found = args
-        idx = _compact_indices(miss, m)
-        keep = miss[idx]
-        code, found_w = recover(idx, keep)
+        code, found_w = outs
         ic = ic.at[idx].set(jnp.where(keep, code, ic[idx]))
         found = found.at[idx].set(found[idx] | found_w)
         return ic, found
 
-    def full_path(args):
+    def merge_full(args, outs):
         ic, found = args
-        pad_b = -(-b // m) * m
-        idxs = jnp.arange(pad_b, dtype=jnp.int32).reshape(-1, m)
-        act_p = jnp.pad(miss, (0, pad_b - b))
-
-        def body(idx):
-            safe = jnp.minimum(idx, b - 1)
-            return recover(safe, act_p[idx])
-
-        code, found_w = lax.map(body, idxs)
-        code = code.reshape(-1)[:b]
-        found_w = found_w.reshape(-1)[:b]
+        code, found_w = outs
         return jnp.where(miss, code, ic), found | found_w
 
-    return lax.cond(n_act <= m, small_path, full_path, (ic, found))
+    return _compacted_fallback(
+        miss, m, recover, merge_scatter, merge_full, (ic, found)
+    )
 
 
 def _resume_walk(grid, r_p, r1, ic, active, max_steps):
@@ -1225,7 +1244,13 @@ def get_cell(grid, r, guess=None, max_steps=None):
         return ic_o, _found_of(ic_o, st_o)
 
     n_act = jnp.sum(active.astype(jnp.int32))
+    # Zero-straggler fast branch: skip the compacted tail entirely when
+    # phase 1 resolved the whole batch (seeds are at most a bin away,
+    # so this is the common case on conforming meshes)
     ic, found = lax.cond(
-        n_act <= m, small_path, full_path, (ic1, rp1, active, found1)
+        n_act == 0,
+        lambda args: (args[0], args[3]),
+        lambda args: lax.cond(n_act <= m, small_path, full_path, args),
+        (ic1, rp1, active, found1),
     )
     return jnp.where(found, ic, jnp.minimum(ic, -1)), found

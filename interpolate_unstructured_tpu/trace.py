@@ -63,6 +63,12 @@ def _shrink_eps(dtype):
     return 1e-8
 # boundary_material sentinel: trace still running / buffer exhausted
 BM_NOT_REACHED = -2
+# Sub-step walk hit config.trace_walk_max_steps even at dx ~ min_dx:
+# a min_dx segment crosses more cells than the cap allows (pathological
+# min_dx / cell-size ratio).  The reference walks unbounded (:431) so
+# it has no analog; reporting it as a boundary (-1) would be silently
+# wrong mid-domain.  Raise trace_walk_max_steps or min_dx to cure.
+BM_STEP_CAP = -3
 
 
 class TraceResult(NamedTuple):
@@ -72,7 +78,9 @@ class TraceResult(NamedTuple):
     y_field: Any  # (B, max_steps, ndim) field samples along the curve
     n_steps: Any  # (B,) int32: valid points; max_steps+1 = not reached
     boundary_material: Any  # (B,) int32: -1 physical boundary, mask value,
-    #                         or BM_NOT_REACHED if the buffer filled first
+    #                         BM_NOT_REACHED if the buffer filled first,
+    #                         or BM_STEP_CAP (walk cap at min_dx — see
+    #                         the sentinel's comment)
     n_iterations: Any  # (B,) int32: RK iterations spent (diagnostics)
     n_rounds: Any = None  # scalar int32: total fused tracer-kernel
     #                       rounds (diagnostics; 0 on the generic path)
@@ -403,7 +411,8 @@ def integrate_along_field(
 
         anchor (D, B), k_prev (D, B), r_start (3, B) rows; returns
         (ys (D, B), field (3, B), k (D, B), ic, r_p (3, B), tgt (3, B),
-        failed)."""
+        failed, capped) — ``capped`` flags failures that are walk
+        step-cap artifacts, not boundary/mask stops."""
         ys = anchor + coeff[None, :] * k_prev
         r3 = clamp_axi(pad3(ys[:ndim]))
         tgt = jnp.where(ok[None, :], r3, r_start)
@@ -418,6 +427,7 @@ def integrate_along_field(
             table=trace_table,
         )
         failed = ok & (st != 0)
+        capped = ok & (st == locate.STATUS_STEP_CAP)
         g = trace_table[jnp.maximum(ic, 0)]
         cp = g[:, _cp_off:_vol_off].reshape(-1, npc, 3)
         vol = g[:, _vol_off]
@@ -427,7 +437,7 @@ def integrate_along_field(
         k = jnp.concatenate(
             [unitvec(field), sub_int_b(field[:ndim].T, ys.T).T], axis=0
         )
-        return ys, field, k, ic, r_p.T, tgt, failed
+        return ys, field, k, ic, r_p.T, tgt, failed, capped
 
     # ---- initialization (:1045-1073; column-major one-time ops) ----------
     r0_3 = jnp.zeros((b, 3), dtype=dtype).at[:, :ndim].set(y0[:, :ndim])
@@ -549,12 +559,16 @@ def integrate_along_field(
             )
             ok = act & ~fail
             failed = act & fail
+            # The fused path never runs with an icell mask
+            # (pallas_trace.supported), so a failure that ends INSIDE
+            # the domain can only be the walk step cap.
+            cap_fail = failed & (ic_fail >= 0)
             k123 = (2.0 * k1 + 3.0 * k2 + 4.0 * k3) / 9.0
             ys3 = anchor + dx[None, :] * k123
         else:
             nr = jnp.int32(0)
             ok = act
-            _, _, k2, ic2, rp2, tgt2, f2 = rk_stage(
+            _, _, k2, ic2, rp2, tgt2, f2, c2 = rk_stage(
                 anchor, k1, 0.5 * dx, r0, s.i_cell_prev, ok
             )
             ok = ok & ~f2
@@ -564,7 +578,7 @@ def integrate_along_field(
             # ignores
             start3 = jnp.where(ok[None, :], tgt2, r0)
             ics3 = jnp.where(ok, ic2, s.i_cell_prev)
-            _, _, k3, ic3, rp3, tgt3, f3 = rk_stage(
+            _, _, k3, ic3, rp3, tgt3, f3, c3 = rk_stage(
                 anchor, k2, 0.75 * dx, start3, ics3, ok
             )
             ok = ok & ~f3
@@ -573,7 +587,7 @@ def integrate_along_field(
             k123 = (2.0 * k1 + 3.0 * k2 + 4.0 * k3) / 9.0
             start4 = jnp.where(ok[None, :], tgt3, r0)
             ics4 = jnp.where(ok, ic3, s.i_cell_prev)
-            ys3, field4, k4, ic4, rp4, _, f4 = rk_stage(
+            ys3, field4, k4, ic4, rp4, _, f4, c4 = rk_stage(
                 anchor, k123, dx, start4, ics4, ok
             )
             ok = ok & ~f4
@@ -584,6 +598,7 @@ def integrate_along_field(
                 f2[None, :], rp2, jnp.where(f3[None, :], rp3, rp4)
             )
             ic_fail = jnp.where(f2, ic2, jnp.where(f3, ic3, ic4))
+            cap_fail = jnp.where(f2, c2, jnp.where(f3, c3, c4))
 
         # Embedded 2nd-order estimate and error norm (:1159-1163)
         y2nd = anchor + dx[None, :] * (
@@ -635,7 +650,13 @@ def integrate_along_field(
 
         done = s.done | hit_boundary | overflow
         bm = jnp.where(
-            hit_boundary, boundary_code(ic_fail), s.boundary_material
+            hit_boundary,
+            # A step-cap failure at min_dx is a walk-budget artifact,
+            # not a boundary/mask stop — report it distinctly
+            jnp.where(
+                cap_fail, jnp.int32(BM_STEP_CAP), boundary_code(ic_fail)
+            ),
+            s.boundary_material,
         )
 
         return (
@@ -693,9 +714,11 @@ def write_trace_vtk(result: TraceResult, filename, ndim: int = None):
     if ndim is None:
         ndim = yf.shape[2]
     # n_steps == max_steps + 1 flags an overflowed buffer (:1167-1168);
-    # drop empty trajectories (invalid starts store nothing)
+    # drop single-point trajectories — invalid starts (outside the
+    # mesh/mask) store only their seed, and a 1-vertex POLY_LINE is a
+    # degenerate cell viewers render as an orphan point
     n = np.minimum(np.asarray(result.n_steps), max_steps)
-    keep = np.flatnonzero(n > 0)
+    keep = np.flatnonzero(n > 1)
     n = n[keep]
 
     idx = [ik * max_steps + np.arange(nk) for ik, nk in zip(keep, n)]

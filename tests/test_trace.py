@@ -240,3 +240,46 @@ def test_write_trace_vtk(tmp_path, triangle_grid):
     var0 = arrays["var0"]
     assert (np.diff(var0[: int(n[0])]) > 0).all()
     np.testing.assert_array_equal(np.unique(arrays["trajectory"]), [0, 1])
+
+
+def test_trace_step_cap_reports_sentinel():
+    """A sub-step walk that hits config.trace_walk_max_steps even at
+    dx ~ min_dx is a walk-budget artifact (the reference walks
+    unbounded, :431): it must terminate with BM_STEP_CAP, never
+    masquerade as a physical boundary (-1) mid-domain."""
+    from interpolate_unstructured_tpu.trace import BM_STEP_CAP
+    from interpolate_unstructured_tpu.utils.meshgen import (
+        triangle_rect_mesh,
+    )
+    from interpolate_unstructured_tpu.utils.config import IUConfig
+
+    points, cells, neighbors = triangle_rect_mesh(16, 16)
+    pts = np.asarray(points)
+    grid = iu.build_grid(
+        pts, cells, neighbors, "triangle",
+        point_data={"vx": np.ones(pts.shape[0]),
+                    "vy": np.zeros(pts.shape[0])},
+        locate_mode="walk",
+        config=IUConfig(trace_walk_max_steps=2),
+    )
+    # min_dx = 0.5 crosses ~8 cells of size 0.125 — every walk caps
+    res = integrate_along_field(
+        grid, jnp.asarray([[0.2, 1.0]]), (0, 1),
+        min_dx=0.5, max_dx=0.5, max_steps=50, rtol=1e-3, atol=1e-3,
+    )
+    assert int(res.boundary_material[0]) == BM_STEP_CAP
+    # the same trace with a sane cap reaches the x=2 wall
+    grid2 = iu.build_grid(
+        pts, cells, neighbors, "triangle",
+        point_data={"vx": np.ones(pts.shape[0]),
+                    "vy": np.zeros(pts.shape[0])},
+        locate_mode="walk",
+    )
+    res2 = integrate_along_field(
+        grid2, jnp.asarray([[0.2, 1.0]]), (0, 1),
+        min_dx=1e-5, max_dx=0.5, max_steps=50, rtol=1e-3, atol=1e-3,
+    )
+    assert int(res2.boundary_material[0]) == -1
+    n = int(res2.n_steps[0])
+    final = np.asarray(res2.y[0, n - 1])
+    assert final[0] > 1.99
