@@ -568,6 +568,64 @@ def _qdf_floats_per(cell_type: str, nv: int) -> int:
     return -(-3 * nf // 2) + -(-nf // 2) + 8 * nv + 1
 
 
+def _roles(x):
+    """(n_rows, K, m) -> (n_rows, m*K): K-wide role columns, column =
+    role*K + k — the layout both quantized packers and the probe
+    kernels share."""
+    return x.transpose(0, 2, 1).reshape(x.shape[0], -1)
+
+
+def _quantize_probe_geometry(face_normals, face_offsets, ids, centers):
+    """int16 probe geometry — the ONE definition shared by the plain
+    (_pack_qcand_rows_jit) and accurate-mode (_pack_qdf_rows_jit)
+    packers.  ``grid.cand_qeps`` is derived from the plain rows'
+    dscale and the query side applies it to BOTH tables, so the two
+    quantizations must stay bitwise identical: any change to the
+    masking rule, QCAND_NSCALE, or clip bounds lands in both packers
+    by construction.
+
+    Returns (safe, valid, normals, offs, centers, head_parts, ds):
+    ``head_parts`` are the packed [qn | qd] role columns that open
+    every quantized row; ``ds`` the per-row dscale."""
+    safe = jnp.maximum(ids, 0)
+    valid = ids >= 0
+    normals = face_normals[safe].astype(jnp.float32)  # (n, K, nf, 3)
+    offs = face_offsets[safe].astype(jnp.float32)  # (n, K, nf)
+    centers = centers.astype(jnp.float32)
+
+    d_loc = offs - (normals * centers[:, None, None, :]).sum(-1)
+    absd = jnp.where(valid[..., None], jnp.abs(d_loc), 0.0)
+    ds = absd.max(axis=(1, 2)) / QCAND_NSCALE  # (n,)
+    ds_safe = jnp.maximum(ds, jnp.asarray(np.finfo(np.float32).tiny))
+    qd = jnp.clip(
+        jnp.round(d_loc / ds_safe[:, None, None]), -32767, 32767
+    ).astype(jnp.int32)
+    qn = jnp.clip(
+        jnp.round(normals * QCAND_NSCALE), -32767, 32767
+    ).astype(jnp.int32)
+
+    n_rows, k_max = ids.shape
+    nf = normals.shape[2]
+    head_parts = [
+        _roles(_pack_i16_pairs(qn.reshape(n_rows, k_max, nf * 3))),
+        _roles(_pack_i16_pairs(qd)),
+    ]
+    return safe, valid, normals, offs, centers, head_parts, ds
+
+
+def _finish_qrows(parts, ids, count_vals, ds, row_floats):
+    """Close a quantized row: [.. | id]*K | count | dscale, padded to
+    the physical row width (shared by both quantized packers)."""
+    parts = parts + [
+        ids.astype(jnp.float32),
+        count_vals.astype(jnp.float32)[:, None],
+        ds.astype(jnp.float32)[:, None],
+    ]
+    rows = jnp.concatenate(parts, axis=1)
+    pad = max(row_floats, rows.shape[1]) - rows.shape[1]
+    return jnp.pad(rows, ((0, 0), (0, pad)))
+
+
 @functools.partial(
     jax.jit, static_argnames=("cell_type", "row_floats", "nv")
 )
@@ -593,32 +651,10 @@ def _pack_qdf_rows_jit(
     from ..ops import df32
 
     n_rows, k_max = ids.shape
-    nf = geometry.N_POINTS_PER_CELL[cell_type]
 
-    safe = jnp.maximum(ids, 0)
-    valid = ids >= 0
-    normals = face_normals[safe].astype(jnp.float32)  # (n, K, nf, 3)
-    offs = face_offsets[safe].astype(jnp.float32)  # (n, K, nf)
-    centers = centers.astype(jnp.float32)
-
-    d_loc = offs - (normals * centers[:, None, None, :]).sum(-1)
-    absd = jnp.where(valid[..., None], jnp.abs(d_loc), 0.0)
-    ds = absd.max(axis=(1, 2)) / QCAND_NSCALE  # (n,)
-    ds_safe = jnp.maximum(ds, jnp.asarray(np.finfo(np.float32).tiny))
-    qd = jnp.clip(
-        jnp.round(d_loc / ds_safe[:, None, None]), -32767, 32767
-    ).astype(jnp.int32)
-    qn = jnp.clip(
-        jnp.round(normals * QCAND_NSCALE), -32767, 32767
-    ).astype(jnp.int32)
-
-    def roles(x):  # (n_rows, K, m) -> (n_rows, m*K), column = j*K + k
-        return x.transpose(0, 2, 1).reshape(n_rows, -1)
-
-    parts = [
-        roles(_pack_i16_pairs(qn.reshape(n_rows, k_max, nf * 3))),
-        roles(_pack_i16_pairs(qd)),
-    ]
+    safe, _, _, _, centers, parts, ds = _quantize_probe_geometry(
+        face_normals, face_offsets, ids, centers
+    )
     ph = plane_hi[safe]  # (n, K, nv, 4)
     plo = plane_lo[safe]
     g = [(ph[..., d], plo[..., d]) for d in range(3)]  # df pairs (n,K,nv)
@@ -634,13 +670,8 @@ def _pack_qdf_rows_jit(
          acc[0], acc[1]],
         axis=-1,
     )  # (n, K, nv, 8)
-    parts.append(roles(cols.reshape(n_rows, k_max, nv * 8)))
-    parts.append(ids.astype(jnp.float32))
-    parts.append(count_vals.astype(jnp.float32)[:, None])
-    parts.append(ds.astype(jnp.float32)[:, None])
-    rows = jnp.concatenate(parts, axis=1)
-    pad = max(row_floats, rows.shape[1]) - rows.shape[1]
-    return jnp.pad(rows, ((0, 0), (0, pad)))
+    parts.append(_roles(cols.reshape(n_rows, k_max, nv * 8)))
+    return _finish_qrows(parts, ids, count_vals, ds, row_floats)
 
 
 @functools.partial(
@@ -758,11 +789,12 @@ def build_cand_df_table(grid: UGrid):
     step = 512 // 4
     row_floats = -(-(per * k_max + 2) // step) * step
 
-    nby, nbz = grid.cand_shape[1], grid.cand_shape[2]
     bin_idx = jnp.arange(grid.cand_ids.shape[0], dtype=jnp.int32)
     cx, cy, cz = geometry.cand_bin_center_cols(
         grid.cand_rmin, grid.cand_inv_h,
-        bin_idx // (nby * nbz), (bin_idx // nbz) % nby, bin_idx % nbz,
+        *geometry.cand_bin_decode(
+            bin_idx, grid.cand_shape[1], grid.cand_shape[2]
+        ),
     )
     centers = jnp.stack([cx, cy, cz], axis=1)
 
@@ -779,22 +811,13 @@ def build_cand_df_table(grid: UGrid):
     # per row-slot — 28 GB at the 2^18 chunk on a 2M-bin table in
     # round 4), and the df payload is 2x the plain packer's.
     chunk = (1 << 18) if nv <= 1 else (1 << 13)
-    n = grid.cand_ids.shape[0]
-    if n <= chunk:
-        return _pack_qdf_rows_jit(
-            *args, grid.cand_ids, grid.cand_count, centers, **statics
-        )
-    pad = (-n) % chunk
-    ids = jnp.pad(grid.cand_ids, ((0, pad), (0, 0)), constant_values=-1)
-    counts = jnp.pad(grid.cand_count, (0, pad))
-    centers = jnp.pad(centers, ((0, pad), (0, 0)))
-    return _pack_qdf_rows_mapped(
-        *args,
-        ids.reshape(-1, chunk, ids.shape[1]),
-        counts.reshape(-1, chunk),
-        centers.reshape(-1, chunk, 3),
-        **statics,
-    ).reshape(-1, row_floats)
+    return _chunked_pack(
+        lambda i, c, z: _pack_qdf_rows_jit(*args, i, c, z, **statics),
+        lambda i3, c2, z3: _pack_qdf_rows_mapped(
+            *args, i3, c2, z3, **statics
+        ),
+        grid.cand_ids, grid.cand_count, centers, chunk, row_floats,
+    )
 
 
 def _cand_floats_per(cell_type: str, nv: int) -> int:
@@ -892,29 +915,9 @@ def _pack_qcand_rows_jit(
     nf = geometry.N_POINTS_PER_CELL[cell_type]
     npc = cell_points.shape[1]
 
-    safe = jnp.maximum(ids, 0)
-    valid = ids >= 0
-    normals = face_normals[safe]  # (n, K, nf, 3)
-    offs = face_offsets[safe]  # (n, K, nf)
-
-    d_loc = offs - (normals * centers[:, None, None, :]).sum(-1)
-    absd = jnp.where(valid[..., None], jnp.abs(d_loc), 0.0)
-    ds = absd.max(axis=(1, 2)) / QCAND_NSCALE  # (n,)
-    ds_safe = jnp.maximum(ds, jnp.asarray(np.finfo(np.float32).tiny))
-    qd = jnp.clip(
-        jnp.round(d_loc / ds_safe[:, None, None]), -32767, 32767
-    ).astype(jnp.int32)
-    qn = jnp.clip(
-        jnp.round(normals * QCAND_NSCALE), -32767, 32767
-    ).astype(jnp.int32)
-
-    def roles(x):  # (n_rows, K, m) -> (n_rows, m*K), column = j*K + k
-        return x.transpose(0, 2, 1).reshape(n_rows, -1)
-
-    parts = [
-        roles(_pack_i16_pairs(qn.reshape(n_rows, k_max, nf * 3))),
-        roles(_pack_i16_pairs(qd)),
-    ]
+    safe, _, normals, offs, centers, parts, ds = (
+        _quantize_probe_geometry(face_normals, face_offsets, ids, centers)
+    )
     if nv:
         cp = cell_points[safe]  # (n, K, npc, 3)
         fv = (jnp.arange(npc) + 1) % npc  # face paired with vertex v
@@ -941,21 +944,13 @@ def _pack_qcand_rows_jit(
             g[d] * centers[:, None, d : d + 1] for d in range(3)
         )
         plane = jnp.stack(g + [c_loc], axis=-1)  # (n, K, nv, 4)
-        parts.append(roles(plane.reshape(n_rows, k_max, nv * 4)))
-    parts.append(ids.astype(jnp.float32))
-    parts.append(count_vals.astype(jnp.float32)[:, None])
-    parts.append(ds.astype(jnp.float32)[:, None])
-    rows = jnp.concatenate(parts, axis=1)
-    pad = max(row_floats, rows.shape[1]) - rows.shape[1]
-    return jnp.pad(rows, ((0, 0), (0, pad)))
+        parts.append(_roles(plane.reshape(n_rows, k_max, nv * 4)))
+    return _finish_qrows(parts, ids, count_vals, ds, row_floats)
 
 
-def _pack_cand_rows(grid: UGrid, ids, count_vals, row_floats, nv,
-                    centers=None, chunk: int | None = None):
-    """Memory-bounded wrapper: pack in row chunks (the unchunked body
-    materializes ~6 vertex/plane gathers of the whole table at once —
-    a ~7 GB transient on a 2M-bin table that OOMs the device during
-    load_grid).
+def _chunked_pack(pack_full, pack_stacked, ids, count_vals, centers,
+                  chunk, row_floats):
+    """Memory-bounded row-pack driver — ONE place holding the lessons:
 
     The whole repack runs as ONE jit with every grid array an explicit
     argument (closures would ship the arrays as constants through the
@@ -970,10 +965,41 @@ def _pack_cand_rows(grid: UGrid, ids, count_vals, row_floats, nv,
 
     The returned table keeps the padded tail rows (ids -1, count 0):
     bin indices are always < n_bins so the pad rows are never gathered,
-    and dropping them would cost another whole-table slice copy."""
+    and dropping them would cost another whole-table slice copy.
+
+    ``pack_full(ids, counts, centers)`` packs one unchunked table;
+    ``pack_stacked(ids3, cnt2, centers3)`` lax.maps over the
+    (n_chunks, chunk, ...) stack.  ``centers`` may be None (plain
+    f64-layout rows)."""
+    n = ids.shape[0]
+    ids = jnp.asarray(ids)
+    count_vals = jnp.asarray(count_vals)
+    if centers is not None:
+        centers = jnp.asarray(centers)
+    if n <= chunk:
+        return pack_full(ids, count_vals, centers)
+    pad = (-n) % chunk
+    ids = jnp.pad(ids, ((0, pad), (0, 0)), constant_values=-1)
+    count_vals = jnp.pad(count_vals, (0, pad))
+    if centers is not None:
+        centers = jnp.pad(centers, ((0, pad), (0, 0))).reshape(
+            -1, chunk, 3
+        )
+    return pack_stacked(
+        ids.reshape(-1, chunk, ids.shape[1]),
+        count_vals.reshape(-1, chunk),
+        centers,
+    ).reshape(-1, row_floats)
+
+
+def _pack_cand_rows(grid: UGrid, ids, count_vals, row_floats, nv,
+                    centers=None, chunk: int | None = None):
+    """Candidate-row packer: pack in row chunks (the unchunked body
+    materializes ~6 vertex/plane gathers of the whole table at once —
+    a ~7 GB transient on a 2M-bin table that OOMs the device during
+    load_grid).  Chunk/memory discipline lives in _chunked_pack."""
     if chunk is None:
         chunk = 1 << 18
-    n = ids.shape[0]
     quantized = centers is not None
     args = (
         grid.face_normals, grid.face_offsets, grid.cell_points,
@@ -983,29 +1009,19 @@ def _pack_cand_rows(grid: UGrid, ids, count_vals, row_floats, nv,
         cell_type=grid.cell_type, row_floats=row_floats, nv=nv,
         dtype=grid.dtype,
     )
-    if n <= chunk:
+
+    def pack_full(i, c, z):
         if quantized:
-            return _pack_qcand_rows_jit(
-                *args, jnp.asarray(ids), jnp.asarray(count_vals),
-                jnp.asarray(centers), **statics
-            )
-        return _pack_cand_rows_jit(
-            *args, jnp.asarray(ids), jnp.asarray(count_vals), **statics
-        )
-    pad = (-n) % chunk
-    ids = jnp.pad(jnp.asarray(ids), ((0, pad), (0, 0)), constant_values=-1)
-    count_vals = jnp.pad(jnp.asarray(count_vals), (0, pad))
-    if quantized:
-        centers = jnp.pad(jnp.asarray(centers), ((0, pad), (0, 0)))
-    return _pack_cand_rows_mapped(
-        *args,
-        ids.reshape(-1, chunk, ids.shape[1]),
-        count_vals.reshape(-1, chunk),
-        (
-            centers.reshape(-1, chunk, 3) if quantized else None
-        ),
-        **statics,
-    ).reshape(-1, row_floats)
+            return _pack_qcand_rows_jit(*args, i, c, z, **statics)
+        return _pack_cand_rows_jit(*args, i, c, **statics)
+
+    def pack_stacked(i3, c2, z3):
+        return _pack_cand_rows_mapped(*args, i3, c2, z3, **statics)
+
+    return _chunked_pack(
+        pack_full, pack_stacked, ids, count_vals, centers, chunk,
+        row_floats,
+    )
 
 
 @functools.partial(
@@ -1170,12 +1186,11 @@ def _build_cand_tables(
     row_floats = -(-(per * k_max + overhead) // step) * step
 
     def bin_centers(bin_idx):
-        nby, nbz = grid.cand_shape[1], grid.cand_shape[2]
-        i = bin_idx // (nby * nbz)
-        j = (bin_idx // nbz) % nby
-        k = bin_idx % nbz
         cx, cy, cz = geometry.cand_bin_center_cols(
-            grid.cand_rmin, grid.cand_inv_h, i, j, k
+            grid.cand_rmin, grid.cand_inv_h,
+            *geometry.cand_bin_decode(
+                bin_idx, grid.cand_shape[1], grid.cand_shape[2]
+            ),
         )
         return jnp.stack([cx, cy, cz], axis=1)
 

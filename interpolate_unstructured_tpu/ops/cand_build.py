@@ -39,6 +39,12 @@ from . import geometry
 # Total (offsets x cells) pair slots the device pipeline may allocate
 # (~12 B/slot live through the sort; 2^26 slots ~ 0.8 GB + sort space).
 MAX_PAIR_SLOTS = 1 << 26
+# _gen_pairs unrolls a static Python loop over the offsets (~15 ops
+# each): independent of the pair budget, a strongly graded SMALL mesh
+# (one cell's AABB spanning a 40^3 bin block) would otherwise trace a
+# multi-thousand-iteration loop into one jit and hang/OOM the remote
+# compile.  Typical conforming meshes need < 30 offsets.
+MAX_OFFSETS = 512
 
 
 @functools.partial(
@@ -206,7 +212,7 @@ def build_candidate_bins_device(
     span = (b1 - b0 + 1).astype(np.int32)
     smax = span.max(axis=0)
     n_offsets = int(np.prod(smax))
-    if n_offsets * n_cells > MAX_PAIR_SLOTS:
+    if n_offsets > MAX_OFFSETS or n_offsets * n_cells > MAX_PAIR_SLOTS:
         return None  # strongly graded mesh: host fallback
 
     offsets = tuple(

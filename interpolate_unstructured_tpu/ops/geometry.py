@@ -172,6 +172,17 @@ def cand_bin_center_cols(rmin, inv_h, i, j, k):
     return c(i, 0), c(j, 1), c(k, 2)
 
 
+def cand_bin_decode(bin_idx, nby, nbz):
+    """Flat candidate-bin index -> (i, j, k) integer coordinates.
+
+    THE single definition of the decode (inverse of the
+    ``(i*nby + j)*nbz + k`` encode used by the builders and
+    locate._cand_bin_index_t): every packer feeding
+    :func:`cand_bin_center_cols` must agree on the axis order or the
+    quantized rows' local frame drifts against the query side."""
+    return bin_idx // (nby * nbz), (bin_idx // nbz) % nby, bin_idx % nbz
+
+
 def _bin_grid_shape(rmin, rmax, ndim, n_bins_target):
     """Regular bin grid over the bbox: shape, sizes, inverse sizes.
 
@@ -292,6 +303,9 @@ def build_candidate_bins(
     pair_start = pair_end - n_pairs_per_cell
 
     half = np.where(active, 0.5 * h, 0.0)  # bin half-extent per dim
+    # planar-mesh probe plane: loop-invariant, hoisted (re-reducing the
+    # full z column per pair chunk costs seconds on this core)
+    zmean = float(cell_points[:, :, 2].mean()) if n_cells else 0.0
 
     out_bin, out_cell, out_score = [], [], []
     # Chunk over cells so pair arrays stay bounded (~pair_chunk rows)
@@ -328,7 +342,7 @@ def build_candidate_bins(
         cb[:, 2] = rmin[2] + (bz + 0.5) * (h[2] * active[2])
         if not active[2] and ndim == 2:
             # planar meshes: probe in the mesh plane
-            cb[:, 2] = cell_points[:, :, 2].mean() if n_cells else 0.0
+            cb[:, 2] = zmean
 
         nrm = face_normals[pc]  # (P, nf, 3)
         off = face_offsets[pc]  # (P, nf)

@@ -415,12 +415,18 @@ def _cand_bin_ijk_t(grid, r_t):
     ]
 
 
+def _cand_bin_flat(grid, ijk):
+    """Flat candidate-bin index from integer coordinates — THE encode
+    (inverse: geometry.cand_bin_decode; the packers' bin-local frame
+    requires every site to agree on the axis order)."""
+    _, nby, nbz = grid.cand_shape
+    return (ijk[0] * nby + ijk[1]) * nbz + ijk[2]
+
+
 def _cand_bin_index_t(grid, r_t):
     """Candidate-bin index from TRANSPOSED queries (3, B): three (B,)
     component computations instead of lane-padded (B, 3) ops."""
-    _, nby, nbz = grid.cand_shape
-    ijk = _cand_bin_ijk_t(grid, r_t)
-    return (ijk[0] * nby + ijk[1]) * nbz + ijk[2]
+    return _cand_bin_flat(grid, _cand_bin_ijk_t(grid, r_t))
 
 
 def _cand_local_t(grid, r_t, ijk):
@@ -848,16 +854,13 @@ def _candidates_query(grid, r, var_slots=None, max_steps=None):
             # math costs 2-4x more (per-consumer re-streams of the
             # gather + lane-padded small-K intermediates;
             # benchmarks/prof_cand.py)
-            id_b, aux, vals = pallas_cand.cand_rows_query(
+            # Empty/None slots yield a (0, bt) vals array (never None
+            # — the chunk driver concatenates the outputs)
+            return pallas_cand.cand_rows_query(
                 grid, tab, idx, rt_t, var_slots or (), ccol,
                 eps, ovf_base, k_max=k,
                 quantized=quantized, nv_fused=nv,
             )
-            if var_slots is None:
-                return id_b, aux, jnp.zeros(
-                    (0, rt_t.shape[1]), rt_t.dtype
-                )
-            return id_b, aux, vals
         return _probe_rows_xla(
             grid, tab[idx], rt_t, k, ccol, var_slots, eps, ovf_base,
             quantized=quantized, nv_fused=nv,
@@ -865,8 +868,7 @@ def _candidates_query(grid, r, var_slots=None, max_steps=None):
 
     def tile_fn(rt_t):
         ijk = _cand_bin_ijk_t(grid, rt_t)
-        nby, nbz = grid.cand_shape[1], grid.cand_shape[2]
-        idx = (ijk[0] * nby + ijk[1]) * nbz + ijk[2]
+        idx = _cand_bin_flat(grid, ijk)
         # the quantized probe works in the bin-local frame
         rq_t = _cand_local_t(grid, rt_t, ijk) if quantized else rt_t
         return probe(
@@ -1065,8 +1067,7 @@ def _candidates_query_df(grid, r, var_slots, r_lo=None):
 
     def tile_fn(rt6):
         ijk = _cand_bin_ijk_t(grid, rt6[:3])
-        nby, nbz = grid.cand_shape[1], grid.cand_shape[2]
-        idx = (ijk[0] * nby + ijk[1]) * nbz + ijk[2]
+        idx = _cand_bin_flat(grid, ijk)
         rq6 = _cand_local_df_t(grid, rt6[:3], rt6[3:], ijk)
         if use_pallas:
             return pallas_cand.cand_rows_query(

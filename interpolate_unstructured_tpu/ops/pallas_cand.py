@@ -272,8 +272,9 @@ def cand_rows_query(grid, table, idx, rt_t, var_slots, count_col,
       k_max: candidates per row (defaults to the main table's K; pass
         the extension width when probing extension rows)
 
-    Returns (id_best (B,) int32, aux (B,) int32, valsT (V, B) or
-    None); see _kernel for the aux encoding.
+    Returns (id_best (B,) int32, aux (B,) int32, valsT (V, B); a
+    (0, B) array when no slots are requested); see _kernel for the
+    aux encoding.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -335,8 +336,12 @@ def cand_rows_query(grid, table, idx, rt_t, var_slots, count_col,
         interpret=interpret,
     )(g, r_t)
 
+    # Empty var_slots returns a (0, b) array, NOT None: callers chunk
+    # the outputs through lax.map/concatenate, where a None leaf means
+    # a crash one refactor away (the kernel's scratch output row is
+    # simply dropped).
     return (
         ic[0, :b],
         aux[0, :b],
-        vals[:, :b] if var_slots else None,
+        vals[:, :b] if var_slots else vals[:0, :b],
     )

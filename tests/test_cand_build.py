@@ -99,9 +99,12 @@ def test_graded_mesh_declines_to_host():
         dtype=np.float64, bins_per_cell=2.0, max_bins=1 << 22,
         eps=2e-10, ext_max_k=8,
     )
-    # 384 cells with one domain-spanning AABB: budget is per-mesh, so
-    # small meshes may still fit — accept either outcome but require
-    # the dispatcher path to produce a working grid.
+    # One domain-spanning AABB over a ~9^3 bin grid needs ~729 traced
+    # offset iterations — past MAX_OFFSETS, so the device builder must
+    # decline even though the small mesh fits the pair-slot budget
+    # (unrolling thousands of offsets into one jit would hang/OOM the
+    # remote compile instead).
+    assert res is None
     cfg = IUConfig(cand_build="auto", cand_build_device_min_cells=1)
     g = iu.build_grid(points, cells, neighbors, "tetra",
                       point_data={"P": points.sum(1)},
