@@ -214,8 +214,22 @@ def load_grid(filename, config=None, dtype=None, resave_on_rebuild=False,
         from ..models.grid import candidate_row_capacity
         from ..ops.geometry import NDIM_OF_CELL_TYPE, _bin_grid_shape
 
+        # Capacity is evaluated at the BUILD-time fused-variable count
+        # (the cand_nv pin), not the current n_point_data: variables
+        # appended after the build (fuse=False) shrink the capacity K
+        # for a hypothetical repack but say nothing about the stored
+        # lists — comparing against the inflated count manufactured a
+        # spurious K mismatch that silently rebuilt the candidate
+        # lists on EVERY load and discarded the pin (the multi-GB
+        # repack fuse=False exists to avoid).  Pre-v4 checkpoints
+        # (pin -1) keep the old n_point_data-based derivation.
+        cap_n = (
+            min(cand_nv, grid.n_point_data)
+            if cand_nv >= 0
+            else grid.n_point_data
+        )
         k_max, _cap_nv = candidate_row_capacity(
-            cell_type, target, config, n_point_data=grid.n_point_data
+            cell_type, target, config, n_point_data=cap_n
         )
         # The stored K is legitimate either as this session's capacity
         # K or as a cover-widened K (= the worst bin's exact count,
@@ -225,7 +239,9 @@ def load_grid(filename, config=None, dtype=None, resave_on_rebuild=False,
         from ..models.grid import _make_cover_ok
 
         cover_ok = _make_cover_ok(cell_type, target, config, _cap_nv, k_max)
-        max_count = int(np.asarray(grid.cand_count).max(initial=0))
+        # host_arrays still holds the counts — reading them back off
+        # the device would add a blocking round-trip to every load
+        max_count = int(host_arrays["cand_count"].max(initial=0))
         want_k = max_count if cover_ok(max_count) else k_max
         # Bin shape this session's config would choose (deterministic
         # in (bbox, ndim, target count)) — a mismatch means the save

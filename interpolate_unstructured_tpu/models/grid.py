@@ -1295,14 +1295,24 @@ def _cand_capacity_nv(grid: UGrid) -> int:
     itemsize = jnp.dtype(grid.dtype).itemsize
     k_max = grid.cand_ids.shape[1]
     if cand_is_quantized(grid.cell_type, grid.dtype, grid.config):
-        # Deterministic reconstruction of the build's choice: the
-        # capacity nv survives cover-widening iff the widened row fits
+        # Deterministic reconstruction of the build's choice.  K was
+        # chosen jointly with nv at the BUILD-time variable count,
+        # which may be smaller than the current n_point_data
+        # (add_point_data appends without touching the lists): accept
+        # the stored K as the capacity K of any count <= the current
+        # one, largest first.
+        for n_try in range(grid.n_point_data, -1, -1):
+            k_t, nv_t = candidate_row_capacity(
+                grid.cell_type, grid.dtype, grid.config, n_try
+            )
+            if k_t == k_max:
+                return nv_t
+        # No capacity K matches: the K was cover-widened to the worst
+        # bin count; the capacity nv survives iff the widened row fits
         # the larger of the two row budgets (mirrors cover_ok_q).
-        k_cfg, nv_cfg = candidate_row_capacity(
+        _, nv_cfg = candidate_row_capacity(
             grid.cell_type, grid.dtype, grid.config, grid.n_point_data
         )
-        if k_max == k_cfg:
-            return nv_cfg
         budget = (
             max(grid.config.cand_row_bytes, grid.config.cand_cover_row_bytes)
             // itemsize

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 from . import locate
@@ -331,7 +332,10 @@ def _static_slots(i_vars):
 def interpolate_scalar_at(grid, r, i_var, guess=None, fill_value=jnp.nan):
     """Single-variable wrapper (iu_interpolate_scalar_at, :464-477)."""
     fv = fill_value
-    if not isinstance(fv, (int, float)):
+    # np.ndim handles Python scalars AND 0-d arrays (np.float32(0.0),
+    # jnp scalars) — an isinstance check misses the latter and the
+    # [:, None] below would raise on a 0-dimensional array
+    if np.ndim(fv) != 0:
         fv = jnp.asarray(fv)[:, None]
     # Pass the raw index: a jnp conversion here would hide the
     # concrete value from interpolate_at's fused-row fast path.

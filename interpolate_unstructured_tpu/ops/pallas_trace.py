@@ -172,8 +172,13 @@ def _kernel(
         else:
             fld.append(jnp.zeros_like(tgt[0]))
 
-    # k = +-unit(field): arc-length parameterization (:1193-1201)
-    fn = _norm_rows(fld)
+    # k = +-unit(field): arc-length parameterization (:1193-1201).
+    # Guard the norm: a zero interpolated field (stagnation point /
+    # zero-initialized variable) would otherwise produce NaN k's and a
+    # lane that never accepts NOR finishes, holding the whole batch
+    # to max_iterations.  With k = 0 the lane steps in place, accepts
+    # (err 0), and terminates via the buffer-overflow path instead.
+    fn = jnp.maximum(_norm_rows(fld), tiny)
     sgn = -1.0 if reverse else 1.0
     k_new = tuple(sgn * fld[c] / fn for c in range(3))
 

@@ -157,7 +157,7 @@ def _dot3_c(ar, ax, ay, az, bx, by, bz):
     return ar.add(ar.add(ar.mul(ax, bx), ar.mul(ay, by)), ar.mul(az, bz))
 
 
-def triangle_areas2(v, q, ar=None):
+def triangle_areas2(v, q, ar):
     """Twice the opposite sub-triangle areas (:529-551), unnormalized.
 
     Args:
@@ -169,8 +169,6 @@ def triangle_areas2(v, q, ar=None):
     scale by 0.5 and divide by the stored cell area; the df32 path
     divides by the weight sum (identical inside the cell).
     """
-    ar = ar or Plain(jnp.float32)
-
     def area2(j, k):
         e = [ar.sub(q[d], v[j][d]) for d in range(3)]
         f = [ar.sub(q[d], v[k][d]) for d in range(3)]
@@ -180,13 +178,11 @@ def triangle_areas2(v, q, ar=None):
     return [area2(1, 2), area2(2, 0), area2(0, 1)]
 
 
-def tetra_triples(v, q, ar=None):
+def tetra_triples(v, q, ar):
     """Signed scalar triple products (:553-586), unnormalized.
 
     Returns 4 ``ar`` scalars; callers divide by 6*volume (fast paths)
     or by the weight sum (df32 path)."""
-    ar = ar or Plain(jnp.float32)
-
     def e(a, b):  # v[b] - v[a]
         return [ar.sub(v[b][d], v[a][d]) for d in range(3)]
 
@@ -206,7 +202,7 @@ def tetra_triples(v, q, ar=None):
     ]
 
 
-def quad_weights_generic(v, q, ar=None):
+def quad_weights_generic(v, q, ar):
     """Inverse-bilinear quad weights (:588-641), branch-free.
 
     The reference root (-B - sqrt(disc))/2A (:612-622), evaluated
@@ -226,9 +222,12 @@ def quad_weights_generic(v, q, ar=None):
       v: per-vertex components ``v[vtx][dim]``, 4 vertices in the
         reference's (1,2)-(4,3) order.
       q: query components ``(qx, qy, qz)``.
+      ar: arithmetic trait — REQUIRED (no default): the parallelogram
+        fallback threshold is ``ar.rel_eps``, and a silently assumed
+        float32 trait on float64 data would engage the linear fallback
+        ~9 decades early (the dtype-scaled-epsilon invariant).
     Returns 4 ``ar``-scalar weights.
     """
-    ar = ar or Plain(jnp.float32)
     qv = [ar.sub(q[d], v[0][d]) for d in range(3)]
     b1 = [ar.sub(v[1][d], v[0][d]) for d in range(3)]
     b2 = [ar.sub(v[3][d], v[0][d]) for d in range(3)]

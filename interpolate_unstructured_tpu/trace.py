@@ -230,10 +230,21 @@ def integrate_along_field(
         return r3
 
     def unitvec(field):
-        """(3, B) field rows -> (ndim, B) unit-vector rows."""
-        u = field[:ndim] / jnp.sqrt(
-            field[0] * field[0] + field[1] * field[1]
-            + field[2] * field[2]
+        """(3, B) field rows -> (ndim, B) unit-vector rows.
+
+        The norm is guarded by ``tiny``: a zero interpolated field
+        (stagnation point / zero-initialized variable) would otherwise
+        yield NaN derivatives and a lane that neither accepts nor
+        terminates, spinning the whole batch to max_iterations.  With
+        k = 0 the lane steps in place, accepts, and finishes through
+        the buffer-overflow path (BM_NOT_REACHED) — the reference has
+        no defined behavior here (it divides by zero, :1199)."""
+        u = field[:ndim] / jnp.maximum(
+            jnp.sqrt(
+                field[0] * field[0] + field[1] * field[1]
+                + field[2] * field[2]
+            ),
+            _tiny,
         )
         return -u if reverse else u
 

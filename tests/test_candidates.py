@@ -569,3 +569,48 @@ def test_rebuild_resave_clears_stale_pin(tmp_path):
             else scale * np.asarray(r.sum(1))
         )
         np.testing.assert_allclose(np.asarray(v), exact, rtol=1e-4)
+
+
+def test_load_no_spurious_rebuild_after_unfused_add(tmp_path):
+    """K is derived from the BUILD-time pin on load: a checkpoint
+    saved after add_point_data(fuse=False) must not see a K mismatch
+    (capacity at the inflated n_point_data is smaller), which would
+    silently rebuild the candidate lists on every load and discard the
+    pin (review finding, round 4)."""
+    from interpolate_unstructured_tpu.io.checkpoint import (
+        load_grid,
+        save_grid,
+    )
+    from interpolate_unstructured_tpu.models.grid import cand_fused_nv
+
+    pts, cells, nbrs = meshgen.tet_box_mesh(4, 4, 4)
+    # cover-widening disabled: K comes from capacity, where the
+    # spurious mismatch lives
+    cfg = IUConfig(cand_cover_row_bytes=0)
+    g = iu.build_grid(
+        pts, cells, nbrs, "tetra",
+        point_data={"Polynomial": pts.sum(1) + 1.0},
+        locate_mode="walk", dtype=jnp.float32, config=cfg,
+    )
+    nv0 = cand_fused_nv(g)
+    k0 = g.cand_ids.shape[1]
+    g2, i_v = iu.add_point_data(
+        g, "extra", np.asarray(pts.sum(1) * 5.0), fuse=False
+    )
+    assert g2.cand_ids.shape[1] == k0  # append didn't touch the lists
+
+    fn = str(tmp_path / "nore.binda")
+    save_grid(g2, fn)
+    timings = {}
+    g3 = load_grid(fn, config=cfg, timings=timings)
+    assert g3.cand_ids.shape[1] == k0, "load rebuilt the lists"
+    assert timings["rebuild_s"] < 0.05, "load paid a candidate rebuild"
+    assert g3.cand_nv == nv0 and cand_fused_nv(g3) == nv0
+
+    rng = np.random.default_rng(23)
+    r = jnp.asarray(rng.random((256, 3)), jnp.float32)
+    v, _, f = iu.interpolate_scalar_at(g3, r, i_v)
+    assert bool(np.asarray(f).all())
+    np.testing.assert_allclose(
+        np.asarray(v), 5.0 * np.asarray(r.sum(1)), rtol=1e-5
+    )

@@ -224,3 +224,16 @@ def test_interpolation_is_differentiable():
     np.testing.assert_allclose(
         np.asarray(grads), np.tile([2.0, -3.0, 0.0], (3, 1)), atol=1e-12
     )
+
+
+def test_scalar_fill_value_0d_array(triangle_grid):
+    """fill_value as a 0-d numpy/jnp scalar (np.float32(7.0)) must hit
+    the scalar branch, not crash on [:, None] (review finding)."""
+    r = np.array([[0.5, 0.5, 0.0], [99.0, 99.0, 0.0]])
+    for fv in (np.float32(7.0), jnp.float32(7.0), np.float64(7.0)):
+        v, ic, found = iu.interpolate_scalar_at(
+            triangle_grid, jnp.asarray(r), 0, fill_value=fv
+        )
+        f = np.asarray(found)
+        assert f[0] and not f[1]
+        assert float(np.asarray(v)[1]) == 7.0

@@ -283,3 +283,32 @@ def test_trace_step_cap_reports_sentinel():
     n = int(res2.n_steps[0])
     final = np.asarray(res2.y[0, n - 1])
     assert final[0] > 1.99
+
+
+def test_trace_zero_field_terminates():
+    """A zero interpolated field (stagnation point) must not produce
+    NaN derivatives and spin the batch to max_iterations: the guarded
+    unit vector steps the lane in place until the buffer fills
+    (BM_NOT_REACHED) — the reference divides by zero here (:1199)."""
+    from interpolate_unstructured_tpu.trace import BM_NOT_REACHED
+    from interpolate_unstructured_tpu.utils.meshgen import (
+        triangle_rect_mesh,
+    )
+
+    points, cells, neighbors = triangle_rect_mesh(6, 5)
+    pts = np.asarray(points)
+    zero = np.zeros(pts.shape[0])
+    grid = iu.build_grid(
+        pts, cells, neighbors, "triangle",
+        point_data={"vx": zero, "vy": zero}, locate_mode="walk",
+    )
+    res = integrate_along_field(
+        grid, jnp.asarray([[1.0, 1.0]]), (0, 1),
+        min_dx=1e-5, max_dx=0.1, max_steps=10, rtol=1e-3, atol=1e-3,
+    )
+    assert int(res.boundary_material[0]) == BM_NOT_REACHED
+    assert int(res.n_steps[0]) == 11  # buffer filled in place
+    # finite positions, no NaN poisoning
+    assert np.isfinite(np.asarray(res.y[0])).all()
+    # terminated via the overflow path, not the iteration cap
+    assert int(res.n_iterations[0]) <= 60
