@@ -133,6 +133,7 @@ def load_grid(filename, config=None, dtype=None, resave_on_rebuild=False,
     from ..models.grid import UGrid
     from ..utils.config import DEFAULT_CONFIG
 
+    want_timings = timings is not None
     if timings is None:
         timings = {}
     t0 = time.perf_counter()
@@ -344,6 +345,10 @@ def load_grid(filename, config=None, dtype=None, resave_on_rebuild=False,
                 grid, nv=None if rebuilt else grid.cand_nv
             ),
         )
-        jax.block_until_ready(grid.cand_table)
+        if want_timings:
+            # Only block when the caller asked for phase timings: a plain
+            # load can overlap the async table repack (possibly a long
+            # tunnel compile) with subsequent host work.
+            jax.block_until_ready(grid.cand_table)
     timings["tables_s"] = time.perf_counter() - t0
     return grid

@@ -1306,7 +1306,18 @@ def _cand_capacity_nv(grid: UGrid) -> int:
                 grid.cell_type, grid.dtype, grid.config, n_try
             )
             if k_t == k_max:
-                return nv_t
+                # K can plateau across variable counts (integer division
+                # of the row budget), in which case the build count is
+                # not recoverable from K alone; only accept an nv that
+                # round-trips (a build at exactly nv_t variables would
+                # choose the same layout), else keep scanning down —
+                # never report more fused variables than a pack at this
+                # nv would itself produce.
+                k_rt, nv_rt = candidate_row_capacity(
+                    grid.cell_type, grid.dtype, grid.config, nv_t
+                )
+                if k_rt == k_max and nv_rt == nv_t:
+                    return nv_t
         # No capacity K matches: the K was cover-widened to the worst
         # bin count; the capacity nv survives iff the widened row fits
         # the larger of the two row budgets (mirrors cover_ok_q).

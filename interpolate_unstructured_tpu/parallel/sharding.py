@@ -163,6 +163,51 @@ def sharded_get_cell(mesh: Mesh, axis_name: str = DATA_AXIS):
     return jax.jit(run)
 
 
+def sharded_get_cell_scalar_at(mesh: Mesh, axis_name: str = DATA_AXIS):
+    """Sharded piecewise-constant cell-data lookup
+    (iu_get_cell_scalar_at, m_interp_unstructured.f90:436-448):
+    ``f(grid, r, i_var, guess=None) -> (vals, i_cell, found)`` with the
+    batch sharded and the grid replicated.  ``i_var`` is captured
+    statically per (i_var, has-guess) signature — same rationale as
+    :func:`sharded_interpolate_at`."""
+    return _sharded_cell_lookup(mesh, axis_name, interp.get_cell_scalar_at)
+
+
+def sharded_get_icell_scalar_at(mesh: Mesh, axis_name: str = DATA_AXIS):
+    """Sharded integer cell-data lookup (iu_get_icell_scalar_at,
+    m_interp_unstructured.f90:450-462); see
+    :func:`sharded_get_cell_scalar_at`."""
+    return _sharded_cell_lookup(mesh, axis_name, interp.get_icell_scalar_at)
+
+
+def _sharded_cell_lookup(mesh, axis_name, lookup_fn):
+    cache = {}
+
+    def run(grid, r, i_var, guess=None):
+        iv = int(i_var)
+        has_guess = guess is not None
+        fn = cache.get((iv, has_guess))
+        if fn is None:
+            def local(grid, r, *g):
+                return lookup_fn(grid, r, iv, g[0] if has_guess else None)
+
+            spec_b = P(axis_name)
+            fn = jax.jit(
+                jax.shard_map(
+                    local,
+                    mesh=mesh,
+                    check_vma=False,
+                    in_specs=(_grid_spec(grid), P(axis_name, None))
+                    + ((spec_b,) if has_guess else ()),
+                    out_specs=(spec_b, spec_b, spec_b),
+                )
+            )
+            cache[(iv, has_guess)] = fn
+        return fn(*((grid, r) + ((guess,) if has_guess else ())))
+
+    return run
+
+
 def sharded_trace(mesh: Mesh, axis_name: str = DATA_AXIS, **trace_kwargs):
     """Sharded field-line tracing over a batch of seed points.
 

@@ -705,7 +705,8 @@ def integrate_along_field(
     )
 
 
-def write_trace_vtk(result: TraceResult, filename, ndim: int = None):
+def write_trace_vtk(result: TraceResult, filename, ndim: int = None,
+                    min_points: int = 2):
     """Export traced field lines as VTK polylines (.vtu).
 
     Each trajectory becomes one VTK_POLY_LINE cell over its valid
@@ -714,6 +715,14 @@ def write_trace_vtk(result: TraceResult, filename, ndim: int = None):
     trajectory id ("trajectory") ride along as point data.  Beyond the
     reference (iu_write_vtk exports only the grid) — load next to the
     grid's .vtu to visualize traces through the mesh.
+
+    Trajectories storing fewer than ``min_points`` points are omitted.
+    The default (2) drops both invalid starts (seed outside the
+    mesh/mask — these store only their seed) and legitimate one-point
+    traces that hit the boundary on their very first step; the two are
+    indistinguishable in a ``TraceResult``.  Pass ``min_points=1`` to
+    keep the latter (they render as single-vertex polylines, i.e.
+    orphan points — including any invalid starts in the batch).
     """
     import numpy as np
 
@@ -724,12 +733,9 @@ def write_trace_vtk(result: TraceResult, filename, ndim: int = None):
     b, max_steps, d = y.shape
     if ndim is None:
         ndim = yf.shape[2]
-    # n_steps == max_steps + 1 flags an overflowed buffer (:1167-1168);
-    # drop single-point trajectories — invalid starts (outside the
-    # mesh/mask) store only their seed, and a 1-vertex POLY_LINE is a
-    # degenerate cell viewers render as an orphan point
+    # n_steps == max_steps + 1 flags an overflowed buffer (:1167-1168)
     n = np.minimum(np.asarray(result.n_steps), max_steps)
-    keep = np.flatnonzero(n > 1)
+    keep = np.flatnonzero(n >= min_points)
     n = n[keep]
 
     idx = [ik * max_steps + np.arange(nk) for ik, nk in zip(keep, n)]

@@ -37,10 +37,27 @@ _lib = None
 _build_error = None
 
 
+def _machine_tag() -> str:
+    """ISA component for the .so cache key: -march=native binaries are
+    CPU-specific, so a container/CPU change must miss the cache (the same
+    stale-artifact trap CLAUDE.md documents for /tmp/jax_cache)."""
+    import platform
+    parts = [platform.machine()]
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    parts.append(line.strip())
+                    break
+    except OSError:
+        pass
+    return hashlib.sha256("|".join(parts).encode()).hexdigest()[:8]
+
+
 def _build() -> str:
     with open(_SRC, "rb") as f:
         tag = hashlib.sha256(f.read()).hexdigest()[:16]
-    so = os.path.join(_CACHE_DIR, f"serial_oracle_{tag}.so")
+    so = os.path.join(_CACHE_DIR, f"serial_oracle_{tag}_{_machine_tag()}.so")
     if os.path.exists(so):
         return so
     os.makedirs(_CACHE_DIR, exist_ok=True)

@@ -135,3 +135,39 @@ def test_sharded_accurate_matches_local(mesh):
     np.testing.assert_array_equal(np.asarray(vl)[:b], np.asarray(vl_l))
     np.testing.assert_array_equal(np.asarray(ic)[:b], np.asarray(ic_l))
     assert bool(np.asarray(found)[:b].all())
+
+
+def test_sharded_cell_data_lookups(quad_grid, mesh):
+    """Sharded get_cell_scalar_at / get_icell_scalar_at (the remaining
+    public entry points, m_interp_unstructured.f90:436-462) match the
+    local lookups, cold and warm."""
+    grid = quad_grid
+    n_cells = grid.n_cells
+    grid, icd = iu.add_cell_data(
+        grid, "rho", np.arange(n_cells, dtype=float) + 0.5
+    )
+    grid, iicd = iu.add_icell_data(grid, "mat", 7 - np.arange(n_cells))
+    grid_r = sharding.replicate_grid(grid, mesh)
+
+    rng = np.random.default_rng(13)
+    r = jnp.asarray(sample_points(rng, grid.rmin, grid.rmax, 203))
+    r_sh, b = sharding.shard_batch(r, mesh)
+
+    f = sharding.sharded_get_cell_scalar_at(mesh)
+    vals, ic, found = f(grid_r, r_sh, icd)
+    vals_l, ic_l, found_l = iu.get_cell_scalar_at(grid, r, icd)
+    assert bool(np.asarray(found)[:b].all())
+    np.testing.assert_array_equal(np.asarray(ic)[:b], np.asarray(ic_l))
+    np.testing.assert_allclose(np.asarray(vals)[:b], np.asarray(vals_l))
+
+    # warm restart: previous cells as guesses
+    guess = jnp.asarray(ic)
+    vals_w, ic_w, found_w = f(grid_r, r_sh, icd, guess)
+    np.testing.assert_array_equal(np.asarray(ic_w)[:b], np.asarray(ic_l))
+    np.testing.assert_allclose(np.asarray(vals_w)[:b], np.asarray(vals_l))
+
+    fi = sharding.sharded_get_icell_scalar_at(mesh)
+    ivals, iic, ifound = fi(grid_r, r_sh, iicd)
+    ivals_l, _, _ = iu.get_icell_scalar_at(grid, r, iicd)
+    assert bool(np.asarray(ifound)[:b].all())
+    np.testing.assert_array_equal(np.asarray(ivals)[:b], np.asarray(ivals_l))
