@@ -224,6 +224,7 @@ def build_grid(
     dtype=None,
     config: IUConfig = DEFAULT_CONFIG,
     locate_mode: str = "auto",
+    timings: dict | None = None,
 ) -> UGrid:
     """Build a device-resident grid from host arrays.
 
@@ -243,7 +244,25 @@ def build_grid(
         enabled, else float32.
       locate_mode: "auto" picks matmul brute force for small meshes and
         bin-seed + walk for large ones.
+      timings: optional dict, filled with the build's phase split —
+        ``host_geometry_s`` (gather/normals/volumes on host),
+        ``seed_table_s``, ``transfer_s`` (host arrays -> device +
+        walk-table assembly), ``cand_build_s`` (candidate lists),
+        ``cand_pack_s`` (fused-row tables, incl. any one-off compile).
     """
+    import time as _time
+
+    _want_timings = timings is not None
+    if timings is None:
+        timings = {}
+    _t0 = _time.perf_counter()
+
+    def _mark(key):
+        nonlocal _t0
+        now = _time.perf_counter()
+        timings[key] = timings.get(key, 0.0) + (now - _t0)
+        _t0 = now
+
     if cell_type not in geometry.CELL_TYPES:
         raise ValueError(f"Unsupported cell type {cell_type!r}")
 
@@ -275,6 +294,7 @@ def build_grid(
     )
     face_offsets = np.einsum("cki,cki->ck", cell_points, normals)
     volume = geometry.cell_volumes(cell_points, cell_type)
+    _mark("host_geometry_s")
     _resolved = (
         dtype
         if dtype is not None
@@ -326,6 +346,7 @@ def build_grid(
     bin_pack = np.concatenate(
         [bin_table[:, None].astype(np.float64), centers[bin_table]], axis=1
     )
+    _mark("seed_table_s")
 
     if dtype is None:
         dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
@@ -401,6 +422,9 @@ def build_grid(
     )
 
     grid = dataclasses.replace(grid, walk_table=_build_walk_table(grid))
+    if _want_timings:  # only sync when the caller asked for phase times
+        jax.block_until_ready(grid.walk_table)
+    _mark("transfer_s")
     # Candidate bins take over the whole cold path; an explicit
     # seed_mode="kdtree" choice opts into kd-seeded cold walks instead
     # (kdtree2 parity, m_interp_unstructured.f90:272-288)
@@ -435,7 +459,11 @@ def build_grid(
                     <= cand_ids.shape[1] + ext_ids.shape[1]
                 ),
             )
+            _mark("cand_build_s")
             grid = dataclasses.replace(grid, **_build_cand_tables(grid))
+            if _want_timings:
+                jax.block_until_ready(grid.cand_table)
+            _mark("cand_pack_s")
     if (
         config.refine_bin_seeds
         and locate_mode == "walk"
