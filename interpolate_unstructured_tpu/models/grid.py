@@ -603,7 +603,78 @@ def _roles(x):
     return x.transpose(0, 2, 1).reshape(x.shape[0], -1)
 
 
-def _quantize_probe_geometry(face_normals, face_offsets, ids, centers):
+def _src_floats(cell_type: str, nv: int) -> int:
+    """Used floats in a per-cell pack-source record (_pack_src_rows_jit):
+    [normals nf*3 | offsets nf | cell_points npc*3 | vertex data npc*nv]."""
+    nf = npc = geometry.N_POINTS_PER_CELL[cell_type]
+    return nf * 4 + npc * 3 + npc * nv
+
+
+def _pad_record_stride(used: int, itemsize: int) -> int:
+    """Record width padded so the row stride is a 256-byte multiple —
+    the narrowest stride whose random row gather is fast (RESULTS.md:
+    256 B rows touch at ~5 ms/1M; 128 B rows at ~24)."""
+    step = 256 // itemsize
+    return -(-used // step) * step
+
+
+def _pack_source_chunk(k_max: int, src_floats: int, itemsize: int) -> int:
+    """Rows per lax.map step for the record-gather packers, sized so
+    the materialized (chunk, K, S) gather output stays ~<= 128 MB (the
+    packer's other per-chunk temporaries are of the same order)."""
+    per_row = max(k_max * src_floats * itemsize, 1)
+    c = (128 << 20) // per_row
+    return max(1 << 12, min(1 << 18, 1 << max(int(c).bit_length() - 1, 0)))
+
+
+@functools.partial(jax.jit, static_argnames=("nv", "dtype"))
+def _pack_src_rows_jit(
+    face_normals, face_offsets, cell_points, cells, point_data,
+    *, nv, dtype
+):
+    """Per-cell pack-source records: ONE gather-friendly row per cell
+    carrying everything the candidate-row packers read per candidate.
+
+    The row packers used to issue 4-5 narrow gathers per (bin, k) slot
+    (normals 48 B, offsets 16 B, vertices 48 B, connectivity 16 B plus
+    a nested point-data gather).  Random row-gather cost on this chip
+    is per-ROW and stride-sensitive (benchmarks/RESULTS.md), so five
+    narrow issue-bound fetches cost ~5x one 256 B-stride fetch: packing
+    the per-cell fields into one record and gathering it once cut the
+    998k-cell table repack ~3x (round 5)."""
+    n_cells = face_normals.shape[0]
+    nf = face_normals.shape[1]
+    npc = cell_points.shape[1]
+    cols = [
+        face_normals.reshape(n_cells, nf * 3),
+        face_offsets,
+        cell_points.reshape(n_cells, npc * 3),
+    ]
+    if nv:
+        vtx = point_data[:, :nv][cells]  # (n_cells, npc, nv)
+        cols.append(vtx.reshape(n_cells, npc * nv))
+    rows = jnp.concatenate(cols, axis=1)
+    pad = _pad_record_stride(rows.shape[1], jnp.dtype(dtype).itemsize) \
+        - rows.shape[1]
+    return jnp.pad(rows, ((0, 0), (0, pad)))
+
+
+def _split_src(g, nf, npc, nv):
+    """Slice a gathered (n, K, S) record block back into its fields:
+    (normals (n,K,nf,3), offs (n,K,nf), cp (n,K,npc,3),
+    vtx (n,K,npc,nv) or None)."""
+    n, k = g.shape[:2]
+    normals = g[..., : nf * 3].reshape(n, k, nf, 3)
+    offs = g[..., nf * 3 : nf * 4]
+    cp = g[..., nf * 4 : nf * 4 + npc * 3].reshape(n, k, npc, 3)
+    vtx = None
+    if nv:
+        o = nf * 4 + npc * 3
+        vtx = g[..., o : o + npc * nv].reshape(n, k, npc, nv)
+    return normals, offs, cp, vtx
+
+
+def _quantize_probe_geometry(normals, offs, ids, centers):
     """int16 probe geometry — the ONE definition shared by the plain
     (_pack_qcand_rows_jit) and accurate-mode (_pack_qdf_rows_jit)
     packers.  ``grid.cand_qeps`` is derived from the plain rows'
@@ -612,13 +683,16 @@ def _quantize_probe_geometry(face_normals, face_offsets, ids, centers):
     masking rule, QCAND_NSCALE, or clip bounds lands in both packers
     by construction.
 
-    Returns (safe, valid, normals, offs, centers, head_parts, ds):
-    ``head_parts`` are the packed [qn | qd] role columns that open
-    every quantized row; ``ds`` the per-row dscale."""
-    safe = jnp.maximum(ids, 0)
+    ``normals``/``offs`` are the ALREADY-GATHERED per-candidate face
+    planes — (n, K, nf, 3) and (n, K, nf) slices of the pack-source
+    record (_split_src).
+
+    Returns (valid, centers, head_parts, ds): ``head_parts`` are the
+    packed [qn | qd] role columns that open every quantized row;
+    ``ds`` the per-row dscale."""
     valid = ids >= 0
-    normals = face_normals[safe].astype(jnp.float32)  # (n, K, nf, 3)
-    offs = face_offsets[safe].astype(jnp.float32)  # (n, K, nf)
+    normals = normals.astype(jnp.float32)  # (n, K, nf, 3)
+    offs = offs.astype(jnp.float32)  # (n, K, nf)
     centers = centers.astype(jnp.float32)
 
     d_loc = offs - (normals * centers[:, None, None, :]).sum(-1)
@@ -638,7 +712,7 @@ def _quantize_probe_geometry(face_normals, face_offsets, ids, centers):
         _roles(_pack_i16_pairs(qn.reshape(n_rows, k_max, nf * 3))),
         _roles(_pack_i16_pairs(qd)),
     ]
-    return safe, valid, normals, offs, centers, head_parts, ds
+    return valid, centers, head_parts, ds
 
 
 def _finish_qrows(parts, ids, count_vals, ds, row_floats):
@@ -654,15 +728,37 @@ def _finish_qrows(parts, ids, count_vals, ds, row_floats):
     return jnp.pad(rows, ((0, 0), (0, pad)))
 
 
+@functools.partial(jax.jit, static_argnames=("nv",))
+def _pack_dfsrc_rows_jit(face_normals, face_offsets, plane_hi, plane_lo,
+                         *, nv):
+    """Per-cell accurate-mode pack-source records (f32):
+    [normals nf*3 | offsets nf | plane_hi nv*4 | plane_lo nv*4],
+    padded to a 256-byte-multiple stride (see _pack_src_rows_jit)."""
+    n_cells = face_normals.shape[0]
+    nf = face_normals.shape[1]
+    rows = jnp.concatenate(
+        [
+            face_normals.astype(jnp.float32).reshape(n_cells, nf * 3),
+            face_offsets.astype(jnp.float32),
+            plane_hi.reshape(n_cells, nv * 4),
+            plane_lo.reshape(n_cells, nv * 4),
+        ],
+        axis=1,
+    )
+    pad = _pad_record_stride(rows.shape[1], 4) - rows.shape[1]
+    return jnp.pad(rows, ((0, 0), (0, pad)))
+
+
 @functools.partial(
     jax.jit, static_argnames=("cell_type", "row_floats", "nv")
 )
 def _pack_qdf_rows_jit(
-    face_normals, face_offsets, plane_hi, plane_lo,
-    ids, count_vals, centers, *, cell_type, row_floats, nv
+    src, ids, count_vals, centers, *, cell_type, row_floats, nv
 ):
     """Accurate-mode candidate rows: quantized int16 probe geometry
-    (identical to _pack_qcand_rows_jit) + df32 value planes.
+    (identical to _pack_qcand_rows_jit) + df32 value planes.  ``src``
+    is the per-cell df record table (_pack_dfsrc_rows_jit) — one row
+    gather per candidate slot.
 
     ``plane_hi``/``plane_lo`` are the (n_cells, nv, 4) f32 split of the
     per-cell float64 planes v(r) = g . r + c (exact for simplices —
@@ -679,12 +775,17 @@ def _pack_qdf_rows_jit(
     from ..ops import df32
 
     n_rows, k_max = ids.shape
+    nf = geometry.N_POINTS_PER_CELL[cell_type]
 
-    safe, _, _, _, centers, parts, ds = _quantize_probe_geometry(
-        face_normals, face_offsets, ids, centers
+    g = src[jnp.maximum(ids, 0)]  # (n, K, S) — the ONE row gather
+    normals = g[..., : nf * 3].reshape(n_rows, k_max, nf, 3)
+    offs = g[..., nf * 3 : nf * 4]
+    _, centers, parts, ds = _quantize_probe_geometry(
+        normals, offs, ids, centers
     )
-    ph = plane_hi[safe]  # (n, K, nv, 4)
-    plo = plane_lo[safe]
+    o = nf * 4
+    ph = g[..., o : o + nv * 4].reshape(n_rows, k_max, nv, 4)
+    plo = g[..., o + nv * 4 : o + nv * 8].reshape(n_rows, k_max, nv, 4)
     g = [(ph[..., d], plo[..., d]) for d in range(3)]  # df pairs (n,K,nv)
     c = (ph[..., 3], plo[..., 3])
     # c_loc = c + g . c_bin in df32 (bin centers are exact f32 by the
@@ -706,8 +807,7 @@ def _pack_qdf_rows_jit(
     jax.jit, static_argnames=("cell_type", "row_floats", "nv")
 )
 def _pack_qdf_rows_mapped(
-    face_normals, face_offsets, plane_hi, plane_lo,
-    ids_st, counts_st, centers_st, *, cell_type, row_floats, nv
+    src, ids_st, counts_st, centers_st, *, cell_type, row_floats, nv
 ):
     """Chunked df-row repack: one lax.map writing straight into the
     single output (the eager concatenate version keeps ~3x the table
@@ -716,8 +816,7 @@ def _pack_qdf_rows_mapped(
     def body(args):
         ids_c, counts_c, centers_c = args
         return _pack_qdf_rows_jit(
-            face_normals, face_offsets, plane_hi, plane_lo,
-            ids_c, counts_c, centers_c,
+            src, ids_c, counts_c, centers_c,
             cell_type=cell_type, row_floats=row_floats, nv=nv,
         )
 
@@ -826,23 +925,18 @@ def build_cand_df_table(grid: UGrid):
     )
     centers = jnp.stack([cx, cy, cz], axis=1)
 
-    args = (
+    src = _pack_dfsrc_rows_jit(
         grid.face_normals, grid.face_offsets,
-        jnp.asarray(plane_hi), jnp.asarray(plane_lo),
+        jnp.asarray(plane_hi), jnp.asarray(plane_lo), nv=nv,
     )
     statics = dict(
         cell_type=grid.cell_type, row_floats=row_floats, nv=nv
     )
-    # Same escape hatch as _refresh_cand_data: at nv >= 2 XLA stops
-    # fusing the packer's per-chunk (chunk, K, nv, 4) plane gathers and
-    # their (8, 128)-tiled padding materializes (~100 KB of HLO temp
-    # per row-slot — 28 GB at the 2^18 chunk on a 2M-bin table in
-    # round 4), and the df payload is 2x the plain packer's.
-    chunk = (1 << 18) if nv <= 1 else (1 << 13)
+    chunk = _pack_source_chunk(k_max, src.shape[1], 4)
     return _chunked_pack(
-        lambda i, c, z: _pack_qdf_rows_jit(*args, i, c, z, **statics),
+        lambda i, c, z: _pack_qdf_rows_jit(src, i, c, z, **statics),
         lambda i3, c2, z3: _pack_qdf_rows_mapped(
-            *args, i3, c2, z3, **statics
+            src, i3, c2, z3, **statics
         ),
         grid.cand_ids, grid.cand_count, centers, chunk, row_floats,
     )
@@ -911,10 +1005,14 @@ def _pack_i16_pairs(comp):
     static_argnames=("cell_type", "row_floats", "nv", "dtype"),
 )
 def _pack_qcand_rows_jit(
-    face_normals, face_offsets, cell_points, cells, point_data,
-    ids, count_vals, centers, *, cell_type, row_floats, nv, dtype
+    src, ids, count_vals, centers, *, cell_type, row_floats, nv, dtype
 ):
     """Quantized candidate rows (simplices; see IUConfig.cand_quantized).
+
+    ``src`` is the per-cell pack-source record table
+    (_pack_src_rows_jit): the packer does ONE row gather per candidate
+    slot and slices the fields out, instead of 4-5 narrow issue-bound
+    gathers (round-5 repack cut; see _pack_src_rows_jit).
 
     Role layout (K-wide roles, column role*K + k; _qcand_floats_per):
 
@@ -940,14 +1038,16 @@ def _pack_qcand_rows_jit(
     their margins by the id sign, so no huge-offset encoding is needed
     (int16 cannot hold one)."""
     n_rows, k_max = ids.shape
-    nf = geometry.N_POINTS_PER_CELL[cell_type]
-    npc = cell_points.shape[1]
+    nf = npc = geometry.N_POINTS_PER_CELL[cell_type]
 
-    safe, _, normals, offs, centers, parts, ds = (
-        _quantize_probe_geometry(face_normals, face_offsets, ids, centers)
+    g = src[jnp.maximum(ids, 0)]  # (n, K, S) — the ONE row gather
+    normals, offs, cp, vtx = _split_src(g, nf, npc, nv)
+    _, centers, parts, ds = _quantize_probe_geometry(
+        normals, offs, ids, centers
     )
+    normals = normals.astype(jnp.float32)
+    offs = offs.astype(jnp.float32)
     if nv:
-        cp = cell_points[safe]  # (n, K, npc, 3)
         fv = (jnp.arange(npc) + 1) % npc  # face paired with vertex v
         opp = (jnp.arange(nf) - 1) % npc  # vertex opposite face f
         p_opp = cp[:, :, opp]
@@ -957,8 +1057,6 @@ def _pack_qcand_rows_jit(
         n_fv = normals[:, :, fv]  # (n, K, npc, 3)
         off_fv = offs[..., fv]  # (n, K, npc)
 
-        pd = point_data[:, :nv]
-        vtx = pd[cells[safe]]  # (n, K, npc, nv)
         d_mean = vtx.mean(axis=2)  # (n, K, nv)
         coef = (vtx - d_mean[:, :, None, :]) * iv_vertex[..., None]
         # elementwise multiply-reduce per component (batched tiny
@@ -1022,17 +1120,19 @@ def _chunked_pack(pack_full, pack_stacked, ids, count_vals, centers,
 
 def _pack_cand_rows(grid: UGrid, ids, count_vals, row_floats, nv,
                     centers=None, chunk: int | None = None):
-    """Candidate-row packer: pack in row chunks (the unchunked body
-    materializes ~6 vertex/plane gathers of the whole table at once —
-    a ~7 GB transient on a 2M-bin table that OOMs the device during
-    load_grid).  Chunk/memory discipline lives in _chunked_pack."""
-    if chunk is None:
-        chunk = 1 << 18
+    """Candidate-row packer: build the per-cell source record once
+    (_pack_src_rows_jit), then pack in row chunks sized so the
+    materialized (chunk, K, S) record gather stays memory-bounded.
+    Chunk/memory discipline lives in _chunked_pack."""
     quantized = centers is not None
-    args = (
+    src = _pack_src_rows_jit(
         grid.face_normals, grid.face_offsets, grid.cell_points,
-        grid.cells, grid.point_data,
+        grid.cells, grid.point_data, nv=nv, dtype=grid.dtype,
     )
+    if chunk is None:
+        chunk = _pack_source_chunk(
+            ids.shape[1], src.shape[1], jnp.dtype(grid.dtype).itemsize
+        )
     statics = dict(
         cell_type=grid.cell_type, row_floats=row_floats, nv=nv,
         dtype=grid.dtype,
@@ -1040,11 +1140,11 @@ def _pack_cand_rows(grid: UGrid, ids, count_vals, row_floats, nv,
 
     def pack_full(i, c, z):
         if quantized:
-            return _pack_qcand_rows_jit(*args, i, c, z, **statics)
-        return _pack_cand_rows_jit(*args, i, c, **statics)
+            return _pack_qcand_rows_jit(src, i, c, z, **statics)
+        return _pack_cand_rows_jit(src, i, c, **statics)
 
     def pack_stacked(i3, c2, z3):
-        return _pack_cand_rows_mapped(*args, i3, c2, z3, **statics)
+        return _pack_cand_rows_mapped(src, i3, c2, z3, **statics)
 
     return _chunked_pack(
         pack_full, pack_stacked, ids, count_vals, centers, chunk,
@@ -1057,8 +1157,7 @@ def _pack_cand_rows(grid: UGrid, ids, count_vals, row_floats, nv,
     static_argnames=("cell_type", "row_floats", "nv", "dtype"),
 )
 def _pack_cand_rows_mapped(
-    face_normals, face_offsets, cell_points, cells, point_data,
-    ids3, cnt2, centers3, *, cell_type, row_floats, nv, dtype
+    src, ids3, cnt2, centers3, *, cell_type, row_floats, nv, dtype
 ):
     """lax.map over chunk-stacked (n_chunks, chunk, ...) inputs — one
     compile, one output allocation, chunk-bounded temporaries."""
@@ -1068,16 +1167,12 @@ def _pack_cand_rows_mapped(
     if centers3 is not None:
         return jax.lax.map(
             lambda ic: _pack_qcand_rows_jit(
-                face_normals, face_offsets, cell_points, cells,
-                point_data, ic[0], ic[1], ic[2], **statics,
+                src, ic[0], ic[1], ic[2], **statics,
             ),
             (ids3, cnt2, centers3),
         )
     return jax.lax.map(
-        lambda ic: _pack_cand_rows_jit(
-            face_normals, face_offsets, cell_points, cells, point_data,
-            ic[0], ic[1], **statics,
-        ),
+        lambda ic: _pack_cand_rows_jit(src, ic[0], ic[1], **statics),
         (ids3, cnt2),
     )
 
@@ -1087,10 +1182,11 @@ def _pack_cand_rows_mapped(
     static_argnames=("cell_type", "row_floats", "nv", "dtype"),
 )
 def _pack_cand_rows_jit(
-    face_normals, face_offsets, cell_points, cells, point_data,
-    ids, count_vals, *, cell_type, row_floats, nv, dtype
+    src, ids, count_vals, *, cell_type, row_floats, nv, dtype
 ):
-    """Pack fused candidate rows ON DEVICE from resident arrays.
+    """Pack fused candidate rows ON DEVICE from the per-cell source
+    record table (``src``, _pack_src_rows_jit) — one row gather per
+    candidate slot.
 
     One row answers the whole cold query: containment (face planes),
     interpolation weights (per-face inverse heights -> barycentric), and
@@ -1125,12 +1221,10 @@ def _pack_cand_rows_jit(
     from ..utils.config import huge_distance
 
     n_rows, k_max = ids.shape
-    nf = geometry.N_POINTS_PER_CELL[cell_type]
-    npc = cell_points.shape[1]
+    nf = npc = geometry.N_POINTS_PER_CELL[cell_type]
 
-    safe = jnp.maximum(ids, 0)
-    normals = face_normals[safe]  # (n_rows, K, nf, 3)
-    offs = face_offsets[safe]  # (n_rows, K, nf)
+    g = src[jnp.maximum(ids, 0)]  # (n, K, S) — the ONE row gather
+    normals, offs, cp, vtx_data = _split_src(g, nf, npc, nv)
     offs = jnp.where(
         (ids >= 0)[..., None], offs, jnp.asarray(-huge_distance(dtype), dtype)
     )
@@ -1144,13 +1238,10 @@ def _pack_cand_rows_jit(
         roles(normals[..., 2]),
         roles(offs),
     ]
-    cp = cell_points[safe]  # (n_rows, K, npc, 3)
     if cell_type == "quad":
         parts.append(roles(cp.reshape(n_rows, k_max, npc * 3)))
     parts.append(ids.astype(dtype))
     if nv:
-        pd = point_data[:, :nv]  # (n_points, nv)
-        vtx_data = pd[cells[safe]]  # (n_rows, K, npc, nv)
         if cell_type != "quad":
             # Premultiply by the inverse height of each vertex (face
             # (v+1)%npc's opposite vertex is v): the barycentric weight
@@ -1189,11 +1280,12 @@ def _build_cand_tables(
     get wider rows than config.cand_row_bytes, small-K grids narrower
     ones.
 
-    ``pack_chunk`` overrides the per-map-step row count (the
-    full-repack path after add_point_data uses a small one: at nv >= 2
-    XLA stops fusing the packer's (chunk, K, nf, nv) gathers and their
-    (8, 128)-tiled padding materializes — 28 GB of HLO temps at the
-    default 2^18 chunk on a 2M-bin table, round 4).
+    ``pack_chunk`` overrides the per-map-step row count.  The default
+    is sized from the record width so the materialized (chunk, K, S)
+    record gather stays ~<= 128 MB (_pack_source_chunk) — the round-4
+    nv >= 2 gather-fusion blowup (28 GB of HLO temps at a fixed 2^18
+    chunk) cannot recur because the packers now do ONE explicit record
+    gather whose transient the chunk rule bounds directly.
 
     ``nv`` overrides the fused-variable count (clamped to capacity).
     load_grid passes the checkpointed ``cand_nv`` pin so a grid whose
@@ -1615,12 +1707,7 @@ def _refresh_cand_data(
     change: only a column that is CURRENTLY fused triggers a repack,
     and the repack keeps the pinned nv — otherwise updating a variable
     added with ``fuse=False`` would both pay the repack the flag exists
-    to avoid and silently fuse the opted-out column.
-
-    Repacks use a small chunk: at nv >= 2 the packer's gathers stop
-    fusing and their (8, 128)-tiled padding materializes (~100 KB per
-    row-slot of HLO temp; 28 GB at the default 2^18 chunk on a 2M-bin
-    table, round 4)."""
+    to avoid and silently fuse the opted-out column."""
     if grid.cand_ids is None:
         return grid
     nv_now = cand_fused_nv(grid)
@@ -1629,9 +1716,7 @@ def _refresh_cand_data(
         return grid
     return dataclasses.replace(
         grid,
-        **_build_cand_tables(
-            grid, pack_chunk=1 << 13, nv=None if extend else nv_now
-        ),
+        **_build_cand_tables(grid, nv=None if extend else nv_now),
     )
 
 
