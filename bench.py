@@ -184,6 +184,108 @@ def toy_protocol():
     }
 
 
+def trace_at_scale(grid):
+    """1024 field lines on the ~1M-cell mesh (BASELINE config 5's
+    warm-start-coherent workload at scale) plus the single-core
+    compiled denominator (VERDICT r4 item 4).
+
+    The fused per-cell trace table is prebuilt once and passed in —
+    repeated traces over one field are the reference's usage model
+    (benchmark.f90 / test_trace_field.f90 reuse the grid), and inline
+    assembly of the 244 MB table costs more than tracing the bundle.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from interpolate_unstructured_tpu import (
+        add_point_data,
+        build_trace_table,
+        integrate_along_field,
+    )
+
+    out = {}
+    try:
+        pts = np.asarray(grid.points)
+        cx = pts[:, :2] - 0.5
+        fld = np.stack(
+            [-cx[:, 1], cx[:, 0], np.full(grid.n_points, 0.25)], axis=1
+        )
+        # fuse=False: the tracer reads the field through its own table;
+        # extending the multi-GB candidate rows would be pure cost
+        g2, ivx = add_point_data(grid, "vx", fld[:, 0], fuse=False)
+        g2, ivy = add_point_data(g2, "vy", fld[:, 1], fuse=False)
+        g2, ivz = add_point_data(g2, "vz", fld[:, 2], fuse=False)
+        n_traj, max_steps = 1024, 256
+        rng = np.random.default_rng(3)
+        y0 = jnp.asarray(0.3 + 0.4 * rng.random((n_traj, 3)), g2.dtype)
+        ttable = build_trace_table(g2, jnp.asarray((ivx, ivy, ivz)))
+
+        def run(g, tt, y):
+            return integrate_along_field(
+                g, y, (ivx, ivy, ivz), nvar=0, min_dx=1e-4, max_dx=0.05,
+                max_steps=max_steps, rtol=1e-3, atol=1e-3, trace_table=tt,
+            )
+
+        res = jax.jit(run)(g2, ttable, y0)
+        total_pts = int(np.asarray(res.n_steps).clip(max=max_steps).sum())
+
+        @jax.jit
+        def chain(g, tt, y, n):
+            def body(i, carry):
+                y, _ = carry
+                r = run(g, tt, y)
+                return (y + 1e-12 * r.n_steps.astype(y.dtype)[:, None],
+                        r.n_steps)
+
+            return lax.fori_loop(0, n, body, (y, jnp.zeros(n_traj,
+                                                           jnp.int32)))
+
+        def fetch(s):
+            return float(jnp.sum(s[0].ravel()[:1]))
+
+        fetch(chain(g2, ttable, y0, 1))
+
+        def timed(n):
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                fetch(chain(g2, ttable, y0, n))
+                best = min(best, time.perf_counter() - t0)
+            return best
+
+        dt = max((timed(4) - timed(1)) / 3, 1e-9)
+        out["trace_steps_per_s"] = total_pts / dt
+        out["trace_lines"] = n_traj
+        out["trace_mean_steps"] = total_pts / n_traj
+
+        try:
+            from interpolate_unstructured_tpu.utils.serial_oracle import (
+                serial_trace,
+            )
+
+            ns = 256
+            t0 = time.perf_counter()
+            _, _, s_steps, _ = serial_trace(
+                pts, np.asarray(grid.cells), np.asarray(grid.neighbors),
+                fld, np.asarray(y0[:ns]), min_dx=1e-4, max_dx=0.05,
+                max_steps=max_steps, rtol=1e-3, atol=1e-3,
+            )
+            s_dt = time.perf_counter() - t0
+            out["serial_trace_steps_per_s"] = (
+                float(s_steps.clip(max=max_steps).sum()) / s_dt
+            )
+            out["trace_speedup_vs_serial"] = (
+                out["trace_steps_per_s"] / out["serial_trace_steps_per_s"]
+            )
+        except Exception as e:  # oracle build env
+            print(f"# serial_trace unavailable: {e}", file=sys.stderr)
+        del ttable
+    except Exception as e:
+        print(f"# trace_at_scale failed: {e}", file=sys.stderr)
+    return out
+
+
 def large_mesh():
     """10M cold queries on a ~1M-cell tet mesh (candidate-bin path).
 
@@ -243,6 +345,8 @@ def large_mesh():
     assert err < tol, f"linear exactness broke: {err}"
 
     t_cold = chain_time(grid, r, n0=1, n1=6)
+
+    trace_stats = trace_at_scale(grid)
 
     # Accurate (compensated-f32) mode: since round 4 the cold accurate
     # query is ONE locate-fused gather from df32-value-plane candidate
@@ -309,6 +413,7 @@ def large_mesh():
         "large_mesh_max_err": err,
         "accurate_qps": 1_000_000 / t_acc,
         "accurate_max_err": acc_err,
+        **trace_stats,
     }
 
 
@@ -369,6 +474,16 @@ def main():
                 "prep_tables_s": big["prep_tables_s"],
                 "accurate_qps": big["accurate_qps"],
                 "accurate_max_err": big["accurate_max_err"],
+                # tracer at scale (VERDICT r4 item 4): 1024 lines on
+                # the ~1M-cell mesh with a prebuilt trace table, plus
+                # the single-core compiled C++ denominator
+                "trace_steps_per_s": big.get("trace_steps_per_s"),
+                "serial_trace_steps_per_s": big.get(
+                    "serial_trace_steps_per_s"
+                ),
+                "trace_speedup_vs_serial": big.get(
+                    "trace_speedup_vs_serial"
+                ),
             }
         )
     )

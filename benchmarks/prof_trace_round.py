@@ -28,7 +28,7 @@ def main():
     from benchmarks.bench_suite import make_tet_grid
     from interpolate_unstructured_tpu import add_point_data
     from interpolate_unstructured_tpu.ops import pallas_trace
-    from interpolate_unstructured_tpu.trace import _build_trace_table
+    from interpolate_unstructured_tpu.trace import build_trace_table
 
     grid = make_tet_grid(args.side)
     pts = np.asarray(grid.points)
@@ -38,7 +38,7 @@ def main():
     grid, ivz = add_point_data(grid, "vz", np.full(grid.n_points, 0.25))
 
     b = args.n
-    table = _build_trace_table(grid, jnp.asarray([ivx, ivy, ivz]))
+    table = build_trace_table(grid, jnp.asarray([ivx, ivy, ivz]))
     rng = np.random.default_rng(0)
     F0 = jnp.asarray(rng.random((pallas_trace.F_ROWS, b)), jnp.float32)
     I0 = jnp.zeros((pallas_trace.I_ROWS, b), jnp.int32)

@@ -52,7 +52,12 @@ from .ops.interp_acc import (
     prepare_accurate,
 )
 from .ops.kdtree import KdTree, build_kdtree, nearest as kdtree_nearest
-from .trace import TraceResult, integrate_along_field, write_trace_vtk
+from .trace import (
+    TraceResult,
+    build_trace_table,
+    integrate_along_field,
+    write_trace_vtk,
+)
 from .utils.config import DEFAULT_CONFIG, IUConfig
 from .utils.validate import validate_grid
 
@@ -97,6 +102,7 @@ __all__ = [
     "KdTree",
     "build_kdtree",
     "kdtree_nearest",
+    "build_trace_table",
     "integrate_along_field",
     "TraceResult",
     "write_trace_vtk",

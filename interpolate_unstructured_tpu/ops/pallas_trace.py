@@ -13,7 +13,7 @@ This kernel fuses the whole iteration body into ONE per-round program:
 * for lanes whose walk ARRIVES this round: the field interpolation at
   the target, read from the SAME gathered row (the fused trace table
   carries cell vertices, volume and the traced field's vertex values —
-  trace._build_trace_table), so the per-stage interpolation gather
+  trace.build_trace_table), so the per-stage interpolation gather
   disappears entirely;
 * the RK stage machine: k2/k3/k4 capture, next-stage target, walk
   re-initialization — each lane advances through stages 2 -> 3 -> 4
@@ -266,7 +266,7 @@ def trace_round(grid, table, F, I, *, nudge, eps_arrive, tiny,  # noqa: E741
     """One fused tracer round over stacked row state.
 
     Args:
-      table: fused trace table (trace._build_trace_table)
+      table: fused trace table (trace.build_trace_table)
       F: (32, B) float32 row block, I: (8, B) int32 row block (see
         module docstring); B a multiple of ``tile``.
 

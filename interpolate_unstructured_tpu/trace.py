@@ -107,7 +107,7 @@ def _default_sub_int(field, y):
     return jnp.zeros((0,), dtype=y.dtype)
 
 
-def _build_trace_table(grid, i_field):
+def build_trace_table(grid, i_field):
     """Fused per-cell row table for the tracer: the walk-table layout
     (face normals | offsets | neighbor ids) extended with the cell
     geometry AND the traced field's vertex values, padded to the
@@ -116,8 +116,14 @@ def _build_trace_table(grid, i_field):
     One row gather after each RK sub-walk then serves the *entire*
     interpolation (iu_interpolate_at_icell, :497-527) — the generic
     path's three separate gathers (walk row, connectivity, point data)
-    collapse into none.  Assembled on device once per trace call;
-    C-sized assembly is cheap next to the per-iteration B-sized gathers.
+    collapse into none.
+
+    Public so repeated trace calls over the SAME field can prebuild it
+    once and pass ``trace_table=`` to :func:`integrate_along_field`:
+    assembled inline it is re-gathered and re-written every call, which
+    at ~1M cells (244 MB) costs more than tracing a small bundle does
+    (benchmarks/RESULTS.md round 5).  ``i_field`` order must match the
+    ``i_field`` later passed to the trace call.
     """
     n_cells = grid.n_cells
     nf = grid.n_faces_per_cell
@@ -163,6 +169,7 @@ def integrate_along_field(
     i_icell_mask: int | None = None,
     mask_value: int | None = None,
     max_iterations: int | None = None,
+    trace_table=None,
 ) -> TraceResult:
     """Trace field lines from a batch of seed states.
 
@@ -179,6 +186,9 @@ def integrate_along_field(
         docstring.
       i_icell_mask/mask_value: integrate only where
         ``icell_data[:, i_icell_mask] == mask_value`` (:1055-1068).
+      trace_table: optional prebuilt :func:`build_trace_table` result
+        for this (grid, i_field) — reuse it across repeated trace
+        calls over the same field; built inline (per call) when None.
       max_iterations: hard cap on RK iterations (the reference loops
         unbounded, :1078); defaults to ``50 * max_steps + 1000``.
 
@@ -258,7 +268,8 @@ def integrate_along_field(
         masked = grid.icell_data[jnp.maximum(ic, 0), i_icell_mask]
         return jnp.where(ic < 0, -1, masked.astype(jnp.int32))
 
-    trace_table = _build_trace_table(grid, i_field)
+    if trace_table is None:
+        trace_table = build_trace_table(grid, i_field)
     nf = grid.n_faces_per_cell
     npc = grid.n_points_per_cell
     _cp_off = nf * 5

@@ -312,3 +312,25 @@ def test_trace_zero_field_terminates():
     assert np.isfinite(np.asarray(res.y[0])).all()
     # terminated via the overflow path, not the iteration cap
     assert int(res.n_iterations[0]) <= 60
+
+
+def test_trace_prebuilt_table_matches_inline(circular_grid):
+    """trace_table= with a prebuilt build_trace_table result is exactly
+    the inline-assembled path (round 5: repeated traces over one field
+    prebuild the table once; at 1M cells inline assembly dominated
+    small-bundle cost)."""
+    grid, i_field = circular_grid
+    y0 = jnp.asarray([[1.5, 0.0], [0.5, 0.5], [1.0, 1.9]])
+    ref = integrate_along_field(grid, y0, i_field, **TRACE_KW)
+    tt = iu.build_trace_table(grid, jnp.asarray(i_field))
+    got = integrate_along_field(
+        grid, y0, i_field, trace_table=tt, **TRACE_KW
+    )
+    np.testing.assert_array_equal(
+        np.asarray(ref.n_steps), np.asarray(got.n_steps)
+    )
+    np.testing.assert_array_equal(np.asarray(ref.y), np.asarray(got.y))
+    np.testing.assert_array_equal(
+        np.asarray(ref.boundary_material),
+        np.asarray(got.boundary_material),
+    )
