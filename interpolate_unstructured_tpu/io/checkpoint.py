@@ -23,14 +23,20 @@ import numpy as np
 
 from .binda import BindaWriter, read_binda
 
-_FORMAT_VERSION = "4"  # v4 adds overflow-extension candidate lists
+# v4 adds overflow-extension candidate lists; v5 sheds the two
+# device-derivable heavyweights from the container: cell_points
+# (= points[cells] — a pure gather, so deriving it at load is
+# bit-exact in every dtype path) and the zero-padded cand_ids
+# rectangle, stored ragged as cand_flat + cand_count instead (K=24
+# cover-widened rows average ~10 live slots at 1M cells; the h2d
+# tunnel moves ~42 MB/s, so the ~156 MB shed is ~4 s of every load).
+_FORMAT_VERSION = "5"
 
 # UGrid array leaves stored verbatim (name -> attribute)
 _ARRAY_FIELDS = [
     "points",
     "cells",
     "neighbors",
-    "cell_points",
     "face_normals",
     "face_offsets",
     "cell_volume",
@@ -55,7 +61,6 @@ _ARRAY_FIELDS = [
 _OPTIONAL_FIELDS = [
     "kd_node_points",
     "kd_node_ids",
-    "cand_ids",
     "cand_count",
     "cand_rmin",
     "cand_inv_h",
@@ -66,6 +71,29 @@ _OPTIONAL_FIELDS = [
     "points_lo",
     "point_data_lo",
 ]
+
+
+def _expand_cand_rows(flat, counts, k):
+    """Re-expand ragged v5 candidate lists to the (bins, K) rectangle
+    on device (row-major live slots -> zero-padded rows of -1)."""
+    import functools
+
+    import jax
+
+    @functools.partial(jax.jit, static_argnames=("k",))
+    def expand(flat, counts, *, k):
+        # counts can exceed K (overflow-extension entries are counted);
+        # the stored row carries the first min(count, K) slots
+        eff = jnp.minimum(counts, k)
+        offs = jnp.cumsum(eff) - eff
+        kk = jnp.arange(k, dtype=jnp.int32)
+        idx = offs[:, None] + kk[None, :]
+        vals = jnp.take(flat, idx, mode="clip")
+        return jnp.where(kk[None, :] < eff[:, None], vals, -1)
+
+    if flat.size == 0:
+        return jnp.full((counts.shape[0], k), -1, dtype=jnp.int32)
+    return expand(flat, counts, k=k)
 
 
 def save_grid(grid, filename) -> None:
@@ -82,6 +110,9 @@ def save_grid(grid, filename) -> None:
             "x".join(str(s) for s in grid.cand_shape),
             "1" if grid.cand_ext_covers else "0",
             str(grid.cand_nv),
+            # v5: the padded candidate-list width K — cand_ids is
+            # stored ragged, so its rectangle shape must ride here
+            str(-1 if grid.cand_ids is None else grid.cand_ids.shape[1]),
         ]
     )
     w.add_entry("ugrid_header", np.zeros(1, dtype=np.int32), meta)
@@ -95,6 +126,17 @@ def save_grid(grid, filename) -> None:
         if arr.dtype == np.bool_:
             arr = arr.astype(np.int32)
         w.add_entry(f"grid/{name}", arr, orig_dtype)
+    if grid.cand_ids is not None:
+        # Ragged candidate lists: live slots only, row-major.  The
+        # (bins, K) rectangle is re-expanded on device at load from
+        # cand_count (stored above).
+        ids = np.asarray(grid.cand_ids)
+        # cand_count counts ALL candidates of a bin including the
+        # overflow-extension entries, so it can exceed K: the main row
+        # holds the first min(count, K), front-packed
+        cnt = np.minimum(np.asarray(grid.cand_count), ids.shape[1])
+        mask = np.arange(ids.shape[1], dtype=np.int32)[None, :] < cnt[:, None]
+        w.add_entry("grid/cand_flat", ids[mask], "int32")
     for i, nm in enumerate(grid.point_data_names):
         w.add_entry("point_data_name", np.array([i], dtype=np.int32), nm)
     for i, nm in enumerate(grid.cell_data_names):
@@ -143,7 +185,7 @@ def load_grid(filename, config=None, dtype=None, resave_on_rebuild=False,
         raise ValueError(f"{filename} is not a saved UGrid container")
     parts = bf.entries[ix].metadata.split(",")
     version, cell_type, locate_mode, bin_shape_s = parts[:4]
-    if version not in ("1", "2", "3", "4"):
+    if version not in ("1", "2", "3", "4", "5"):
         raise ValueError(f"Unsupported grid checkpoint version {version}")
     kd_max_depth = int(parts[4]) if len(parts) > 4 else 0
     bin_shape = tuple(int(s) for s in bin_shape_s.split("x"))
@@ -154,6 +196,7 @@ def load_grid(filename, config=None, dtype=None, resave_on_rebuild=False,
     )
     ext_covers = parts[6] == "1" if len(parts) > 6 else True
     cand_nv = int(parts[7]) if len(parts) > 7 else -1
+    cand_k = int(parts[8]) if len(parts) > 8 else -1  # v5 ragged width
 
     host_arrays = {}
     for i, e in enumerate(bf.entries):
@@ -181,6 +224,19 @@ def load_grid(filename, config=None, dtype=None, resave_on_rebuild=False,
         if arr.dtype.kind == "f" and arr.dtype != target:
             arr = arr.astype(target)
         arrays[name] = jnp.asarray(arr)
+
+    # v5 sheds device-derivable leaves from the container (the h2d
+    # tunnel is the load bottleneck at ~42 MB/s):
+    if "cell_points" not in arrays:
+        # points[cells] is a pure gather — casting commutes with
+        # indexing, so deriving it here is bit-exact in every dtype
+        # path (including the f64 -> f32 downcast load)
+        arrays["cell_points"] = arrays["points"][arrays["cells"]]
+    flat = arrays.pop("cand_flat", None)
+    if flat is not None:
+        arrays["cand_ids"] = _expand_cand_rows(
+            flat, arrays["cand_count"], cand_k
+        )
 
     def names_of(kind):
         return tuple(
@@ -281,6 +337,10 @@ def load_grid(filename, config=None, dtype=None, resave_on_rebuild=False,
         from ..models.grid import build_candidate_bins_dispatch
         from ..ops.geometry import NDIM_OF_CELL_TYPE
 
+        if "cell_points" not in host_arrays:  # v5 container
+            host_arrays["cell_points"] = host_arrays["points"][
+                host_arrays["cells"]
+            ]
         (
             cand_ids, cand_count, cand_shape, cand_rmin, cand_inv_h,
             ext_ids, ext_slot,

@@ -230,6 +230,43 @@ def test_grid_checkpoint_roundtrip(tmp_path, triangle_grid):
     )
 
 
+def test_grid_checkpoint_v5_derived_leaves(tmp_path):
+    """The v5 container sheds cell_points (derived as points[cells] at
+    load — a pure gather, bit-exact) and stores candidate lists ragged
+    (cand_flat + cand_count, counts may exceed K via the overflow
+    extension); the loaded rectangle must equal the saved one slot for
+    slot."""
+    from interpolate_unstructured_tpu import build_grid
+    from interpolate_unstructured_tpu.io.binda import read_binda
+    from interpolate_unstructured_tpu.io.checkpoint import load_grid, save_grid
+    from interpolate_unstructured_tpu.utils import meshgen
+
+    points, cells, neighbors = meshgen.tet_box_mesh(6, 6, 6)
+    grid = build_grid(
+        points, cells, neighbors, "tetra",
+        point_data={"vx": points[:, 0]}, locate_mode="walk",
+    )
+    assert int(np.asarray(grid.cand_count).max()) > grid.cand_ids.shape[1], (
+        "fixture must exercise the overflow-extension count > K case"
+    )
+    fn = tmp_path / "grid.binda"
+    save_grid(grid, fn)
+    names = [e.name for e in read_binda(str(fn)).entries]
+    assert "grid/cell_points" not in names
+    assert "grid/cand_ids" not in names
+    assert "grid/cand_flat" in names
+    g2 = load_grid(fn)
+    np.testing.assert_array_equal(
+        np.asarray(g2.cand_ids), np.asarray(grid.cand_ids)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(g2.cell_points), np.asarray(grid.cell_points)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(g2.cand_table), np.asarray(grid.cand_table)
+    )
+
+
 def test_grid_checkpoint_dtype_and_kdtree(tmp_path):
     """Checkpoint restores the saved dtype exactly, downcasts only on
     explicit request, and round-trips the kd-tree seed arrays."""
