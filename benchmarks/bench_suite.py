@@ -343,8 +343,14 @@ def main():
         bench_large_tet(12, 100_000)
         bench_trace_tet(8, 64)
     elif args.f64:
-        # f64 doubles every table: a smaller mesh keeps the working set
-        # on one chip (labels carry the true sizes)
+        # f64 doubles every table: the suite uses a smaller mesh to
+        # keep its runtime bounded (labels carry the true sizes).  The
+        # FULL config-4 scale in f64 (998k cells / 10M queries) was
+        # measured separately in round 5 — 5.73e6 q/s, linear
+        # exactness 7.9e-13 — by scanning 4x2.5M query slices inside
+        # one jit (a monolithic 10M f64 pass plans ~10 GB of HLO temps
+        # on top of the 5.6 GB tables and exceeds HBM); see
+        # benchmarks/RESULTS.md.
         bench_large_tet(35, 4_000_000)
         bench_trace_tet(16, 1024)
     else:
