@@ -265,15 +265,17 @@ def trace_at_scale(grid):
             )
 
             ns = 256
-            t0 = time.perf_counter()
-            _, _, s_steps, _ = serial_trace(
-                pts, np.asarray(grid.cells), np.asarray(grid.neighbors),
-                fld, np.asarray(y0[:ns]), min_dx=1e-4, max_dx=0.05,
-                max_steps=max_steps, rtol=1e-3, atol=1e-3,
-            )
-            s_dt = time.perf_counter() - t0
+            best = float("inf")
+            for _ in range(2):  # best-of-2: host timing jitters
+                t0 = time.perf_counter()
+                _, _, s_steps, _ = serial_trace(
+                    pts, np.asarray(grid.cells), np.asarray(grid.neighbors),
+                    fld, np.asarray(y0[:ns]), min_dx=1e-4, max_dx=0.05,
+                    max_steps=max_steps, rtol=1e-3, atol=1e-3,
+                )
+                best = min(best, time.perf_counter() - t0)
             out["serial_trace_steps_per_s"] = (
-                float(s_steps.clip(max=max_steps).sum()) / s_dt
+                float(s_steps.clip(max=max_steps).sum()) / best
             )
             out["trace_speedup_vs_serial"] = (
                 out["trace_steps_per_s"] / out["serial_trace_steps_per_s"]
