@@ -211,14 +211,21 @@ def _sharded_cell_lookup(mesh, axis_name, lookup_fn):
 def sharded_trace(mesh: Mesh, axis_name: str = DATA_AXIS, **trace_kwargs):
     """Sharded field-line tracing over a batch of seed points.
 
-    Returns ``f(grid, y0, i_field) -> TraceResult`` with trajectories
-    sharded over devices; each device's RK23 while_loop runs until its
-    own trajectories terminate.
+    Returns ``f(grid, y0, i_field, trace_table=None) -> TraceResult``
+    with trajectories sharded over devices; each device's RK23
+    while_loop runs until its own trajectories terminate.
+
+    The fused per-cell trace table is built ONCE outside the shard_map
+    (replicated, like the grid) rather than per call inside each
+    shard — at 1M cells the 244 MB assembly otherwise dominates
+    small-bundle traces (benchmarks/RESULTS.md round 5).  Pass a
+    prebuilt :func:`~interpolate_unstructured_tpu.build_trace_table`
+    result to reuse it across repeated calls over the same field.
     """
 
-    def local(grid, y0, i_field):
+    def local(grid, table, y0, i_field):
         res = trace_mod.integrate_along_field(
-            grid, y0, i_field, **trace_kwargs
+            grid, y0, i_field, trace_table=table, **trace_kwargs
         )
         # n_rounds is a per-shard scalar diagnostic: total it so the
         # output is replicated (out_spec P()).
@@ -226,12 +233,14 @@ def sharded_trace(mesh: Mesh, axis_name: str = DATA_AXIS, **trace_kwargs):
             n_rounds=jax.lax.psum(res.n_rounds, axis_name)
         )
 
-    def run(grid, y0, i_field):
+    def run(grid, y0, i_field, trace_table=None):
+        if trace_table is None:
+            trace_table = trace_mod.build_trace_table(grid, i_field)
         f = jax.shard_map(
             local,
             mesh=mesh,
             check_vma=False,
-            in_specs=(_grid_spec(grid), P(axis_name, None), P()),
+            in_specs=(_grid_spec(grid), P(), P(axis_name, None), P()),
             out_specs=trace_mod.TraceResult(
                 y=P(axis_name, None, None),
                 y_field=P(axis_name, None, None),
@@ -241,7 +250,7 @@ def sharded_trace(mesh: Mesh, axis_name: str = DATA_AXIS, **trace_kwargs):
                 n_rounds=P(),
             ),
         )
-        return f(grid, y0, i_field)
+        return f(grid, trace_table, y0, i_field)
 
     return jax.jit(run)
 

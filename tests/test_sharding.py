@@ -80,6 +80,15 @@ def test_sharded_trace(triangle_grid, mesh):
             r, np.linalg.norm(np.asarray(y0[i])), atol=6e-3
         )
 
+    # Prebuilt-table reuse (round 5): identical results, table built
+    # once outside the shard_map instead of per call per shard
+    tt = iu.build_trace_table(grid, jnp.asarray([i_vx, i_vy]))
+    res2 = f(grid, y0_sh, jnp.asarray([i_vx, i_vy]), trace_table=tt)
+    np.testing.assert_array_equal(
+        np.asarray(res.n_steps), np.asarray(res2.n_steps)
+    )
+    np.testing.assert_array_equal(np.asarray(res.y), np.asarray(res2.y))
+
 
 def test_distribute_and_collect_roundtrip(triangle_grid, mesh):
     """Multi-host input pipeline, single-process-multi-device case:
