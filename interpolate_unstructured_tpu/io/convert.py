@@ -107,8 +107,8 @@ def get_cell_neighbors(
 
 def read_mesh(filename) -> Mesh:
     """Read a mesh file. Uses the built-in readers (VTU, legacy VTK,
-    Gmsh, MEDIT, TetGen, OFF, PLY, STL, OBJ); falls back to meshio for
-    other formats if it happens to be installed."""
+    Gmsh, MEDIT, TetGen, OFF, PLY, STL, OBJ, XDMF, Exodus II); falls
+    back to meshio for other formats if it happens to be installed."""
     filename = os.fspath(filename)
     ext = os.path.splitext(filename)[1].lower()
     if ext == ".vtu":
@@ -121,6 +121,14 @@ def read_mesh(filename) -> Mesh:
         from .msh import read_msh
 
         return read_msh(filename)
+    if ext in (".xdmf", ".xmf"):
+        from .xdmf import read_xdmf
+
+        return read_xdmf(filename)
+    if ext in (".e", ".exo", ".ex2"):
+        from .exodus import read_exodus
+
+        return read_exodus(filename)
     simple = {
         ".mesh": "read_medit",
         ".node": "read_tetgen",
@@ -139,8 +147,9 @@ def read_mesh(filename) -> Mesh:
     except ImportError as err:
         raise ValueError(
             f"Cannot read {filename!r}: only .vtu, .vtk, .msh, .mesh, "
-            ".node/.ele, .off, .ply, .stl and .obj are supported natively "
-            "and meshio is not installed"
+            ".node/.ele, .off, .ply, .stl, .obj, .xdmf/.xmf and "
+            ".e/.exo/.ex2 are supported natively and meshio is not "
+            "installed"
         ) from err
     from .vtu import CellBlock
 
