@@ -129,6 +129,10 @@ def read_mesh(filename) -> Mesh:
         from .exodus import read_exodus
 
         return read_exodus(filename)
+    if ext == ".cgns":
+        from .cgns import read_cgns
+
+        return read_cgns(filename)
     simple = {
         ".mesh": "read_medit",
         ".node": "read_tetgen",

@@ -205,3 +205,87 @@ def test_read_grid_end_to_end(tmp_path, maker, name):
     assert bool(np.asarray(found).all())
     truth = np.asarray(r)[:, 0] + 2 * np.asarray(r)[:, 1] + 3.0
     np.testing.assert_allclose(np.asarray(v), truth, atol=1e-13)
+
+
+def _cgns_node(parent, name, label, data=None, dtype=None):
+    """Create one CGNS/HDF5 tree node (group + attrs + ' data')."""
+    g = parent.create_group(name)
+    g.attrs["name"] = np.bytes_(name)
+    g.attrs["label"] = np.bytes_(label)
+    g.attrs["type"] = np.bytes_(dtype or "MT")
+    if data is not None:
+        g[" data"] = data
+    return g
+
+
+def _write_cgns(path):
+    h5py = pytest.importorskip("h5py")
+    with h5py.File(path, "w") as f:
+        base = _cgns_node(
+            f, "Base", "CGNSBase_t", np.array([2, 2], np.int32), "I4"
+        )
+        zone = _cgns_node(
+            base, "Zone", "Zone_t",
+            np.array([[len(TRI_PTS), len(TRI_CELLS), 0]], np.int32), "I4",
+        )
+        _cgns_node(
+            zone, "ZoneType", "ZoneType_t",
+            np.frombuffer(b"Unstructured", np.int8), "C1",
+        )
+        gc = _cgns_node(zone, "GridCoordinates", "GridCoordinates_t")
+        for i, nm in enumerate(("CoordinateX", "CoordinateY")):
+            _cgns_node(gc, nm, "DataArray_t", TRI_PTS[:, i], "R8")
+        sec = _cgns_node(
+            zone, "Tris", "Elements_t", np.array([5, 0], np.int32), "I4"
+        )
+        _cgns_node(
+            sec, "ElementRange", "IndexRange_t",
+            np.array([1, len(TRI_CELLS)], np.int64), "I8",
+        )
+        _cgns_node(
+            sec, "ElementConnectivity", "DataArray_t",
+            (TRI_CELLS + 1).astype(np.int64).reshape(-1), "I8",
+        )
+        sol = _cgns_node(zone, "Solution", "FlowSolution_t")
+        _cgns_node(
+            sol, "GridLocation", "GridLocation_t",
+            np.frombuffer(b"Vertex", np.int8), "C1",
+        )
+        _cgns_node(sol, "phi", "DataArray_t", TRI_PHI, "R8")
+
+
+def test_cgns_roundtrip(tmp_path):
+    from interpolate_unstructured_tpu.io.cgns import read_cgns
+
+    fn = tmp_path / "mesh.cgns"
+    _write_cgns(fn)
+    m = read_cgns(fn)
+    # CGNS fixture carries X/Y only: Z pads to zero (same as TRI_PTS)
+    np.testing.assert_allclose(m.points, TRI_PTS)
+    assert m.cells[0].type == "triangle"
+    np.testing.assert_array_equal(m.cells[0].data, TRI_CELLS)
+    np.testing.assert_allclose(m.point_data["phi"], TRI_PHI)
+
+
+def test_cgns_end_to_end(tmp_path):
+    import jax.numpy as jnp
+
+    fn = tmp_path / "m.cgns"
+    _write_cgns(fn)
+    grid = iu.read_grid(fn)
+    ivar = iu.get_point_data_index(grid, "phi")
+    r = jnp.asarray([[0.25, 0.25, 0.0], [0.7, 0.6, 0.0]])
+    v, ic, found = iu.interpolate_scalar_at(grid, r, ivar)
+    assert bool(np.asarray(found).all())
+    truth = np.asarray(r)[:, 0] + 2 * np.asarray(r)[:, 1] + 3.0
+    np.testing.assert_allclose(np.asarray(v), truth, atol=1e-13)
+
+
+def test_cgns_rejects_non_hdf5(tmp_path):
+    pytest.importorskip("h5py")
+    from interpolate_unstructured_tpu.io.cgns import read_cgns
+
+    fn = tmp_path / "adf.cgns"
+    fn.write_bytes(b"not an hdf5 file")
+    with pytest.raises(ValueError, match="ADF"):
+        read_cgns(fn)
