@@ -107,8 +107,9 @@ def get_cell_neighbors(
 
 def read_mesh(filename) -> Mesh:
     """Read a mesh file. Uses the built-in readers (VTU, legacy VTK,
-    Gmsh, MEDIT, TetGen, OFF, PLY, STL, OBJ, XDMF, Exodus II); falls
-    back to meshio for other formats if it happens to be installed."""
+    Gmsh, MEDIT, TetGen, OFF, PLY, STL, OBJ, XDMF, Exodus II, CGNS,
+    ABAQUS, Nastran, AVS-UCD, SU2, FLAC3D); falls back to meshio for
+    other formats if it happens to be installed."""
     filename = os.fspath(filename)
     ext = os.path.splitext(filename)[1].lower()
     if ext == ".vtu":
@@ -133,6 +134,19 @@ def read_mesh(filename) -> Mesh:
         from .cgns import read_cgns
 
         return read_cgns(filename)
+    fem = {
+        ".inp": "read_abaqus",
+        ".bdf": "read_nastran",
+        ".nas": "read_nastran",
+        ".fem": "read_nastran",
+        ".avs": "read_avs",
+        ".su2": "read_su2",
+        ".f3grid": "read_flac3d",
+    }
+    if ext in fem:
+        from . import fem as fem_mod
+
+        return getattr(fem_mod, fem[ext])(filename)
     simple = {
         ".mesh": "read_medit",
         ".node": "read_tetgen",
@@ -151,9 +165,9 @@ def read_mesh(filename) -> Mesh:
     except ImportError as err:
         raise ValueError(
             f"Cannot read {filename!r}: only .vtu, .vtk, .msh, .mesh, "
-            ".node/.ele, .off, .ply, .stl, .obj, .xdmf/.xmf and "
-            ".e/.exo/.ex2 are supported natively and meshio is not "
-            "installed"
+            ".node/.ele, .off, .ply, .stl, .obj, .xdmf/.xmf, "
+            ".e/.exo/.ex2, .cgns, .inp, .bdf/.nas/.fem, .avs, .su2 and "
+            ".f3grid are supported natively and meshio is not installed"
         ) from err
     from .vtu import CellBlock
 

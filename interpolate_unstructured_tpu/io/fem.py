@@ -1,0 +1,631 @@
+"""Native readers for common FEM/CFD exchange formats.
+
+The reference gets format breadth through ``meshio.read``
+(convert_to_binary.py:185).  This module covers the common engineering
+formats not handled by the other native readers:
+
+* ABAQUS ``.inp``    (keyword decks; ``*NODE`` / ``*ELEMENT`` cards)
+* Nastran ``.bdf``/``.nas`` (free, small- and large-field bulk data)
+* AVS-UCD ``.avs``   (ASCII; includes node/cell data sections)
+* SU2 ``.su2``       (CFD meshes; VTK element type ids)
+* FLAC3D ``.f3grid`` (ASCII gridpoint/zone records)
+
+All return the same :class:`~.vtu.Mesh` the converter consumes.  Like
+the other readers, blocks below the file's top dimension (boundary
+markup, shells next to solids) are dropped; mixed same-dimension
+element types produce multiple blocks and are rejected downstream,
+matching the reference's mixed-cell rejection
+(convert_to_binary.py:187-188).  Node ids may be arbitrary
+(non-contiguous) in every format and are remapped to 0-based order of
+appearance in the node section.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+
+from .vtu import CellBlock, Mesh
+
+# our type -> spatial dimension (for top-dimension filtering)
+_TYPE_DIM = {
+    "vertex": 0,
+    "line": 1,
+    "line3": 1,
+    "triangle": 2,
+    "triangle6": 2,
+    "quad": 2,
+    "quad8": 2,
+    "quad9": 2,
+    "tetra": 3,
+    "tetra10": 3,
+    "pyramid": 3,
+    "wedge": 3,
+    "hexahedron": 3,
+    "hexahedron20": 3,
+}
+
+
+def _remap_ids(ids: np.ndarray, conn: np.ndarray, what: str) -> np.ndarray:
+    """Map arbitrary node ids in ``conn`` to 0-based indices into the
+    node table ordered as read (``ids``)."""
+    order = np.argsort(ids, kind="stable")
+    sorted_ids = ids[order]
+    pos = np.searchsorted(sorted_ids, conn)
+    pos = np.clip(pos, 0, len(ids) - 1)
+    if not np.array_equal(sorted_ids[pos], conn):
+        missing = conn[sorted_ids[pos] != conn]
+        raise ValueError(
+            f"{what}: element references undefined node id "
+            f"{int(np.ravel(missing)[0])}"
+        )
+    return order[pos]
+
+
+def _top_dim_blocks(blocks: list) -> list:
+    """Keep only the highest-dimensional CellBlocks (same rule as the
+    MEDIT/Gmsh readers)."""
+    if not blocks:
+        raise ValueError("no elements found")
+    dims = [_TYPE_DIM.get(b.type, 3) for b in blocks]
+    top = max(dims)
+    return [b for b, d in zip(blocks, dims) if d == top]
+
+
+# ---------------------------------------------------------------- ABAQUS
+
+# Element TYPE= prefixes -> our type.  Longest prefixes first so e.g.
+# C3D10 wins over C3D1* ambiguity.  Families follow meshio's table.
+_ABAQUS_TYPES = [
+    ("C3D10", "tetra10"),
+    ("C3D20", "hexahedron20"),
+    ("C3D4", "tetra"),
+    ("DC3D4", "tetra"),
+    ("AC3D4", "tetra"),
+    ("C3D6", "wedge"),
+    ("C3D8", "hexahedron"),
+    ("DC3D8", "hexahedron"),
+    ("CPS3", "triangle"),
+    ("CPE3", "triangle"),
+    ("CPEG3", "triangle"),
+    ("AC2D3", "triangle"),
+    ("DC2D3", "triangle"),
+    ("S3", "triangle"),
+    ("STRI3", "triangle"),
+    ("M3D3", "triangle"),
+    ("R3D3", "triangle"),
+    ("CPS4", "quad"),
+    ("CPE4", "quad"),
+    ("CPEG4", "quad"),
+    ("AC2D4", "quad"),
+    ("DC2D4", "quad"),
+    ("S4", "quad"),
+    ("M3D4", "quad"),
+    ("R3D4", "quad"),
+    ("CPS6", "triangle6"),
+    ("CPE6", "triangle6"),
+    ("CPS8", "quad8"),
+    ("CPE8", "quad8"),
+    ("T2D2", "line"),
+    ("T3D2", "line"),
+    ("B21", "line"),
+    ("B31", "line"),
+]
+
+
+def _abaqus_cell_type(abq: str) -> str:
+    abq = abq.upper()
+    for prefix, ours in _ABAQUS_TYPES:
+        if abq.startswith(prefix):
+            return ours
+    raise ValueError(f"Unsupported ABAQUS element type {abq!r}")
+
+
+def read_abaqus(filename) -> Mesh:
+    """Read an ABAQUS ``.inp`` keyword deck.
+
+    Parses ``*NODE`` and ``*ELEMENT`` cards (data lines ending in a
+    comma continue on the next line, per the ABAQUS syntax rules);
+    every other keyword's data lines are skipped.  Element ids and
+    ELSET/material assignments are dropped — the binda format keeps
+    cells in file order (convert_to_binary.py:200-224).
+    """
+    with open(filename, encoding="latin-1") as f:
+        lines = f.readlines()
+
+    node_ids: list = []
+    node_xyz: list = []
+    # our type -> list of (n_nodes-wide) connectivity rows (raw ids)
+    elems: dict = {}
+    i = 0
+    n_lines = len(lines)
+    while i < n_lines:
+        line = lines[i].strip()
+        i += 1
+        if not line or line.startswith("**"):
+            continue
+        if not line.startswith("*"):
+            continue  # stray data line outside any keyword we track
+        parts = [p.strip() for p in line[1:].split(",")]
+        keyword = parts[0].upper()
+        params = {}
+        for p in parts[1:]:
+            k, _, v = p.partition("=")
+            params[k.strip().upper()] = v.strip()
+
+        if keyword == "NODE":
+            while i < n_lines:
+                data = lines[i].strip()
+                if not data or data.startswith("**"):
+                    i += 1
+                    continue
+                if data.startswith("*"):
+                    break
+                i += 1
+                toks = [t for t in data.split(",") if t.strip()]
+                node_ids.append(int(toks[0]))
+                xyz = [float(t) for t in toks[1:4]]
+                xyz += [0.0] * (3 - len(xyz))
+                node_xyz.append(xyz)
+        elif keyword == "ELEMENT":
+            ctype = _abaqus_cell_type(params.get("TYPE", ""))
+            rows = elems.setdefault(ctype, [])
+            pending: list = []
+            while i < n_lines:
+                data = lines[i].strip()
+                if not data or data.startswith("**"):
+                    i += 1
+                    continue
+                if data.startswith("*"):
+                    break
+                i += 1
+                cont = data.endswith(",")
+                pending += [int(t) for t in data.split(",") if t.strip()]
+                if not cont:
+                    rows.append(pending[1:])  # drop the element id
+                    pending = []
+            if pending:
+                rows.append(pending[1:])
+        # other keywords: the loop skips their data lines naturally
+        # (they don't start with '*', so the outer scan passes them by)
+
+    if not node_ids:
+        raise ValueError(f"{filename}: no *NODE section")
+    ids = np.asarray(node_ids, dtype=np.int64)
+    points = np.asarray(node_xyz, dtype=np.float64)
+
+    blocks = []
+    for ctype, rows in elems.items():
+        widths = {len(r) for r in rows}
+        if len(widths) != 1:
+            raise ValueError(
+                f"{filename}: inconsistent node counts for {ctype} elements"
+            )
+        conn = np.asarray(rows, dtype=np.int64)
+        blocks.append(
+            CellBlock(
+                type=ctype, data=_remap_ids(ids, conn, filename)
+            )
+        )
+    return Mesh(points=points, cells=_top_dim_blocks(blocks))
+
+
+# --------------------------------------------------------------- Nastran
+
+_NASTRAN_CARDS = {
+    # card name -> (our type, n grid points); grids start at field 3
+    # (after EID, PID)
+    "CTRIA3": ("triangle", 3),
+    "CTRIA6": ("triangle6", 6),
+    "CQUAD4": ("quad", 4),
+    "CQUAD8": ("quad8", 8),
+    "CTETRA": ("tetra", 4),  # 10-node variant upgraded to tetra10 below
+    "CHEXA": ("hexahedron", 8),
+    "CPENTA": ("wedge", 6),
+    "CPYRAM": ("pyramid", 5),
+    "CROD": ("line", 2),
+    "CBAR": ("line", 2),
+    "CBEAM": ("line", 2),
+}
+
+_NASTRAN_FLOAT = re.compile(r"([0-9.])([+-])(\d)")
+
+
+def _nastran_float(tok: str) -> float:
+    """Nastran floats may elide the exponent letter: ``1.2-3`` means
+    1.2e-3 (and ``D`` exponents mean ``E``)."""
+    tok = tok.strip().upper().replace("D", "E")
+    if "E" not in tok:
+        tok = _NASTRAN_FLOAT.sub(r"\1E\2\3", tok, count=1)
+    return float(tok)
+
+
+def _nastran_fields(line: str) -> list:
+    """Split one physical line into fields (free, small or large field)."""
+    if "," in line:
+        return [f.strip() for f in line.split(",")]
+    name = line[:8].strip()
+    if name.endswith("*") or line[:1] == "*":
+        # large field: 8-char field 1, then four 16-char fields
+        fields = [name]
+        body = line[8:72]
+        for j in range(0, len(body), 16):
+            fields.append(body[j : j + 16].strip())
+        return fields
+    # small field: nine 8-char columns
+    return [line[j : j + 8].strip() for j in range(0, min(len(line), 72), 8)]
+
+
+def read_nastran(filename) -> Mesh:
+    """Read a Nastran bulk-data file (``.bdf``/``.nas``/``.fem``).
+
+    Handles free-field (comma), small-field (8-char columns) and
+    large-field (``GRID*``) cards, continuation lines (leading ``+``,
+    ``*`` or blank field 1), ``$`` comments and exponent-less floats.
+    Only GRID and element cards are used; everything else (case
+    control, properties, materials) is skipped.
+    """
+    with open(filename, encoding="latin-1") as f:
+        raw_lines = f.readlines()
+
+    # Assemble logical cards: continuations append their fields 2..9.
+    cards: list = []
+    for line in raw_lines:
+        line = line.rstrip("\n")
+        dollar = line.find("$")
+        if dollar != -1:
+            line = line[:dollar]
+        if not line.strip():
+            continue
+        upper = line.upper()
+        if upper.startswith(("BEGIN BULK", "ENDDATA", "CEND")):
+            continue
+        fields = _nastran_fields(line)
+        first = fields[0]
+        # Parent card names START alphabetic (large-field names END
+        # with '*', e.g. "GRID*"); continuations START with '+'/'*'
+        # or have a blank field 1.
+        is_cont = first == "" or first.startswith(("+", "*"))
+        if is_cont and cards:
+            cards[-1].extend(fields[1:])
+        else:
+            name = first.rstrip("*").upper()
+            cards.append([name] + fields[1:])
+
+    node_ids: list = []
+    node_xyz: list = []
+    elems: dict = {}
+    for card in cards:
+        name = card[0]
+        if name == "GRID":
+            # GRID, ID, CP, X1, X2, X3
+            node_ids.append(int(card[1]))
+            xyz = [
+                _nastran_float(card[k]) if k < len(card) and card[k] else 0.0
+                for k in (3, 4, 5)
+            ]
+            node_xyz.append(xyz)
+        elif name in _NASTRAN_CARDS:
+            ctype, n_grid = _NASTRAN_CARDS[name]
+            toks = [t for t in card[3:] if t]
+            if name == "CTETRA" and len(toks) >= 10:
+                ctype, n_grid = "tetra10", 10
+            if len(toks) < n_grid:
+                raise ValueError(
+                    f"{filename}: {name} card with {len(toks)} grid points"
+                )
+            elems.setdefault(ctype, []).append(
+                [int(t) for t in toks[:n_grid]]
+            )
+
+    if not node_ids:
+        raise ValueError(f"{filename}: no GRID cards")
+    ids = np.asarray(node_ids, dtype=np.int64)
+    points = np.asarray(node_xyz, dtype=np.float64)
+    blocks = [
+        CellBlock(
+            type=ctype,
+            data=_remap_ids(
+                ids, np.asarray(rows, dtype=np.int64), filename
+            ),
+        )
+        for ctype, rows in elems.items()
+    ]
+    return Mesh(points=points, cells=_top_dim_blocks(blocks))
+
+
+# --------------------------------------------------------------- AVS-UCD
+
+_AVS_TYPES = {
+    "pt": ("vertex", 1),
+    "line": ("line", 2),
+    "tri": ("triangle", 3),
+    "quad": ("quad", 4),
+    "tet": ("tetra", 4),
+    "pyr": ("pyramid", 5),
+    "prism": ("wedge", 6),
+    "hex": ("hexahedron", 8),
+}
+
+
+def _avs_data_section(lines, pos, n_entities, entity_ids):
+    """Parse one UCD data section (node or cell): component-size header
+    line, ``label, unit`` lines, then one row per entity.  Vector
+    components are split into per-component columns (the binda data
+    families are 1-D, io/convert.py routes them per name)."""
+    head = lines[pos].split()
+    pos += 1
+    n_comp = int(head[0])
+    sizes = [int(t) for t in head[1 : 1 + n_comp]]
+    labels = []
+    for _ in range(n_comp):
+        labels.append(lines[pos].split(",")[0].strip())
+        pos += 1
+    width = sum(sizes)
+    vals = np.array(
+        [lines[pos + k].split() for k in range(n_entities)],
+        dtype=np.float64,
+    ).reshape(n_entities, width + 1)
+    pos += n_entities
+    row_ids = vals[:, 0].astype(np.int64)
+    order = _remap_ids(entity_ids, row_ids, "AVS data section")
+    inv = np.empty(n_entities, dtype=np.int64)
+    inv[order] = np.arange(n_entities)
+    data = {}
+    col = 1
+    for lab, size in zip(labels, sizes):
+        for c in range(size):
+            name = lab if size == 1 else f"{lab}_{c}"
+            data[name] = np.ascontiguousarray(vals[inv, col + c])
+        col += size
+    return data, pos
+
+
+def read_avs(filename) -> Mesh:
+    """Read an AVS-UCD ``.avs`` ASCII file (single-step variant).
+
+    Header ``n_nodes n_cells n_ndata n_cdata n_mdata``; node and cell
+    data sections (including vector components, split per column) are
+    preserved; the per-cell material id becomes integer cell data
+    ``avs:material`` (routed to the icell family by the converter).
+    """
+    with open(filename, encoding="latin-1") as f:
+        lines = [
+            ln
+            for ln in f.read().splitlines()
+            if ln.strip() and not ln.startswith("#")
+        ]
+    n_nodes, n_cells, n_ndata, n_cdata, _n_mdata = (
+        int(t) for t in lines[0].split()[:5]
+    )
+    pos = 1
+    vals = np.array(
+        [lines[pos + k].split() for k in range(n_nodes)], dtype=np.float64
+    ).reshape(n_nodes, 4)
+    pos += n_nodes
+    node_ids = vals[:, 0].astype(np.int64)
+    points = vals[:, 1:4]
+
+    elems: dict = {}  # our type -> (conn rows, material rows, cell ids)
+    for _ in range(n_cells):
+        toks = lines[pos].split()
+        pos += 1
+        cid = int(toks[0])
+        mat = int(toks[1])
+        kind = toks[2].lower()
+        if kind not in _AVS_TYPES:
+            raise ValueError(f"Unsupported AVS-UCD cell type {kind!r}")
+        ctype, n_idx = _AVS_TYPES[kind]
+        conn = [int(t) for t in toks[3 : 3 + n_idx]]
+        rows = elems.setdefault(ctype, ([], [], []))
+        rows[0].append(conn)
+        rows[1].append(mat)
+        rows[2].append(cid)
+
+    blocks, mats, cids = [], [], []
+    for ctype, (rows, mat_rows, id_rows) in elems.items():
+        blocks.append(
+            CellBlock(
+                type=ctype,
+                data=_remap_ids(
+                    node_ids, np.asarray(rows, dtype=np.int64), filename
+                ),
+            )
+        )
+        mats.append(np.asarray(mat_rows, dtype=np.int32))
+        cids.append(np.asarray(id_rows, dtype=np.int64))
+    dims = [_TYPE_DIM.get(b.type, 3) for b in blocks]
+    top = max(dims)
+    keep = [d == top for d in dims]
+    kept = [b for b, k in zip(blocks, keep) if k]
+    cell_data = {
+        "avs:material": np.concatenate(
+            [m for m, k in zip(mats, keep) if k]
+        )
+    }
+
+    point_data = {}
+    if n_ndata:
+        point_data, pos = _avs_data_section(lines, pos, n_nodes, node_ids)
+    if n_cdata:
+        if not all(keep):
+            raise ValueError(
+                f"{filename}: cell data with mixed-dimension cells is "
+                "not supported"
+            )
+        cdata, pos = _avs_data_section(
+            lines, pos, n_cells, np.concatenate(cids)
+        )
+        cell_data.update(cdata)
+    return Mesh(
+        points=points,
+        cells=kept,
+        point_data=point_data,
+        cell_data=cell_data,
+    )
+
+
+# ------------------------------------------------------------------- SU2
+
+_SU2_TYPES = {
+    3: ("line", 2),
+    5: ("triangle", 3),
+    9: ("quad", 4),
+    10: ("tetra", 4),
+    12: ("hexahedron", 8),
+    13: ("wedge", 6),
+    14: ("pyramid", 5),
+}
+
+
+def read_su2(filename) -> Mesh:
+    """Read an SU2 ``.su2`` mesh (VTK element type ids; NDIME/NELEM/
+    NPOIN sections).  Boundary markers (NMARK) are surface markup and
+    are skipped, matching the top-dimension rule."""
+    with open(filename, encoding="latin-1") as f:
+        lines = [
+            ln.split("%")[0].strip()
+            for ln in f.read().splitlines()
+        ]
+    lines = [ln for ln in lines if ln]
+
+    dim = 3
+    elems: dict = {}
+    points = None
+    i = 0
+    while i < len(lines):
+        line = lines[i]
+        i += 1
+        key, _, val = line.partition("=")
+        key = key.strip().upper()
+        if key == "NDIME":
+            dim = int(val)
+        elif key == "NELEM":
+            n = int(val)
+            for _ in range(n):
+                toks = lines[i].split()
+                i += 1
+                vtk = int(toks[0])
+                if vtk not in _SU2_TYPES:
+                    raise ValueError(
+                        f"Unsupported SU2 element type {vtk}"
+                    )
+                ctype, n_idx = _SU2_TYPES[vtk]
+                elems.setdefault(ctype, []).append(
+                    [int(t) for t in toks[1 : 1 + n_idx]]
+                )
+        elif key == "NPOIN":
+            n = int(val.split()[0])
+            rows = []
+            for _ in range(n):
+                toks = lines[i].split()
+                i += 1
+                rows.append([float(t) for t in toks[:dim]])
+            points = np.asarray(rows, dtype=np.float64)
+        elif key == "NMARK":
+            # NMARK= m, then per marker MARKER_TAG / MARKER_ELEMS +
+            # element lines — all consumed by the key-driven scan
+            # (they parse as MARKER_* keys or element lines we skip)
+            continue
+        # MARKER_TAG and unrecognized lines: skip
+        elif key == "MARKER_ELEMS":
+            i += int(val)  # skip the boundary element lines
+
+    if points is None:
+        raise ValueError(f"{filename}: no NPOIN section")
+    if points.shape[1] < 3:
+        points = np.pad(points, ((0, 0), (0, 3 - points.shape[1])))
+    blocks = [
+        CellBlock(type=t, data=np.asarray(rows, dtype=np.int64))
+        for t, rows in elems.items()
+    ]
+    return Mesh(points=points, cells=_top_dim_blocks(blocks))
+
+
+# ---------------------------------------------------------------- FLAC3D
+
+_FLAC3D_ZONES = {
+    "T4": ("tetra", 4),
+    "P5": ("pyramid", 5),
+    "W6": ("wedge", 6),
+    "B8": ("hexahedron", 8),
+}
+
+
+def read_flac3d(filename) -> Mesh:
+    """Read a FLAC3D ``.f3grid`` ASCII grid.
+
+    ``G id x y z`` gridpoints, ``Z <TYPE> id g1..gn`` zones; ``ZGROUP``
+    sections become integer cell data ``flac3d:zgroup`` (group index in
+    file order; zones not in any group get -1)."""
+    node_ids: list = []
+    node_xyz: list = []
+    zone_ids: dict = {}  # our type -> list of zone ids (file order)
+    elems: dict = {}
+    groups: list = []  # (group index, [zone ids])
+    with open(filename, encoding="latin-1") as f:
+        lines = f.read().splitlines()
+    i = 0
+    while i < len(lines):
+        line = lines[i].strip()
+        i += 1
+        if not line or line.startswith("*"):
+            continue
+        toks = line.split()
+        tag = toks[0].upper()
+        if tag in ("G", "GRIDPOINT"):
+            node_ids.append(int(toks[1]))
+            node_xyz.append([float(t) for t in toks[2:5]])
+        elif tag in ("Z", "ZONE"):
+            kind = toks[1].upper()
+            if kind not in _FLAC3D_ZONES:
+                raise ValueError(
+                    f"Unsupported FLAC3D zone type {kind!r}"
+                )
+            ctype, n_idx = _FLAC3D_ZONES[kind]
+            elems.setdefault(ctype, []).append(
+                [int(t) for t in toks[3 : 3 + n_idx]]
+            )
+            zone_ids.setdefault(ctype, []).append(int(toks[2]))
+        elif tag == "ZGROUP":
+            members: list = []
+            while i < len(lines):
+                nxt = lines[i].strip()
+                if not nxt or nxt.startswith("*"):
+                    i += 1
+                    continue
+                first = nxt.split()[0]
+                if not first.lstrip("-").isdigit():
+                    break
+                members += [int(t) for t in nxt.split()]
+                i += 1
+            groups.append(members)
+        # other records (FLAC3DGRID header, F faces, ...): skipped
+
+    if not node_ids:
+        raise ValueError(f"{filename}: no gridpoints")
+    ids = np.asarray(node_ids, dtype=np.int64)
+    points = np.asarray(node_xyz, dtype=np.float64)
+    blocks = []
+    zid_cols = []
+    for ctype, rows in elems.items():
+        blocks.append(
+            CellBlock(
+                type=ctype,
+                data=_remap_ids(
+                    ids, np.asarray(rows, dtype=np.int64), filename
+                ),
+            )
+        )
+        zid_cols.append(np.asarray(zone_ids[ctype], dtype=np.int64))
+    cell_data = {}
+    if groups:
+        all_zids = np.concatenate(zid_cols)
+        zgroup = np.full(len(all_zids), -1, dtype=np.int32)
+        for gi, members in enumerate(groups):
+            zgroup[np.isin(all_zids, np.asarray(members, np.int64))] = gi
+        cell_data["flac3d:zgroup"] = zgroup
+    return Mesh(
+        points=points, cells=_top_dim_blocks(blocks), cell_data=cell_data
+    )

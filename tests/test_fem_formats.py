@@ -1,0 +1,224 @@
+"""Native FEM/CFD format readers (ABAQUS, Nastran, AVS-UCD, SU2,
+FLAC3D) — the any-meshio-format ingestion breadth of the reference
+(convert_to_binary.py:185), covered natively."""
+
+import numpy as np
+import pytest
+
+from interpolate_unstructured_tpu.io.convert import read_mesh
+from interpolate_unstructured_tpu.io.fem import (
+    read_abaqus,
+    read_avs,
+    read_flac3d,
+    read_nastran,
+    read_su2,
+)
+
+# unit tet split of nothing fancy: one tetra on 4 points
+TET_PTS = np.array(
+    [[0.0, 0.0, 0.0], [1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]]
+)
+
+ABAQUS_TET = """** a comment
+*HEADING
+one tet, non-contiguous node ids
+*NODE
+ 10, 0., 0., 0.
+ 20, 1., 0., 0.
+ 30, 0., 1., 0.
+ 40, 0., 0., 1.
+*ELEMENT, TYPE=C3D4, ELSET=solid
+ 1, 10, 20, 30,
+ 40
+*ELEMENT, TYPE=S3, ELSET=skin
+ 2, 10, 20, 30
+*MATERIAL, NAME=steel
+*ELASTIC
+ 210e9, 0.3
+*END STEP
+"""
+
+# one tet; exercises free-field, small-field (8-char columns),
+# large-field (16-char columns + '*' continuation) and the
+# exponent-less float "1.-0"
+def _f8(*fields):
+    return "".join(f"{f:<8}" for f in fields).rstrip()
+
+
+NASTRAN_TET = "\n".join([
+    "$ one tet; free-field grid, small-field grid, large-field grid",
+    "BEGIN BULK",
+    "GRID,1,,0.,0.,0.",
+    _f8("GRID", "2", "", "1.", "0.", "0."),
+    "GRID*   " + f"{'3':<16}{'':<16}{'0.':<16}{'1.':<16}".rstrip(),
+    "*       " + f"{'0.':<16}".rstrip(),
+    _f8("GRID", "4", "", "0.", "0.", "1.-0"),
+    _f8("CTETRA", "1", "1", "1", "2", "3", "4"),
+    _f8("CTRIA3", "2", "1", "1", "2", "3"),
+    "ENDDATA",
+]) + "\n"
+
+AVS_TET = """# AVS-UCD, one tet + node data (scalar temp, 2-vector vel) + cell data
+4 1 3 1 0
+1 0.0 0.0 0.0
+2 1.0 0.0 0.0
+3 0.0 1.0 0.0
+4 0.0 0.0 1.0
+1 7 tet 1 2 3 4
+2 1 2
+temp, K
+vel, m/s
+1 10.0 1.5 2.5
+2 11.0 1.5 2.5
+3 12.0 1.5 2.5
+4 13.0 1.5 2.5
+1 1
+rho, kg/m3
+1 42.0
+"""
+
+SU2_TET = """% one tet in 3D
+NDIME= 3
+NELEM= 1
+10 0 1 2 3 0
+NPOIN= 4
+0.0 0.0 0.0 0
+1.0 0.0 0.0 1
+0.0 1.0 0.0 2
+0.0 0.0 1.0 3
+NMARK= 1
+MARKER_TAG= wall
+MARKER_ELEMS= 2
+5 0 1 2
+5 0 1 3
+"""
+
+SU2_TRI_2D = """NDIME= 2
+NELEM= 2
+5 0 1 2 0
+5 0 2 3 1
+NPOIN= 4
+0.0 0.0 0
+1.0 0.0 1
+1.0 1.0 2
+0.0 1.0 3
+NMARK= 0
+"""
+
+FLAC3D_TET = """* one tet zone, zgroup markup
+FLAC3DGRID
+G 1 0.0 0.0 0.0
+G 2 1.0 0.0 0.0
+G 3 0.0 1.0 0.0
+G 4 0.0 0.0 1.0
+Z T4 1 1 2 3 4
+ZGROUP "rock"
+1
+"""
+
+
+def _check_unit_tet(mesh):
+    assert len(mesh.cells) == 1
+    block = mesh.cells[0]
+    assert block.type == "tetra"
+    np.testing.assert_array_equal(block.data, [[0, 1, 2, 3]])
+    np.testing.assert_allclose(mesh.points, TET_PTS)
+
+
+def test_abaqus_tet(tmp_path):
+    p = tmp_path / "tet.inp"
+    p.write_text(ABAQUS_TET)
+    mesh = read_abaqus(p)
+    # shell S3 block is surface markup below the top dimension
+    _check_unit_tet(mesh)
+
+
+def test_abaqus_continuation_and_remap(tmp_path):
+    # the C3D4 element above is split over two lines (trailing comma)
+    # and references non-contiguous node ids 10..40
+    p = tmp_path / "tet.inp"
+    p.write_text(ABAQUS_TET)
+    mesh = read_mesh(p)  # extension dispatch
+    _check_unit_tet(mesh)
+
+
+def test_abaqus_unknown_element_type(tmp_path):
+    p = tmp_path / "bad.inp"
+    p.write_text("*NODE\n1,0,0,0\n*ELEMENT, TYPE=XYZ9\n1,1,1,1\n")
+    with pytest.raises(ValueError, match="XYZ9"):
+        read_abaqus(p)
+
+
+def test_nastran_field_formats(tmp_path):
+    # free field, small field (8-char columns), large field with
+    # continuation, and the exponent-less float "1.-0"
+    p = tmp_path / "tet.bdf"
+    p.write_text(NASTRAN_TET)
+    mesh = read_nastran(p)
+    _check_unit_tet(mesh)
+
+
+def test_nastran_dispatch(tmp_path):
+    p = tmp_path / "tet.nas"
+    p.write_text(NASTRAN_TET)
+    _check_unit_tet(read_mesh(p))
+
+
+def test_avs_tet_with_data(tmp_path):
+    p = tmp_path / "tet.avs"
+    p.write_text(AVS_TET)
+    mesh = read_avs(p)
+    _check_unit_tet(mesh)
+    np.testing.assert_allclose(
+        mesh.point_data["temp"], [10.0, 11.0, 12.0, 13.0]
+    )
+    # 2-vector split into per-component columns
+    np.testing.assert_allclose(mesh.point_data["vel_0"], [1.5] * 4)
+    np.testing.assert_allclose(mesh.point_data["vel_1"], [2.5] * 4)
+    np.testing.assert_array_equal(mesh.cell_data["avs:material"], [7])
+    np.testing.assert_allclose(mesh.cell_data["rho"], [42.0])
+
+
+def test_su2_tet(tmp_path):
+    p = tmp_path / "tet.su2"
+    p.write_text(SU2_TET)
+    mesh = read_su2(p)
+    # boundary marker triangles are skipped
+    _check_unit_tet(mesh)
+
+
+def test_su2_2d_pads_points(tmp_path):
+    p = tmp_path / "tri.su2"
+    p.write_text(SU2_TRI_2D)
+    mesh = read_mesh(p)
+    assert mesh.cells[0].type == "triangle"
+    assert mesh.points.shape == (4, 3)
+    np.testing.assert_array_equal(mesh.points[:, 2], 0.0)
+
+
+def test_flac3d_tet(tmp_path):
+    p = tmp_path / "tet.f3grid"
+    p.write_text(FLAC3D_TET)
+    mesh = read_flac3d(p)
+    _check_unit_tet(mesh)
+    np.testing.assert_array_equal(mesh.cell_data["flac3d:zgroup"], [0])
+
+
+def test_read_grid_from_avs(tmp_path):
+    """Full pipeline on the format that carries node data: .avs ->
+    binda -> UGrid -> interpolation is linear-exact on the node field
+    (temp = 10 + 1*x + 2*y + 3*z on the unit tet)."""
+    import jax.numpy as jnp
+
+    import interpolate_unstructured_tpu as iu
+
+    p = tmp_path / "tet.avs"
+    p.write_text(AVS_TET)
+    grid = iu.read_grid(p)
+    ivar = iu.get_point_data_index(grid, "temp")
+    q = jnp.asarray([[0.25, 0.25, 0.25], [0.1, 0.2, 0.3]])
+    vals, ic, found = iu.interpolate_scalar_at(grid, q, ivar)
+    assert bool(np.asarray(found).all())
+    qn = np.asarray(q)
+    expect = 10.0 + qn[:, 0] + 2.0 * qn[:, 1] + 3.0 * qn[:, 2]
+    np.testing.assert_allclose(np.asarray(vals), expect, atol=1e-12)
