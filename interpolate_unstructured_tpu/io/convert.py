@@ -142,6 +142,7 @@ def read_mesh(filename) -> Mesh:
         ".avs": "read_avs",
         ".su2": "read_su2",
         ".f3grid": "read_flac3d",
+        ".ugrid": "read_ugrid",
     }
     if ext in fem:
         from . import fem as fem_mod

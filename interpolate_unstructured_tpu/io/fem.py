@@ -543,6 +543,58 @@ def read_su2(filename) -> Mesh:
     return Mesh(points=points, cells=_top_dim_blocks(blocks))
 
 
+# ----------------------------------------------------------------- UGRID
+
+
+def read_ugrid(filename) -> Mesh:
+    """Read an AFLR3 ``.ugrid`` ASCII volume mesh.
+
+    Layout: header ``nnodes ntria nquad ntet npyr nprism nhex``, node
+    coordinates, boundary tria/quad connectivity, one surface tag per
+    boundary face, then the volume elements.  All connectivity is
+    1-based.  Boundary faces are surface markup (dropped when volume
+    elements exist, like the other readers' top-dimension rule)."""
+    with open(filename, encoding="latin-1") as f:
+        tokens = f.read().split()
+    (n_node, n_tri, n_quad, n_tet, n_pyr, n_prz, n_hex) = (
+        int(t) for t in tokens[:7]
+    )
+    pos = 7
+    points = np.array(
+        tokens[pos : pos + 3 * n_node], dtype=np.float64
+    ).reshape(n_node, 3)
+    pos += 3 * n_node
+
+    def block(n, width):
+        nonlocal pos
+        conn = np.array(
+            tokens[pos : pos + n * width], dtype=np.int64
+        ).reshape(n, width) - 1
+        pos += n * width
+        return conn
+
+    tri = block(n_tri, 3)
+    quad = block(n_quad, 4)
+    pos += n_tri + n_quad  # surface tags
+    tet = block(n_tet, 4)
+    pyr = block(n_pyr, 5)
+    prz = block(n_prz, 6)
+    hexa = block(n_hex, 8)
+
+    blocks = []
+    for ctype, conn in (
+        ("triangle", tri),
+        ("quad", quad),
+        ("tetra", tet),
+        ("pyramid", pyr),
+        ("wedge", prz),
+        ("hexahedron", hexa),
+    ):
+        if len(conn):
+            blocks.append(CellBlock(type=ctype, data=conn))
+    return Mesh(points=points, cells=_top_dim_blocks(blocks))
+
+
 # ---------------------------------------------------------------- FLAC3D
 
 _FLAC3D_ZONES = {

@@ -204,6 +204,31 @@ def test_flac3d_tet(tmp_path):
     np.testing.assert_array_equal(mesh.cell_data["flac3d:zgroup"], [0])
 
 
+UGRID_TET = """4 4 0 1 0 0 0
+0.0 0.0 0.0
+1.0 0.0 0.0
+0.0 1.0 0.0
+0.0 0.0 1.0
+1 2 3
+1 2 4
+2 3 4
+1 3 4
+7 7 7 7
+1 2 3 4
+"""
+
+
+def test_ugrid_tet(tmp_path):
+    from interpolate_unstructured_tpu.io.fem import read_ugrid
+
+    p = tmp_path / "tet.ugrid"
+    p.write_text(UGRID_TET)
+    mesh = read_ugrid(p)
+    # boundary triangles + their surface tags are skipped
+    _check_unit_tet(mesh)
+    _check_unit_tet(read_mesh(p))
+
+
 def test_read_grid_from_avs(tmp_path):
     """Full pipeline on the format that carries node data: .avs ->
     binda -> UGrid -> interpolation is linear-exact on the node field
