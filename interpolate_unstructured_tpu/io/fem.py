@@ -547,13 +547,32 @@ def read_su2(filename) -> Mesh:
 
 
 def read_ugrid(filename) -> Mesh:
-    """Read an AFLR3 ``.ugrid`` ASCII volume mesh.
+    """Read an AFLR3 ``.ugrid`` volume mesh.
 
     Layout: header ``nnodes ntria nquad ntet npyr nprism nhex``, node
     coordinates, boundary tria/quad connectivity, one surface tag per
     boundary face, then the volume elements.  All connectivity is
     1-based.  Boundary faces are surface markup (dropped when volume
-    elements exist, like the other readers' top-dimension rule)."""
+    elements exist, like the other readers' top-dimension rule).
+
+    The compound-suffix binary variants are supported: ``.b8.ugrid``
+    (big-endian, float64 coords), ``.lb8.ugrid`` (little-endian
+    float64), ``.b4``/``.lb4`` (float32); ints are int32 in all of
+    them.  Plain ``.ugrid`` is ASCII.
+    """
+    name = str(filename).lower()
+    flavor = None
+    for suffix, (endian, fdtype) in {
+        ".b8.ugrid": (">", ">f8"),
+        ".lb8.ugrid": ("<", "<f8"),
+        ".b4.ugrid": (">", ">f4"),
+        ".lb4.ugrid": ("<", "<f4"),
+    }.items():
+        if name.endswith(suffix):
+            flavor = (endian, fdtype)
+    if flavor is not None:
+        return _read_ugrid_binary(filename, *flavor)
+
     with open(filename, encoding="latin-1") as f:
         tokens = f.read().split()
     (n_node, n_tri, n_quad, n_tet, n_pyr, n_prz, n_hex) = (
@@ -581,6 +600,10 @@ def read_ugrid(filename) -> Mesh:
     prz = block(n_prz, 6)
     hexa = block(n_hex, 8)
 
+    return _ugrid_mesh(points, tri, quad, tet, pyr, prz, hexa)
+
+
+def _ugrid_mesh(points, tri, quad, tet, pyr, prz, hexa) -> Mesh:
     blocks = []
     for ctype, conn in (
         ("triangle", tri),
@@ -593,6 +616,39 @@ def read_ugrid(filename) -> Mesh:
         if len(conn):
             blocks.append(CellBlock(type=ctype, data=conn))
     return Mesh(points=points, cells=_top_dim_blocks(blocks))
+
+
+def _read_ugrid_binary(filename, endian: str, fdtype: str) -> Mesh:
+    """Raw (stream, no Fortran record markers) binary UGRID: the
+    ASCII layout with int32 counts/connectivity/tags and float coords
+    of the flavor's width/endianness."""
+    idt = np.dtype(endian + "i4")
+    fdt = np.dtype(fdtype)
+    with open(filename, "rb") as f:
+        buf = f.read()
+    header = np.frombuffer(buf, idt, count=7)
+    n_node, n_tri, n_quad, n_tet, n_pyr, n_prz, n_hex = (
+        int(v) for v in header
+    )
+    off = 7 * idt.itemsize
+    points = np.frombuffer(buf, fdt, count=3 * n_node, offset=off)
+    points = points.reshape(n_node, 3).astype(np.float64)
+    off += 3 * n_node * fdt.itemsize
+
+    def block(n, width):
+        nonlocal off
+        conn = np.frombuffer(buf, idt, count=n * width, offset=off)
+        off += n * width * idt.itemsize
+        return conn.reshape(n, width).astype(np.int64) - 1
+
+    tri = block(n_tri, 3)
+    quad = block(n_quad, 4)
+    off += (n_tri + n_quad) * idt.itemsize  # surface tags
+    tet = block(n_tet, 4)
+    pyr = block(n_pyr, 5)
+    prz = block(n_prz, 6)
+    hexa = block(n_hex, 8)
+    return _ugrid_mesh(points, tri, quad, tet, pyr, prz, hexa)
 
 
 # ---------------------------------------------------------------- FLAC3D

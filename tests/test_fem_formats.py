@@ -229,6 +229,30 @@ def test_ugrid_tet(tmp_path):
     _check_unit_tet(read_mesh(p))
 
 
+@pytest.mark.parametrize("suffix,endian,fdt", [
+    ("tet.b8.ugrid", ">", ">f8"),
+    ("tet.lb8.ugrid", "<", "<f8"),
+    ("tet.lb4.ugrid", "<", "<f4"),
+])
+def test_ugrid_binary(tmp_path, suffix, endian, fdt):
+    from interpolate_unstructured_tpu.io.fem import read_ugrid
+
+    idt = np.dtype(endian + "i4")
+    parts = [
+        np.array([4, 4, 0, 1, 0, 0, 0], idt).tobytes(),
+        TET_PTS.astype(fdt).tobytes(),
+        np.array(
+            [[1, 2, 3], [1, 2, 4], [2, 3, 4], [1, 3, 4]], idt
+        ).tobytes(),
+        np.array([7, 7, 7, 7], idt).tobytes(),  # surface tags
+        np.array([[1, 2, 3, 4]], idt).tobytes(),
+    ]
+    p = tmp_path / suffix
+    p.write_bytes(b"".join(parts))
+    _check_unit_tet(read_ugrid(p))
+    _check_unit_tet(read_mesh(p))
+
+
 def test_read_grid_from_avs(tmp_path):
     """Full pipeline on the format that carries node data: .avs ->
     binda -> UGrid -> interpolation is linear-exact on the node field
