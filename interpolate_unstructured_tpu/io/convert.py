@@ -167,8 +167,9 @@ def read_mesh(filename) -> Mesh:
         raise ValueError(
             f"Cannot read {filename!r}: only .vtu, .vtk, .msh, .mesh, "
             ".node/.ele, .off, .ply, .stl, .obj, .xdmf/.xmf, "
-            ".e/.exo/.ex2, .cgns, .inp, .bdf/.nas/.fem, .avs, .su2 and "
-            ".f3grid are supported natively and meshio is not installed"
+            ".e/.exo/.ex2, .cgns, .inp, .bdf/.nas/.fem, .avs, .su2, "
+            ".f3grid and .ugrid are supported natively and meshio is "
+            "not installed"
         ) from err
     from .vtu import CellBlock
 
