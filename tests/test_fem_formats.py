@@ -253,6 +253,35 @@ def test_ugrid_binary(tmp_path, suffix, endian, fdt):
     _check_unit_tet(read_mesh(p))
 
 
+def test_su2_unknown_element_type(tmp_path):
+    p = tmp_path / "bad.su2"
+    p.write_text("NDIME= 3\nNELEM= 1\n99 0 1 2 3\nNPOIN= 4\n")
+    with pytest.raises(ValueError, match="99"):
+        read_su2(p)
+
+
+def test_flac3d_unknown_zone_type(tmp_path):
+    p = tmp_path / "bad.f3grid"
+    p.write_text("G 1 0 0 0\nZ X9 1 1 1 1\n")
+    with pytest.raises(ValueError, match="X9"):
+        read_flac3d(p)
+
+
+def test_avs_unknown_cell_type(tmp_path):
+    p = tmp_path / "bad.avs"
+    p.write_text("1 1 0 0 0\n1 0 0 0\n1 0 blob 1\n")
+    with pytest.raises(ValueError, match="blob"):
+        read_avs(p)
+
+
+def test_abaqus_undefined_node_reference(tmp_path):
+    p = tmp_path / "bad.inp"
+    p.write_text("*NODE\n1,0,0,0\n2,1,0,0\n3,0,1,0\n"
+                 "*ELEMENT, TYPE=S3\n1, 1, 2, 99\n")
+    with pytest.raises(ValueError, match="99"):
+        read_abaqus(p)
+
+
 def test_read_grid_from_avs(tmp_path):
     """Full pipeline on the format that carries node data: .avs ->
     binda -> UGrid -> interpolation is linear-exact on the node field
