@@ -143,6 +143,8 @@ def read_mesh(filename) -> Mesh:
         ".su2": "read_su2",
         ".f3grid": "read_flac3d",
         ".ugrid": "read_ugrid",
+        ".dat": "read_tecplot",
+        ".tec": "read_tecplot",
     }
     if ext in fem:
         from . import fem as fem_mod

@@ -543,6 +543,165 @@ def read_su2(filename) -> Mesh:
     return Mesh(points=points, cells=_top_dim_blocks(blocks))
 
 
+# --------------------------------------------------------------- Tecplot
+
+_TECPLOT_ZONES = {
+    # ET= (classic) and ZONETYPE= (modern) spellings
+    "TRIANGLE": ("triangle", 3),
+    "FETRIANGLE": ("triangle", 3),
+    "QUADRILATERAL": ("quad", 4),
+    "FEQUADRILATERAL": ("quad", 4),
+    "TETRAHEDRON": ("tetra", 4),
+    "FETETRAHEDRON": ("tetra", 4),
+    "BRICK": ("hexahedron", 8),
+    "FEBRICK": ("hexahedron", 8),
+}
+
+_TECPLOT_KV = re.compile(
+    r"([A-Za-z]+)\s*=\s*(\"[^\"]*\"|\([^)]*\)|[^\s,]+)"
+)
+
+
+def read_tecplot(filename) -> Mesh:
+    """Read a Tecplot ASCII file (``.dat``/``.tec``) with one
+    finite-element zone.
+
+    Supports classic (``F=FEPOINT``/``FEBLOCK``, ``ET=``) and modern
+    (``ZONETYPE=``, ``DATAPACKING=``) zone headers, POINT and BLOCK
+    packing, and ``VARLOCATION=([k]=CELLCENTERED)`` cell-centered
+    variables (which become cell data).  The variables named X/Y/Z
+    (case-insensitive) are the coordinates; every other variable
+    becomes point data (or cell data when cell-centered).
+    """
+    with open(filename, encoding="latin-1") as f:
+        lines = [
+            ln
+            for ln in f.read().splitlines()
+            if ln.strip() and not ln.lstrip().startswith("#")
+        ]
+
+    variables: list = []
+    zone_params: dict = {}
+    data_tokens: list = []
+    i = 0
+    while i < len(lines):
+        line = lines[i]
+        stripped = line.strip()
+        upper = stripped.upper()
+        if upper.startswith("TITLE"):
+            i += 1
+        elif upper.startswith("VARIABLES"):
+            # names continue across lines until ZONE (quoted or bare)
+            buf = stripped.split("=", 1)[1]
+            i += 1
+            while i < len(lines) and not lines[i].strip().upper().startswith(
+                "ZONE"
+            ):
+                buf += " " + lines[i].strip()
+                i += 1
+            variables = re.findall(r'"([^"]*)"|([^\s,]+)', buf)
+            variables = [a or b for a, b in variables]
+        elif upper.startswith("ZONE"):
+            if zone_params:
+                raise ValueError(
+                    f"{filename}: multiple Tecplot zones are not supported"
+                )
+            # the zone header spans lines while they contain '='
+            buf = stripped[4:]
+            i += 1
+            while i < len(lines) and "=" in lines[i]:
+                buf += " " + lines[i].strip()
+                i += 1
+            for k, v in _TECPLOT_KV.findall(buf):
+                zone_params[k.upper()] = v.strip('"')
+            # the zone's data follows until the next keyword line
+            while i < len(lines):
+                up = lines[i].strip().upper()
+                if up.startswith(("ZONE", "TITLE", "VARIABLES", "TEXT",
+                                  "GEOMETRY", "DATASETAUX")):
+                    break
+                data_tokens += lines[i].split()
+                i += 1
+        else:
+            i += 1
+
+    if not variables:
+        raise ValueError(f"{filename}: no VARIABLES line")
+    if not zone_params:
+        raise ValueError(f"{filename}: no ZONE header")
+    n_node = int(zone_params.get("N") or zone_params.get("NODES") or 0)
+    n_elem = int(zone_params.get("E") or zone_params.get("ELEMENTS") or 0)
+    if not n_node or not n_elem:
+        raise ValueError(f"{filename}: zone is missing N=/E= counts")
+    et = (
+        zone_params.get("ET") or zone_params.get("ZONETYPE") or ""
+    ).upper()
+    if et not in _TECPLOT_ZONES:
+        raise ValueError(f"Unsupported Tecplot zone type {et!r}")
+    ctype, n_idx = _TECPLOT_ZONES[et]
+    packing = (
+        zone_params.get("F") or zone_params.get("DATAPACKING") or "POINT"
+    ).upper()
+    block = packing in ("FEBLOCK", "BLOCK")
+
+    # cell-centered variable indices (1-based in the file syntax):
+    # VARLOCATION=([4]=CELLCENTERED) / ([4-6]=CELLCENTERED)
+    centered = set()
+    varloc = zone_params.get("VARLOCATION", "")
+    if "CELLCENTERED" in varloc.upper():
+        for lo, hi in re.findall(r"(\d+)(?:\s*-\s*(\d+))?", varloc):
+            lo = int(lo)
+            hi = int(hi) if hi else lo
+            centered.update(range(lo - 1, hi))
+    if centered and not block:
+        raise ValueError(
+            f"{filename}: CELLCENTERED variables require BLOCK packing"
+        )
+
+    nvar = len(variables)
+    cols = []
+    pos = 0
+    if block:
+        for k in range(nvar):
+            n = n_elem if k in centered else n_node
+            cols.append(
+                np.array(data_tokens[pos : pos + n], dtype=np.float64)
+            )
+            pos += n
+    else:
+        vals = np.array(
+            data_tokens[: n_node * nvar], dtype=np.float64
+        ).reshape(n_node, nvar)
+        cols = [vals[:, k] for k in range(nvar)]
+        pos = n_node * nvar
+    conn = np.array(
+        data_tokens[pos : pos + n_elem * n_idx], dtype=np.int64
+    ).reshape(n_elem, n_idx) - 1
+
+    upper_names = [v.upper() for v in variables]
+    points = np.zeros((n_node, 3))
+    coord_idx = set()
+    for axis, nm in enumerate("XYZ"):
+        if nm in upper_names:
+            k = upper_names.index(nm)
+            coord_idx.add(k)
+            points[:, axis] = cols[k]
+    if not coord_idx:
+        raise ValueError(f"{filename}: no X/Y/Z coordinate variables")
+
+    point_data, cell_data = {}, {}
+    for k, name in enumerate(variables):
+        if k in coord_idx:
+            continue
+        (cell_data if k in centered else point_data)[name] = cols[k]
+    return Mesh(
+        points=points,
+        cells=[CellBlock(type=ctype, data=conn)],
+        point_data=point_data,
+        cell_data=cell_data,
+    )
+
+
 # ----------------------------------------------------------------- UGRID
 
 

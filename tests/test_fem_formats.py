@@ -282,6 +282,63 @@ def test_abaqus_undefined_node_reference(tmp_path):
         read_abaqus(p)
 
 
+TECPLOT_POINT = """TITLE = "one tet"
+VARIABLES = "X" "Y" "Z" "temp"
+ZONE T="solid", N=4, E=1, F=FEPOINT, ET=TETRAHEDRON
+0.0 0.0 0.0 10.0
+1.0 0.0 0.0 11.0
+0.0 1.0 0.0 12.0
+0.0 0.0 1.0 13.0
+1 2 3 4
+"""
+
+TECPLOT_BLOCK = """VARIABLES = "X", "Y", "Z", "temp", "rho"
+ZONE T="solid", ZONETYPE=FETETRAHEDRON, NODES=4, ELEMENTS=1,
+DATAPACKING=BLOCK, VARLOCATION=([5]=CELLCENTERED)
+0.0 1.0 0.0 0.0
+0.0 0.0 1.0 0.0
+0.0 0.0 0.0 1.0
+10.0 11.0 12.0 13.0
+42.0
+1 2 3 4
+"""
+
+
+def test_tecplot_fepoint(tmp_path):
+    from interpolate_unstructured_tpu.io.fem import read_tecplot
+
+    p = tmp_path / "tet.dat"
+    p.write_text(TECPLOT_POINT)
+    mesh = read_tecplot(p)
+    _check_unit_tet(mesh)
+    np.testing.assert_allclose(
+        mesh.point_data["temp"], [10.0, 11.0, 12.0, 13.0]
+    )
+    _check_unit_tet(read_mesh(p))
+
+
+def test_tecplot_feblock_cellcentered(tmp_path):
+    from interpolate_unstructured_tpu.io.fem import read_tecplot
+
+    p = tmp_path / "tet.tec"
+    p.write_text(TECPLOT_BLOCK)
+    mesh = read_tecplot(p)
+    _check_unit_tet(mesh)
+    np.testing.assert_allclose(
+        mesh.point_data["temp"], [10.0, 11.0, 12.0, 13.0]
+    )
+    np.testing.assert_allclose(mesh.cell_data["rho"], [42.0])
+
+
+def test_tecplot_unknown_zone_type(tmp_path):
+    from interpolate_unstructured_tpu.io.fem import read_tecplot
+
+    p = tmp_path / "bad.dat"
+    p.write_text('VARIABLES = "X" "Y"\nZONE N=1, E=1, ET=POLYGON\n0 0\n1\n')
+    with pytest.raises(ValueError, match="POLYGON"):
+        read_tecplot(p)
+
+
 def test_read_grid_from_avs(tmp_path):
     """Full pipeline on the format that carries node data: .avs ->
     binda -> UGrid -> interpolation is linear-exact on the node field
