@@ -145,6 +145,7 @@ def read_mesh(filename) -> Mesh:
         ".ugrid": "read_ugrid",
         ".dat": "read_tecplot",
         ".tec": "read_tecplot",
+        ".neu": "read_gambit",
     }
     if ext in fem:
         from . import fem as fem_mod

@@ -543,6 +543,114 @@ def read_su2(filename) -> Mesh:
     return Mesh(points=points, cells=_top_dim_blocks(blocks))
 
 
+# ---------------------------------------------------------- Gambit (neu)
+
+_GAMBIT_TYPES = {
+    # NTYPE code -> our type (node counts are the linear ones; the
+    # higher-order variants repeat the code with a larger NDP and are
+    # rejected below)
+    1: ("line", 2),
+    2: ("quad", 4),
+    3: ("triangle", 3),
+    4: ("hexahedron", 8),
+    5: ("wedge", 6),
+    6: ("tetra", 4),
+    7: ("pyramid", 5),
+}
+
+
+def read_gambit(filename) -> Mesh:
+    """Read a Gambit neutral ``.neu`` file (Fluent ecosystem).
+
+    Parses the NODAL COORDINATES and ELEMENTS/CELLS sections; element
+    groups and boundary-condition sets are skipped.  Only the linear
+    node counts per NTYPE are supported."""
+    with open(filename, encoding="latin-1") as f:
+        lines = f.read().splitlines()
+
+    node_ids: list = []
+    node_xyz: list = []
+    elems: dict = {}
+    ndim = 3
+    i = 0
+    while i < len(lines):
+        header = lines[i].strip().upper()
+        i += 1
+        if header.startswith("CONTROL INFO"):
+            # counts line follows the NUMNP header row; NDFCD (5th
+            # number) is the dimensionality
+            while i < len(lines):
+                ln = lines[i].strip().upper()
+                i += 1
+                if ln.startswith("ENDOFSECTION"):
+                    break
+                if ln.startswith("NUMNP"):
+                    counts = lines[i].split()
+                    i += 1
+                    if len(counts) >= 5:
+                        ndim = int(counts[4])
+        elif header.startswith("NODAL COORDINATES"):
+            while i < len(lines):
+                ln = lines[i].strip()
+                i += 1
+                if ln.upper().startswith("ENDOFSECTION"):
+                    break
+                toks = ln.split()
+                node_ids.append(int(toks[0]))
+                xyz = [float(t) for t in toks[1 : 1 + ndim]]
+                xyz += [0.0] * (3 - len(xyz))
+                node_xyz.append(xyz)
+        elif header.startswith("ELEMENTS/CELLS"):
+            # token stream: id ntype ndp n1..n_ndp (continuation lines
+            # just add tokens)
+            tokens: list = []
+            while i < len(lines):
+                ln = lines[i].strip()
+                i += 1
+                if ln.upper().startswith("ENDOFSECTION"):
+                    break
+                tokens += ln.split()
+            pos = 0
+            while pos < len(tokens):
+                ntype = int(tokens[pos + 1])
+                ndp = int(tokens[pos + 2])
+                if ntype not in _GAMBIT_TYPES:
+                    raise ValueError(
+                        f"Unsupported Gambit element type {ntype}"
+                    )
+                ctype, n_linear = _GAMBIT_TYPES[ntype]
+                if ndp != n_linear:
+                    raise ValueError(
+                        f"Unsupported Gambit {ctype} with {ndp} nodes "
+                        f"(only the linear {n_linear}-node form)"
+                    )
+                conn = [int(t) for t in tokens[pos + 3 : pos + 3 + ndp]]
+                pos += 3 + ndp
+                elems.setdefault(ctype, []).append(conn)
+        elif header and not header.startswith(("**", "ENDOFSECTION")):
+            # unknown section: skip to its ENDOFSECTION
+            while i < len(lines):
+                if lines[i].strip().upper().startswith("ENDOFSECTION"):
+                    i += 1
+                    break
+                i += 1
+
+    if not node_ids:
+        raise ValueError(f"{filename}: no NODAL COORDINATES section")
+    ids = np.asarray(node_ids, dtype=np.int64)
+    points = np.asarray(node_xyz, dtype=np.float64)
+    blocks = [
+        CellBlock(
+            type=ctype,
+            data=_remap_ids(
+                ids, np.asarray(rows, dtype=np.int64), filename
+            ),
+        )
+        for ctype, rows in elems.items()
+    ]
+    return Mesh(points=points, cells=_top_dim_blocks(blocks))
+
+
 # --------------------------------------------------------------- Tecplot
 
 _TECPLOT_ZONES = {

@@ -339,6 +339,54 @@ def test_tecplot_unknown_zone_type(tmp_path):
         read_tecplot(p)
 
 
+GAMBIT_TET = """        CONTROL INFO 2.4.6
+** GAMBIT NEUTRAL FILE
+one tet
+PROGRAM:                Gambit     VERSION:  2.4.6
+01 Jan 2026
+     NUMNP     NELEM     NGRPS    NBSETS     NDFCD     NDFVL
+         4         1         1         0         3         3
+ENDOFSECTION
+   NODAL COORDINATES 2.4.6
+         1   0.00000000000e+00   0.00000000000e+00   0.00000000000e+00
+         2   1.00000000000e+00   0.00000000000e+00   0.00000000000e+00
+         3   0.00000000000e+00   1.00000000000e+00   0.00000000000e+00
+         4   0.00000000000e+00   0.00000000000e+00   1.00000000000e+00
+ENDOFSECTION
+      ELEMENTS/CELLS 2.4.6
+         1  6  4        1        2        3        4
+ENDOFSECTION
+       ELEMENT GROUP 2.4.6
+GROUP:          1 ELEMENTS:          1 MATERIAL:          2 NFLAGS:          1
+                           fluid
+       0
+       1
+ENDOFSECTION
+"""
+
+
+def test_gambit_tet(tmp_path):
+    from interpolate_unstructured_tpu.io.fem import read_gambit
+
+    p = tmp_path / "tet.neu"
+    p.write_text(GAMBIT_TET)
+    _check_unit_tet(read_gambit(p))
+    _check_unit_tet(read_mesh(p))
+
+
+def test_gambit_higher_order_rejected(tmp_path):
+    from interpolate_unstructured_tpu.io.fem import read_gambit
+
+    p = tmp_path / "bad.neu"
+    p.write_text(
+        "   NODAL COORDINATES 2.4.6\n 1 0. 0. 0.\nENDOFSECTION\n"
+        "      ELEMENTS/CELLS 2.4.6\n"
+        " 1 6 10 1 1 1 1 1 1 1 1 1 1\nENDOFSECTION\n"
+    )
+    with pytest.raises(ValueError, match="10 nodes"):
+        read_gambit(p)
+
+
 def test_read_grid_from_avs(tmp_path):
     """Full pipeline on the format that carries node data: .avs ->
     binda -> UGrid -> interpolation is linear-exact on the node field
