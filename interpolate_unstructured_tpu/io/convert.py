@@ -146,6 +146,7 @@ def read_mesh(filename) -> Mesh:
         ".dat": "read_tecplot",
         ".tec": "read_tecplot",
         ".neu": "read_gambit",
+        ".vol": "read_netgen",
     }
     if ext in fem:
         from . import fem as fem_mod

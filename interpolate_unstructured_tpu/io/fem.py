@@ -26,6 +26,7 @@ import re
 
 import numpy as np
 
+from .simple_formats import _face_blocks
 from .vtu import CellBlock, Mesh
 
 # our type -> spatial dimension (for top-dimension filtering)
@@ -541,6 +542,94 @@ def read_su2(filename) -> Mesh:
         for t, rows in elems.items()
     ]
     return Mesh(points=points, cells=_top_dim_blocks(blocks))
+
+
+# ---------------------------------------------------------- Netgen (vol)
+
+
+def read_netgen(filename) -> Mesh:
+    """Read a Netgen ``.vol`` mesh (ASCII sections).
+
+    ``volumeelements`` rows are ``matnr np p1..pnp`` (np=4 tets),
+    ``surfaceelements`` rows ``surfnr bcnr domin domout np p1..pnp``
+    (surface markup, dropped when volume elements exist), ``points``
+    rows are coordinates (1-based connectivity).  The material number
+    becomes integer cell data ``netgen:index``."""
+    with open(filename, encoding="latin-1") as f:
+        lines = [
+            ln.strip()
+            for ln in f.read().splitlines()
+            if ln.strip() and not ln.lstrip().startswith("#")
+        ]
+
+    points = None
+    vol_rows: list = []
+    surf_rows: list = []
+    mat_rows: list = []
+    dim = 3
+    i = 0
+    while i < len(lines):
+        section = lines[i].lower()
+        i += 1
+        if section == "dimension":
+            dim = int(lines[i])
+            i += 1
+        elif section == "points":
+            n = int(lines[i])
+            i += 1
+            points = np.array(
+                [lines[i + k].split() for k in range(n)], dtype=np.float64
+            ).reshape(n, -1)[:, :dim]
+            i += n
+        elif section == "volumeelements":
+            n = int(lines[i])
+            i += 1
+            for k in range(n):
+                toks = [int(t) for t in lines[i + k].split()]
+                if toks[1] != 4:
+                    raise ValueError(
+                        f"Unsupported Netgen volume element with "
+                        f"{toks[1]} points (only linear tets)"
+                    )
+                mat_rows.append(toks[0])
+                vol_rows.append(toks[2:6])
+            i += n
+        elif section == "surfaceelements":
+            n = int(lines[i])
+            i += 1
+            for k in range(n):
+                toks = [int(t) for t in lines[i + k].split()]
+                np_surf = toks[4]
+                if np_surf not in (3, 4):
+                    raise ValueError(
+                        f"Unsupported Netgen surface element with "
+                        f"{np_surf} points"
+                    )
+                surf_rows.append((np_surf, toks[5 : 5 + np_surf]))
+            i += n
+        # other sections (edgesegments, face descriptors, mesh3d
+        # header, geomtype, ...) are skipped by the scan
+
+    if points is None:
+        raise ValueError(f"{filename}: no points section")
+    if points.shape[1] < 3:
+        points = np.pad(points, ((0, 0), (0, 3 - points.shape[1])))
+    cell_data = {}
+    if vol_rows:
+        blocks = [
+            CellBlock(
+                type="tetra",
+                data=np.asarray(vol_rows, dtype=np.int64) - 1,
+            )
+        ]
+        cell_data["netgen:index"] = np.asarray(mat_rows, dtype=np.int32)
+    elif surf_rows:
+        blocks = _face_blocks(
+            [[p - 1 for p in conn] for _, conn in surf_rows]
+        )
+    else:
+        raise ValueError(f"{filename}: no elements")
+    return Mesh(points=points, cells=blocks, cell_data=cell_data)
 
 
 # ---------------------------------------------------------- Gambit (neu)

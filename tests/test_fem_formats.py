@@ -387,6 +387,58 @@ def test_gambit_higher_order_rejected(tmp_path):
         read_gambit(p)
 
 
+NETGEN_TET = """mesh3d
+dimension
+3
+geomtype
+0
+
+# surface elements: surfnr bcnr domin domout np p1 p2 p3
+surfaceelements
+4
+ 2 1 1 0 3 1 2 3
+ 2 1 1 0 3 1 2 4
+ 2 1 1 0 3 2 3 4
+ 2 1 1 0 3 1 3 4
+
+volumeelements
+1
+ 1 4 1 2 3 4
+
+points
+4
+ 0.0 0.0 0.0
+ 1.0 0.0 0.0
+ 0.0 1.0 0.0
+ 0.0 0.0 1.0
+"""
+
+
+def test_netgen_tet(tmp_path):
+    from interpolate_unstructured_tpu.io.fem import read_netgen
+
+    p = tmp_path / "tet.vol"
+    p.write_text(NETGEN_TET)
+    mesh = read_netgen(p)
+    _check_unit_tet(mesh)
+    np.testing.assert_array_equal(mesh.cell_data["netgen:index"], [1])
+    _check_unit_tet(read_mesh(p))
+
+
+def test_netgen_surface_only(tmp_path):
+    from interpolate_unstructured_tpu.io.fem import read_netgen
+
+    # no volume elements: the surface triangles become the cells
+    text = NETGEN_TET.replace(
+        "volumeelements\n1\n 1 4 1 2 3 4\n", "volumeelements\n0\n"
+    )
+    p = tmp_path / "surf.vol"
+    p.write_text(text)
+    mesh = read_netgen(p)
+    assert mesh.cells[0].type == "triangle"
+    assert mesh.cells[0].data.shape == (4, 3)
+
+
 def test_read_grid_from_avs(tmp_path):
     """Full pipeline on the format that carries node data: .avs ->
     binda -> UGrid -> interpolation is linear-exact on the node field
