@@ -108,8 +108,9 @@ def get_cell_neighbors(
 def read_mesh(filename) -> Mesh:
     """Read a mesh file. Uses the built-in readers (VTU, legacy VTK,
     Gmsh, MEDIT, TetGen, OFF, PLY, STL, OBJ, XDMF, Exodus II, CGNS,
-    ABAQUS, Nastran, AVS-UCD, SU2, FLAC3D); falls back to meshio for
-    other formats if it happens to be installed."""
+    ABAQUS, Nastran, AVS-UCD, SU2, FLAC3D, UGRID, Tecplot, Gambit,
+    Netgen); falls back to meshio for other formats if it happens to
+    be installed."""
     filename = os.fspath(filename)
     ext = os.path.splitext(filename)[1].lower()
     if ext == ".vtu":
@@ -172,8 +173,8 @@ def read_mesh(filename) -> Mesh:
             f"Cannot read {filename!r}: only .vtu, .vtk, .msh, .mesh, "
             ".node/.ele, .off, .ply, .stl, .obj, .xdmf/.xmf, "
             ".e/.exo/.ex2, .cgns, .inp, .bdf/.nas/.fem, .avs, .su2, "
-            ".f3grid and .ugrid are supported natively and meshio is "
-            "not installed"
+            ".f3grid, .ugrid, .dat/.tec, .neu and .vol are supported "
+            "natively and meshio is not installed"
         ) from err
     from .vtu import CellBlock
 

@@ -148,6 +148,10 @@ def read_abaqus(filename) -> Mesh:
             continue
         if not line.startswith("*"):
             continue  # stray data line outside any keyword we track
+        # a keyword line ending in a comma continues on the next line
+        while line.endswith(",") and i < n_lines:
+            line += " " + lines[i].strip()
+            i += 1
         parts = [p.strip() for p in line[1:].split(",")]
         keyword = parts[0].upper()
         params = {}
@@ -156,6 +160,7 @@ def read_abaqus(filename) -> Mesh:
             params[k.strip().upper()] = v.strip()
 
         if keyword == "NODE":
+            pending_n: list = []
             while i < n_lines:
                 data = lines[i].strip()
                 if not data or data.startswith("**"):
@@ -164,11 +169,21 @@ def read_abaqus(filename) -> Mesh:
                 if data.startswith("*"):
                     break
                 i += 1
-                toks = [t for t in data.split(",") if t.strip()]
-                node_ids.append(int(toks[0]))
-                xyz = [float(t) for t in toks[1:4]]
+                cont = data.endswith(",")
+                # keep blank interior fields: an omitted data item
+                # means zero in ABAQUS (trailing empties from the
+                # continuation comma are dropped after the join)
+                pending_n += [t.strip() for t in data.split(",")]
+                if cont:
+                    pending_n.pop()  # the empty token after ','
+                    continue
+                node_ids.append(int(pending_n[0]))
+                xyz = [
+                    float(t) if t else 0.0 for t in pending_n[1:4]
+                ]
                 xyz += [0.0] * (3 - len(xyz))
                 node_xyz.append(xyz)
+                pending_n = []
         elif keyword == "ELEMENT":
             ctype = _abaqus_cell_type(params.get("TYPE", ""))
             rows = elems.setdefault(ctype, [])
@@ -349,6 +364,16 @@ _AVS_TYPES = {
     "hex": ("hexahedron", 8),
 }
 
+# AVS-UCD lists 3D cells in a different node order than VTK: the hex
+# top face comes first, the prism top triangle first, and the pyramid
+# apex first.  These permutations map file order -> VTK order (the hex
+# and wedge maps are involutions).
+_AVS_PERM = {
+    "hexahedron": [4, 5, 6, 7, 0, 1, 2, 3],
+    "wedge": [3, 4, 5, 0, 1, 2],
+    "pyramid": [1, 2, 3, 4, 0],
+}
+
 
 def _avs_data_section(lines, pos, n_entities, entity_ids):
     """Parse one UCD data section (node or cell): component-size header
@@ -419,6 +444,8 @@ def read_avs(filename) -> Mesh:
             raise ValueError(f"Unsupported AVS-UCD cell type {kind!r}")
         ctype, n_idx = _AVS_TYPES[kind]
         conn = [int(t) for t in toks[3 : 3 + n_idx]]
+        if ctype in _AVS_PERM:
+            conn = [conn[p] for p in _AVS_PERM[ctype]]
         rows = elems.setdefault(ctype, ([], [], []))
         rows[0].append(conn)
         rows[1].append(mat)
@@ -647,6 +674,14 @@ _GAMBIT_TYPES = {
     7: ("pyramid", 5),
 }
 
+# Gambit numbers brick and pyramid nodes in tensor ("binary") order —
+# bottom face 1,2,4,3 in VTK terms — not the VTK cyclic order.  These
+# permutations map file order -> VTK order.
+_GAMBIT_PERM = {
+    "hexahedron": [0, 1, 3, 2, 4, 5, 7, 6],
+    "pyramid": [0, 1, 3, 2, 4],
+}
+
 
 def read_gambit(filename) -> Mesh:
     """Read a Gambit neutral ``.neu`` file (Fluent ecosystem).
@@ -715,6 +750,8 @@ def read_gambit(filename) -> Mesh:
                     )
                 conn = [int(t) for t in tokens[pos + 3 : pos + 3 + ndp]]
                 pos += 3 + ndp
+                if ctype in _GAMBIT_PERM:
+                    conn = [conn[p] for p in _GAMBIT_PERM[ctype]]
                 elems.setdefault(ctype, []).append(conn)
         elif header and not header.startswith(("**", "ENDOFSECTION")):
             # unknown section: skip to its ENDOFSECTION
@@ -836,17 +873,25 @@ def read_tecplot(filename) -> Mesh:
     if et not in _TECPLOT_ZONES:
         raise ValueError(f"Unsupported Tecplot zone type {et!r}")
     ctype, n_idx = _TECPLOT_ZONES[et]
-    packing = (
-        zone_params.get("F") or zone_params.get("DATAPACKING") or "POINT"
-    ).upper()
+    # Packing default depends on the header style: classic F= defaults
+    # to POINT, the modern DATAPACKING= keyword defaults to BLOCK.
+    if "F" in zone_params:
+        packing = zone_params["F"].upper()
+    elif "DATAPACKING" in zone_params:
+        packing = zone_params["DATAPACKING"].upper()
+    else:
+        packing = "BLOCK" if "ZONETYPE" in zone_params else "POINT"
     block = packing in ("FEBLOCK", "BLOCK")
 
     # cell-centered variable indices (1-based in the file syntax):
-    # VARLOCATION=([4]=CELLCENTERED) / ([4-6]=CELLCENTERED)
+    # VARLOCATION=([4]=CELLCENTERED,[1-3]=NODAL) — only the ranges
+    # assigned to CELLCENTERED count (NODAL ranges must not match)
     centered = set()
     varloc = zone_params.get("VARLOCATION", "")
-    if "CELLCENTERED" in varloc.upper():
-        for lo, hi in re.findall(r"(\d+)(?:\s*-\s*(\d+))?", varloc):
+    for ranges in re.findall(
+        r"\[([\d\s,\-]+)\]\s*=\s*CELLCENTERED", varloc, re.IGNORECASE
+    ):
+        for lo, hi in re.findall(r"(\d+)(?:\s*-\s*(\d+))?", ranges):
             lo = int(lo)
             hi = int(hi) if hi else lo
             centered.update(range(lo - 1, hi))
@@ -960,6 +1005,14 @@ def read_ugrid(filename) -> Mesh:
 
 
 def _ugrid_mesh(points, tri, quad, tet, pyr, prz, hexa) -> Mesh:
+    if len(pyr):
+        # AFLR3 orders the 5 pyramid nodes differently from VTK and no
+        # authoritative mapping is bundled here — reject rather than
+        # emit silently wrong connectivity (tet/prism/hex pass through
+        # unchanged; their UGRID order matches VTK).
+        raise ValueError(
+            "UGRID pyramid elements are not supported (node ordering)"
+        )
     blocks = []
     for ctype, conn in (
         ("triangle", tri),
@@ -1009,11 +1062,12 @@ def _read_ugrid_binary(filename, endian: str, fdtype: str) -> Mesh:
 
 # ---------------------------------------------------------------- FLAC3D
 
+# Only T4 zones are supported: FLAC3D's B8/W6/P5 gridpoint numbering
+# differs from VTK's and no authoritative mapping is bundled here —
+# emitting unpermuted connectivity would be silently wrong, so those
+# zone types are rejected instead.
 _FLAC3D_ZONES = {
     "T4": ("tetra", 4),
-    "P5": ("pyramid", 5),
-    "W6": ("wedge", 6),
-    "B8": ("hexahedron", 8),
 }
 
 

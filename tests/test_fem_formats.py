@@ -439,6 +439,130 @@ def test_netgen_surface_only(tmp_path):
     assert mesh.cells[0].data.shape == (4, 3)
 
 
+def test_abaqus_blank_fields_and_node_continuation(tmp_path):
+    # omitted data items mean zero; *NODE data lines may continue
+    # after a trailing comma; keyword lines may continue too
+    p = tmp_path / "c.inp"
+    p.write_text(
+        "*NODE\n"
+        "1, 2.0, , 4.0\n"
+        "2, 1.0,\n"
+        " 2.0, 3.0\n"
+        "*ELEMENT,\n"
+        " TYPE=S3\n"
+        "1, 1, 2, 1\n"
+    )
+    mesh = read_abaqus(p)
+    np.testing.assert_allclose(
+        mesh.points, [[2.0, 0.0, 4.0], [1.0, 2.0, 3.0]]
+    )
+    assert mesh.cells[0].type == "triangle"
+
+
+def test_tecplot_varlocation_nodal_ranges_ignored(tmp_path):
+    from interpolate_unstructured_tpu.io.fem import read_tecplot
+
+    text = TECPLOT_BLOCK.replace(
+        "VARLOCATION=([5]=CELLCENTERED)",
+        "VARLOCATION=([1-4]=NODAL,[5]=CELLCENTERED)",
+    )
+    p = tmp_path / "tet.tec"
+    p.write_text(text)
+    mesh = read_tecplot(p)
+    _check_unit_tet(mesh)
+    np.testing.assert_allclose(mesh.cell_data["rho"], [42.0])
+
+
+def test_tecplot_datapacking_defaults_block_for_modern_header(tmp_path):
+    from interpolate_unstructured_tpu.io.fem import read_tecplot
+
+    text = TECPLOT_BLOCK.replace("DATAPACKING=BLOCK, ", "").replace(
+        "VARLOCATION=([5]=CELLCENTERED)", "VARLOCATION=([5]=CELLCENTERED)"
+    )
+    p = tmp_path / "tet.tec"
+    p.write_text(text)
+    mesh = read_tecplot(p)  # ZONETYPE= header without DATAPACKING
+    _check_unit_tet(mesh)
+
+
+def test_avs_hex_node_order_permuted(tmp_path):
+    # AVS hex lists the top face first; the reader must return VTK
+    # order (bottom face first)
+    text = (
+        "8 1 0 0 0\n"
+        + "".join(
+            f"{i + 1} {x} {y} {z}\n"
+            for i, (x, y, z) in enumerate(
+                [(0, 0, 0), (1, 0, 0), (1, 1, 0), (0, 1, 0),
+                 (0, 0, 1), (1, 0, 1), (1, 1, 1), (0, 1, 1)]
+            )
+        )
+        # file order: top face (5,6,7,8) then bottom face (1,2,3,4)
+        + "1 0 hex 5 6 7 8 1 2 3 4\n"
+    )
+    from interpolate_unstructured_tpu.io.fem import read_avs
+
+    p = tmp_path / "hex.avs"
+    p.write_text(text)
+    mesh = read_avs(p)
+    assert mesh.cells[0].type == "hexahedron"
+    np.testing.assert_array_equal(
+        mesh.cells[0].data, [[0, 1, 2, 3, 4, 5, 6, 7]]
+    )
+
+
+def test_gambit_hex_tensor_order_permuted(tmp_path):
+    from interpolate_unstructured_tpu.io.fem import read_gambit
+
+    # Gambit tensor numbering: bottom (0,0,0),(1,0,0),(0,1,0),(1,1,0),
+    # top likewise; VTK wants cyclic bottom then cyclic top
+    text = (
+        "   NODAL COORDINATES 2.4.6\n"
+        + "".join(
+            f" {i + 1} {x} {y} {z}\n"
+            for i, (x, y, z) in enumerate(
+                [(0, 0, 0), (1, 0, 0), (0, 1, 0), (1, 1, 0),
+                 (0, 0, 1), (1, 0, 1), (0, 1, 1), (1, 1, 1)]
+            )
+        )
+        + "ENDOFSECTION\n"
+        "      ELEMENTS/CELLS 2.4.6\n"
+        " 1 4 8 1 2 3 4 5 6 7 8\nENDOFSECTION\n"
+    )
+    p = tmp_path / "hex.neu"
+    p.write_text(text)
+    mesh = read_gambit(p)
+    assert mesh.cells[0].type == "hexahedron"
+    # VTK hex: cyclic bottom face then cyclic top face
+    pts = mesh.points[mesh.cells[0].data[0]]
+    np.testing.assert_allclose(
+        pts,
+        [[0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0],
+         [0, 0, 1], [1, 0, 1], [1, 1, 1], [0, 1, 1]],
+    )
+
+
+def test_flac3d_non_tet_zone_rejected(tmp_path):
+    p = tmp_path / "hex.f3grid"
+    p.write_text("G 1 0 0 0\nZ B8 1 1 1 1 1 1 1 1 1\n")
+    with pytest.raises(ValueError, match="B8"):
+        read_flac3d(p)
+
+
+def test_ugrid_pyramid_rejected(tmp_path):
+    from interpolate_unstructured_tpu.io.fem import read_ugrid
+
+    text = (
+        "5 0 0 0 1 0 0\n"
+        "0 0 0\n1 0 0\n1 1 0\n0 1 0\n0.5 0.5 1\n"
+        "1 2 3 4 5\n"
+    )
+    p = tmp_path / "pyr.ugrid"
+    p.write_text(text)
+    with pytest.raises(ValueError, match="pyramid"):
+        read_ugrid(p)
+
+
 def test_read_grid_from_avs(tmp_path):
     """Full pipeline on the format that carries node data: .avs ->
     binda -> UGrid -> interpolation is linear-exact on the node field
