@@ -135,8 +135,23 @@ def read_mesh(filename) -> Mesh:
         from .cgns import read_cgns
 
         return read_cgns(filename)
+    if ext == ".inp":
+        # .inp is both the ABAQUS deck and the classic AVS-UCD
+        # extension: ABAQUS decks start with a '*KEYWORD' line, UCD
+        # files with the 5-int header — sniff the first data line
+        from . import fem as fem_mod
+
+        with open(filename, encoding="latin-1") as f:
+            for ln in f:
+                ln = ln.strip()
+                if ln and not ln.startswith("#"):
+                    break
+            else:
+                ln = ""
+        if ln.startswith("*"):
+            return fem_mod.read_abaqus(filename)
+        return fem_mod.read_avs(filename)
     fem = {
-        ".inp": "read_abaqus",
         ".bdf": "read_nastran",
         ".nas": "read_nastran",
         ".fem": "read_nastran",

@@ -253,6 +253,18 @@ def test_ugrid_binary(tmp_path, suffix, endian, fdt):
     _check_unit_tet(read_mesh(p))
 
 
+def test_avs_with_inp_extension_sniffed(tmp_path):
+    # .inp is also the classic AVS-UCD extension; the dispatcher
+    # sniffs the first data line ('*' keyword -> ABAQUS, else UCD)
+    p = tmp_path / "tet.inp"
+    p.write_text(AVS_TET)
+    mesh = read_mesh(p)
+    _check_unit_tet(mesh)
+    np.testing.assert_allclose(
+        mesh.point_data["temp"], [10.0, 11.0, 12.0, 13.0]
+    )
+
+
 def test_su2_unknown_element_type(tmp_path):
     p = tmp_path / "bad.su2"
     p.write_text("NDIME= 3\nNELEM= 1\n99 0 1 2 3\nNPOIN= 4\n")
