@@ -575,6 +575,61 @@ def test_ugrid_pyramid_rejected(tmp_path):
         read_ugrid(p)
 
 
+def test_cross_format_consistency_at_scale(tmp_path):
+    """Write the same 384-tet mesh as SU2, ASCII UGRID, binary UGRID,
+    AVS-UCD and Tecplot FEPOINT; every reader must return identical
+    points and connectivity."""
+    from interpolate_unstructured_tpu.utils import meshgen
+
+    points, cells, _ = meshgen.tet_box_mesh(4, 4, 4)
+    n, c = len(points), len(cells)
+
+    su2 = [f"NDIME= 3", f"NELEM= {c}"]
+    su2 += ["10 " + " ".join(map(str, row)) for row in cells]
+    su2.append(f"NPOIN= {n}")
+    su2 += [
+        f"{x} {y} {z} {i}" for i, (x, y, z) in enumerate(points)
+    ]
+    su2.append("NMARK= 0")
+    (tmp_path / "m.su2").write_text("\n".join(su2) + "\n")
+
+    ug = [f"{n} 0 0 {c} 0 0 0"]
+    ug += [f"{x} {y} {z}" for x, y, z in points]
+    ug += [" ".join(str(v + 1) for v in row) for row in cells]
+    (tmp_path / "m.ugrid").write_text("\n".join(ug) + "\n")
+
+    idt, fdt = np.dtype("<i4"), np.dtype("<f8")
+    (tmp_path / "m.lb8.ugrid").write_bytes(
+        np.array([n, 0, 0, c, 0, 0, 0], idt).tobytes()
+        + points.astype(fdt).tobytes()
+        + (np.asarray(cells, idt) + 1).tobytes()
+    )
+
+    avs = [f"{n} {c} 0 0 0"]
+    avs += [
+        f"{i + 1} {x} {y} {z}" for i, (x, y, z) in enumerate(points)
+    ]
+    avs += [
+        f"{i + 1} 1 tet " + " ".join(str(v + 1) for v in row)
+        for i, row in enumerate(cells)
+    ]
+    (tmp_path / "m.avs").write_text("\n".join(avs) + "\n")
+
+    tec = ['VARIABLES = "X" "Y" "Z"',
+           f'ZONE N={n}, E={c}, F=FEPOINT, ET=TETRAHEDRON']
+    tec += [f"{x} {y} {z}" for x, y, z in points]
+    tec += [" ".join(str(v + 1) for v in row) for row in cells]
+    (tmp_path / "m.dat").write_text("\n".join(tec) + "\n")
+
+    for name in ("m.su2", "m.ugrid", "m.lb8.ugrid", "m.avs", "m.dat"):
+        mesh = read_mesh(tmp_path / name)
+        assert mesh.cells[0].type == "tetra", name
+        np.testing.assert_allclose(mesh.points, points, err_msg=name)
+        np.testing.assert_array_equal(
+            mesh.cells[0].data, cells, err_msg=name
+        )
+
+
 def test_read_grid_from_avs(tmp_path):
     """Full pipeline on the format that carries node data: .avs ->
     binda -> UGrid -> interpolation is linear-exact on the node field
